@@ -1,0 +1,184 @@
+"""Deterministic synthetic geo fixtures (FIXTURES.md §2-§8).
+
+These mirror the *shapes* of the reference's aachen fixture family
+(/root/reference/test/helpers.py:34-150) without shipping its data:
+
+* ``REGION``   — one 24-vertex star-convex polygon inscribed in the bbox
+                 (aachenShapefile.shp analog)
+* ``ZONES``    — 115 jittered convex quadrilaterals with attributes
+                 (aachen_zones.shp analog: 115 features,
+                 /root/reference/test/test_05_vector.py:412-440)
+* ``POINTS``   — 13 labeled points (aachen_points.shp analog,
+                 test_05_vector.py:317-331)
+* ``BOXES``    — harry/ron/hermoine boxes, areas 1/4/9
+                 (boxes.shp analog, test_05_vector.py:43-131)
+
+All coordinates are produced once here by a seeded integer LCG and are
+treated as *literal constants* by both the Spark queries and the DuckDB
+oracle SQL (emitted via ``repr`` which round-trips doubles exactly), so
+the two sides always agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .constants import (
+    GRID_INV_X,
+    GRID_INV_Y,
+    GRID_N,
+    XMAX,
+    XMIN,
+    XSPAN,
+    YMAX,
+    YMIN,
+    YSPAN,
+)
+
+
+def _lcg_stream(seed: int):
+    """Deterministic uniform [0,1) stream (glibc-style LCG)."""
+    state = seed & 0x7FFFFFFF
+    while True:
+        state = (state * 1103515245 + 12345) % 2147483648
+        yield state / 2147483648.0
+
+
+def _make_region(n_vertices: int = 24) -> list[tuple[float, float]]:
+    cx = (XMIN + XMAX) / 2.0
+    cy = (YMIN + YMAX) / 2.0
+    rx = XSPAN / 2.0
+    ry = YSPAN / 2.0
+    rng = _lcg_stream(42)
+    verts = []
+    for k in range(n_vertices):
+        ang = 2.0 * math.pi * k / n_vertices
+        # star-convex: radius wobbles between 55% and 95% of half-extent
+        r = 0.55 + 0.40 * next(rng)
+        verts.append((cx + r * rx * math.cos(ang), cy + r * ry * math.sin(ang)))
+    return verts
+
+
+def _make_zones(n_zones: int = 115, nx: int = 12, ny: int = 10):
+    """Jittered convex quadrilaterals on an nx x ny grid over the bbox.
+
+    Corners are jittered inward/outward by up to 35% of a grid cell so
+    neighboring zones overlap / leave gaps — exercising the exact-PIP
+    refinement rather than pure bbox tests.
+    """
+    rng = _lcg_stream(1337)
+    dx = XSPAN / nx
+    dy = YSPAN / ny
+    zones = []
+    for zid in range(n_zones):
+        gx, gy = zid % nx, zid // nx
+        x0 = XMIN + gx * dx
+        y0 = YMIN + gy * dy
+        j = [0.35 * dx * (2 * next(rng) - 1) for _ in range(4)]
+        k = [0.35 * dy * (2 * next(rng) - 1) for _ in range(4)]
+        # counter-clockwise quad: BL, BR, TR, TL
+        quad = [
+            (x0 + j[0], y0 + k[0]),
+            (x0 + dx + j[1], y0 + k[1]),
+            (x0 + dx + j[2], y0 + dy + k[2]),
+            (x0 + j[3], y0 + dy + k[3]),
+        ]
+        zones.append(
+            {
+                "zone_id": zid,
+                "site_code": f"Z{zid:04d}",
+                "year": 1950 + (zid * 7) % 75,
+                "designate": ["A", "B", "C", "D"][zid % 4],
+                "verts": quad,
+            }
+        )
+    return zones
+
+
+def _make_points():
+    words = "Never have I ever ridden on a horse Did you know that ?".split()
+    assert len(words) == 13
+    rng = _lcg_stream(777)
+    pts = []
+    for i, w in enumerate(words):
+        pts.append(
+            {
+                "id": i,
+                "word": w,
+                "lon": XMIN + next(rng) * XSPAN,
+                "lat": YMIN + next(rng) * YSPAN,
+            }
+        )
+    return pts
+
+
+REGION_VERTS: list[tuple[float, float]] = _make_region()
+ZONES: list[dict] = _make_zones()
+POINTS: list[dict] = _make_points()
+
+# boxes.shp analog: unit box, 2x2 box, 3x3 box — pairwise corner-touching
+BOXES = [
+    {"name": "harry", "smart": 0, "verts": [(0, 0), (1, 0), (1, 1), (0, 1)]},
+    {"name": "ron", "smart": 0, "verts": [(1, 1), (3, 1), (3, 3), (1, 3)]},
+    {"name": "hermoine", "smart": 1, "verts": [(3, 3), (6, 3), (6, 6), (3, 6)]},
+]
+
+
+def poly_bbox(verts) -> tuple[float, float, float, float]:
+    xs = [v[0] for v in verts]
+    ys = [v[1] for v in verts]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def covering_cells(verts, pad: int = 0) -> list[tuple[int, int]]:
+    """Grid cells (GRID_N x GRID_N over the bbox) covering a polygon's
+    envelope — the engine's spatial-join prefilter key set (the analog
+    of the reference's bbox SetSpatialFilter, vector.py:144-160)."""
+    bx0, by0, bx1, by1 = poly_bbox(verts)
+    cx0 = max(0, int(math.floor((bx0 - XMIN) * GRID_INV_X)) - pad)
+    cx1 = min(GRID_N - 1, int(math.floor((bx1 - XMIN) * GRID_INV_X)) + pad)
+    cy0 = max(0, int(math.floor((by0 - YMIN) * GRID_INV_Y)) - pad)
+    cy1 = min(GRID_N - 1, int(math.floor((by1 - YMIN) * GRID_INV_Y)) + pad)
+    return [(cx, cy) for cx in range(cx0, cx1 + 1) for cy in range(cy0, cy1 + 1)]
+
+
+def sql_zone_edges_values() -> str:
+    """DuckDB VALUES literal: one row per directed zone edge
+    (zone_id, x1, y1, x2, y2) — the oracle's ray-casting input."""
+    rows = []
+    for z in ZONES:
+        v = z["verts"]
+        for i in range(len(v)):
+            x1, y1 = v[i]
+            x2, y2 = v[(i + 1) % len(v)]
+            rows.append(f"({z['zone_id']},{x1!r},{y1!r},{x2!r},{y2!r})")
+    return ",".join(rows)
+
+
+def sql_zone_attr_values() -> str:
+    """DuckDB VALUES literal: (zone_id, site_code, year, designate,
+    bxmin, bymin, bxmax, bymax)."""
+    rows = []
+    for z in ZONES:
+        b = poly_bbox(z["verts"])
+        rows.append(
+            f"({z['zone_id']},'{z['site_code']}',{z['year']},"
+            f"'{z['designate']}',{b[0]!r},{b[1]!r},{b[2]!r},{b[3]!r})"
+        )
+    return ",".join(rows)
+
+
+def sql_region_edges_values() -> str:
+    rows = []
+    v = REGION_VERTS
+    for i in range(len(v)):
+        x1, y1 = v[i]
+        x2, y2 = v[(i + 1) % len(v)]
+        rows.append(f"({x1!r},{y1!r},{x2!r},{y2!r})")
+    return ",".join(rows)
+
+
+def sql_points_values() -> str:
+    return ",".join(
+        f"({p['id']},'{p['word']}',{p['lon']!r},{p['lat']!r})" for p in POINTS
+    )
