@@ -1,0 +1,94 @@
+"""Geo column expressions — pure built-in pyspark.sql.functions
+(JVM-side, whole-stage codegen; no UDF in the hot path).
+
+Every oracle-compared expression here restricts itself to
++,-,*,/,floor,%,when — operations that evaluate bit-identically in
+Spark and DuckDB. The matching SQL text generators live in
+``geokit_spark.oracle.sqlgen``; keep the expression *trees* in sync.
+
+The true Web-Mercator slippy index (needs asinh/tan) is provided for
+the engine (`slippy_cols`) and golden-tested against the reference
+(kernels.tiling), but oracle-compared queries use the equirectangular
+cell grid instead (ln() differs by 1 ULP between DuckDB and the JVM).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import (
+    CELL_N,
+    GRID_INV_X,
+    GRID_INV_Y,
+    GRID_N,
+    HOT_CX,
+    HOT_CY,
+    HOT_HALF,
+    HOT_MOD,
+    LCG_A,
+    LCG_C,
+    LCG_M,
+    XMIN,
+    XSPAN,
+    YMIN,
+    YSPAN,
+)
+
+
+def geocode_cols(doc_id: Column) -> tuple[Column, Column]:
+    """doc_id -> (lon, lat). Mirrors kernels.geocode.geocode and
+    oracle.sqlgen.geocode_select bit-for-bit."""
+    h1 = (doc_id * F.lit(LCG_A) + F.lit(LCG_C)) % F.lit(LCG_M)
+    h2 = (h1 * F.lit(LCG_A) + F.lit(LCG_C)) % F.lit(LCG_M)
+    u1 = h1.cast("double") / F.lit(float(LCG_M))
+    u2 = h2.cast("double") / F.lit(float(LCG_M))
+    hot = (doc_id % F.lit(HOT_MOD)) == F.lit(0)
+    lon = F.when(
+        hot, F.lit(HOT_CX) + (u1 - F.lit(0.5)) * F.lit(2.0 * HOT_HALF)
+    ).otherwise(F.lit(XMIN) + u1 * F.lit(XSPAN))
+    lat = F.when(
+        hot, F.lit(HOT_CY) + (u2 - F.lit(0.5)) * F.lit(2.0 * HOT_HALF)
+    ).otherwise(F.lit(YMIN) + u2 * F.lit(YSPAN))
+    return lon, lat
+
+
+def with_geocode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    lon, lat = geocode_cols(F.col(id_col))
+    return df.withColumn("lon", lon).withColumn("lat", lat)
+
+
+def grid_cell_cols(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """Local analysis-grid cell (GRID_N x GRID_N over the bbox) —
+    the spatial-join prefilter key. Clamped to the grid."""
+    cx = F.floor((lon - F.lit(XMIN)) * F.lit(GRID_INV_X))
+    cy = F.floor((lat - F.lit(YMIN)) * F.lit(GRID_INV_Y))
+    cx = F.least(F.greatest(cx, F.lit(0)), F.lit(GRID_N - 1))
+    cy = F.least(F.greatest(cy, F.lit(0)), F.lit(GRID_N - 1))
+    return cx.cast("int"), cy.cast("int")
+
+
+def grid_cell_id(lon: Column, lat: Column) -> Column:
+    cx, cy = grid_cell_cols(lon, lat)
+    return (cx.cast("long") * F.lit(GRID_N) + cy.cast("long")).alias("cell_id")
+
+
+def cell_cols(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """Global equirectangular cell at CELL_ZOOM (oracle-safe 'tile')."""
+    cx = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(CELL_N)))
+    cy = F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(float(CELL_N)))
+    return cx.cast("int"), cy.cast("int")
+
+
+def slippy_cols(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """True Web-Mercator slippy tile index (engine-side; matches
+    kernels.tiling.deg2num / reference srs.tileIndexAt srs.py:225-247)."""
+    n = F.lit(float(1 << zoom))
+    xi = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    lat_rad = F.radians(lat)
+    yi = F.floor(
+        (F.lit(1.0) - F.asinh(F.tan(lat_rad)) / F.lit(math.pi)) / F.lit(2.0) * n
+    )
+    return xi.cast("int"), yi.cast("int")

@@ -1,0 +1,115 @@
+"""Two-phase spatial joins: cell-equijoin prefilter + exact refine.
+
+Physical shape (the scale story):
+
+  pages ──geocode──► cell_id (pure JVM arithmetic, codegen)
+        ⋈ broadcast{cell_id → polygon candidates}      (hash join, no shuffle)
+        ──refine──► exact ray-casting PIP, Arrow-batched pandas UDF,
+                    applied ONLY to boundary-cell rows
+
+At 1000 executors the broadcast side stays tiny (cells × candidate
+ids); the pages side never shuffles for a semi-join. Skewed hot cells
+are irrelevant here (map-side work only); they matter for groupBy
+stages, where AQE + salting handle them (see operators.knn and bench).
+
+Semantics mirror the reference's extractFeatures(geom=...) /
+countFeatures spatial semi-join (vector.py:172-202, 290-455) and the
+applyGeopandasMethod("sjoin") general join (vector.py:1851-1901).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import fixtures
+from ..constants import GRID_N
+from ..functions.geo import grid_cell_id, with_geocode
+from ..kernels.cells import BOUNDARY, IN, classify_cells
+from ..kernels.pip import points_in_poly
+
+# ---------------------------------------------------------------------------
+# region (single polygon) semi-join
+
+
+def _region_cls():
+    return classify_cells(fixtures.REGION_VERTS)
+
+
+@F.pandas_udf(T.BooleanType())
+def _in_region_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    inside = points_in_poly(
+        lon.to_numpy(np.float64), lat.to_numpy(np.float64), fixtures.REGION_VERTS
+    )
+    return pd.Series(inside)
+
+
+def docs_in_region(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Semi-join: documents whose geocoded point lies in the region
+    polygon. Interior-cell rows bypass the exact test entirely."""
+    cls = _region_cls()
+    # broadcast the tiny cell→class map as a literal lookup table
+    cell_rows = [
+        (int(cx) * GRID_N + int(cy), int(cls[cx, cy]))
+        for cx in range(GRID_N)
+        for cy in range(GRID_N)
+        if cls[cx, cy] != 0
+    ]
+    cell_df = spark.createDataFrame(cell_rows, "cell_id long, cell_class int")
+
+    pts = with_geocode(docs).withColumn(
+        "cell_id", grid_cell_id(F.col("lon"), F.col("lat"))
+    )
+    joined = pts.join(F.broadcast(cell_df), "cell_id", "inner")
+    interior = joined.filter(F.col("cell_class") == IN)
+    boundary = joined.filter(F.col("cell_class") == BOUNDARY).filter(
+        _in_region_udf(F.col("lon"), F.col("lat"))
+    )
+    return interior.unionByName(boundary).drop("cell_class")
+
+
+# ---------------------------------------------------------------------------
+# zones (many polygons) inner join
+
+
+def _zone_polys() -> dict[int, list[tuple[float, float]]]:
+    return {z["zone_id"]: z["verts"] for z in fixtures.ZONES}
+
+
+@F.pandas_udf(T.BooleanType())
+def _in_zone_udf(lon: pd.Series, lat: pd.Series, zone_id: pd.Series) -> pd.Series:
+    polys = _zone_polys()
+    px = lon.to_numpy(np.float64)
+    py = lat.to_numpy(np.float64)
+    zid = zone_id.to_numpy(np.int64)
+    out = np.zeros(len(px), dtype=bool)
+    for z in np.unique(zid):
+        m = zid == z
+        out[m] = points_in_poly(px[m], py[m], polys[int(z)])
+    return pd.Series(out)
+
+
+def zone_candidates_df(spark: SparkSession) -> DataFrame:
+    """Exploded (cell_id, zone_id) map: the broadcast prefilter side.
+    A cell maps to every zone whose envelope covers it (analog of the
+    reference's per-source envelope pruning, extent.py:718-795)."""
+    rows = []
+    for z in fixtures.ZONES:
+        for cx, cy in fixtures.covering_cells(z["verts"]):
+            rows.append((cx * GRID_N + cy, z["zone_id"]))
+    return spark.createDataFrame(rows, "cell_id long, zone_id int")
+
+
+def docs_join_zones(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Inner spatial join: (doc, zone) pairs where the doc's point is
+    inside the zone polygon. One doc may match several overlapping
+    zones (the fixtures overlap by construction)."""
+    cand = zone_candidates_df(spark)
+    pts = with_geocode(docs).withColumn(
+        "cell_id", grid_cell_id(F.col("lon"), F.col("lat"))
+    )
+    pairs = pts.join(F.broadcast(cand), "cell_id", "inner")
+    return pairs.filter(_in_zone_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))

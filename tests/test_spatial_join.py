@@ -1,0 +1,56 @@
+"""Spark-side spatial join tests: engine results must equal the
+brute-force numpy oracle (same kernels, no cell shortcut)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geokit_spark import fixtures
+from geokit_spark.kernels.geocode import geocode
+from geokit_spark.kernels.pip import points_in_poly
+from geokit_spark.operators import spatial_join
+
+
+def _brute_force_region(ids):
+    lon, lat = geocode(ids)
+    return set(ids[points_in_poly(lon, lat, fixtures.REGION_VERTS)].tolist())
+
+
+def test_docs_in_region_matches_brute_force(spark, docs):
+    got = spatial_join.docs_in_region(spark, docs).select("doc_id").toPandas()
+    ids = docs.select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
+    expected = _brute_force_region(ids)
+    assert set(got["doc_id"]) == expected
+    assert len(got) == len(expected)  # no duplicate rows from the union
+
+
+def test_docs_join_zones_matches_brute_force(spark, docs):
+    got = (
+        spatial_join.docs_join_zones(spark, docs)
+        .select("doc_id", "zone_id")
+        .toPandas()
+    )
+    ids = docs.select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
+    lon, lat = geocode(ids)
+    expected = set()
+    for z in fixtures.ZONES:
+        inside = points_in_poly(lon, lat, z["verts"])
+        for d in ids[inside]:
+            expected.add((int(d), z["zone_id"]))
+    assert set(map(tuple, got.values.tolist())) == expected
+
+
+def test_zone_join_is_broadcast(spark, docs):
+    plan = spatial_join.docs_join_zones(spark, docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"zone_id", "n_docs"}
+    assert (pdf["n_docs"] > 0).all()
