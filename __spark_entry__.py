@@ -13,10 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geokit_spark import fixtures
-from geokit_spark.constants import GRID_N
+from geokit_spark.constants import PIX_DX, PIX_DY, RASTER_H, RASTER_W, XMIN, YMAX
 from geokit_spark.functions.geo import cell_cols, grid_cell_cols, with_geocode
-from geokit_spark.operators import spatial_join
+from geokit_spark.operators import (
+    extract_values as ev,
+    indicate,
+    rasterize,
+    spatial_join,
+    zonal,
+)
 from geokit_spark.oracle import sqlgen
+from geokit_spark.oracle.sqlgen import d
+from geokit_spark.sources import tiles as tilesrc
+
+INDICATE_DSL = "[20-30),40"
 
 
 # ---------------------------------------------------------------------------
@@ -71,6 +81,59 @@ def q_pip_zones_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("zone_id").agg(F.count("*").alias("n_docs"))
 
 
+def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_geocode(_docs(spark, sf_dir).select("doc_id"))
+
+
+def q_extract_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-raster lookup join, 'near' mode (reference
+    extractValues, raster.py:866-1133)."""
+    return ev.extract_values(
+        _geo_docs(spark, sf_dir), tilesrc.raster_table(spark, "clc"), "clc_value"
+    )
+
+
+def q_interp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear interpolation at points (reference interpolateValues,
+    raster.py:1140-1303)."""
+    return ev.interpolate_bilinear(
+        _geo_docs(spark, sf_dir), tilesrc.raster_table(spark, "elev")
+    )
+
+
+def q_gradient_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-difference gradient at points (reference gradient,
+    raster.py:640-753)."""
+    return ev.gradient_at_points(
+        _geo_docs(spark, sf_dir), tilesrc.raster_table(spark, "elev")
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over zones (reference rasterStats with cutline,
+    raster.py:586-635)."""
+    return zonal.zonal_stats(tilesrc.raster_table(spark, "elev"))
+
+
+def q_rasterize_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize zones by 'year' attribute, last-feature-wins
+    (reference rasterize, vector.py:1620-1849)."""
+    return rasterize.rasterize_zone_counts(tilesrc.raster_table(spark, "elev"))
+
+
+def q_region_mask_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegionMask mask pixel count + area (regionmask.py:504-536)."""
+    return zonal.region_mask_stats(tilesrc.raster_table(spark, "elev"))
+
+
+def q_indicate_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-DSL classify + fractional zonal membership (reference
+    indicateValues, regionmask.py:768-1289)."""
+    return indicate.indicate_values(
+        tilesrc.raster_table(spark, "clc"), INDICATE_DSL
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: count geocoded pages per zone at sf0.001."""
     return q_pip_zones_join(spark, "/root/testdata/sf0.001")
@@ -82,6 +145,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts": q_cell_counts,
         "pip_region": q_pip_region,
         "pip_zones_join": q_pip_zones_join,
+        "extract_values": q_extract_values,
+        "interp_bilinear": q_interp_bilinear,
+        "gradient_points": q_gradient_points,
+        "zonal_stats": q_zonal_stats,
+        "rasterize_zones": q_rasterize_zones,
+        "region_mask_area": q_region_mask_area,
+        "indicate_values": q_indicate_values,
     }
 
 
@@ -152,10 +222,157 @@ SELECT zone_id, COUNT(*) AS n_docs FROM hits GROUP BY zone_id
 """
 
 
+def _o_extract_values() -> str:
+    ix, iy = sqlgen.raster_cell_exprs("g.lon", "g.lat")
+    return f"""
+WITH {sqlgen.geocode_cte()}
+SELECT g.doc_id, CAST({sqlgen.clc_expr(ix, iy)} AS DOUBLE) AS clc_value
+FROM geo g
+"""
+
+
+def _o_interp_bilinear() -> str:
+    gx = f"(g.lon - {d(XMIN)}) / {d(PIX_DX)} - CAST(0.5 AS DOUBLE)"
+    gy = f"({d(YMAX)} - g.lat) / {d(PIX_DY)} - CAST(0.5 AS DOUBLE)"
+    return f"""
+WITH {sqlgen.geocode_cte()},
+st AS (
+  SELECT doc_id, gx, gy,
+    CAST(LEAST(GREATEST(FLOOR(gx), 0), {RASTER_W - 2}) AS BIGINT) AS ix0,
+    CAST(LEAST(GREATEST(FLOOR(gy), 0), {RASTER_H - 2}) AS BIGINT) AS iy0
+  FROM (SELECT g.doc_id, {gx} AS gx, {gy} AS gy FROM geo g)
+),
+v AS (
+  SELECT doc_id, gx - CAST(ix0 AS DOUBLE) AS fx, gy - CAST(iy0 AS DOUBLE) AS fy,
+    CAST({sqlgen.elev_expr('ix0', 'iy0')} AS DOUBLE) AS v00,
+    CAST({sqlgen.elev_expr('(ix0 + 1)', 'iy0')} AS DOUBLE) AS v10,
+    CAST({sqlgen.elev_expr('ix0', '(iy0 + 1)')} AS DOUBLE) AS v01,
+    CAST({sqlgen.elev_expr('(ix0 + 1)', '(iy0 + 1)')} AS DOUBLE) AS v11
+  FROM st
+)
+SELECT doc_id,
+  v00 * (CAST(1.0 AS DOUBLE) - fx) * (CAST(1.0 AS DOUBLE) - fy)
+  + v10 * fx * (CAST(1.0 AS DOUBLE) - fy)
+  + v01 * (CAST(1.0 AS DOUBLE) - fx) * fy
+  + v11 * fx * fy AS elev_bilinear
+FROM v
+"""
+
+
+def _o_gradient_points() -> str:
+    ix, iy = sqlgen.raster_cell_exprs("g.lon", "g.lat")
+    return f"""
+WITH {sqlgen.geocode_cte()},
+st AS (
+  SELECT g.doc_id,
+    GREATEST({ix} - 1, 0) AS xm, LEAST({ix} + 1, {RASTER_W - 1}) AS xp,
+    GREATEST({iy} - 1, 0) AS ym, LEAST({iy} + 1, {RASTER_H - 1}) AS yp,
+    {ix} AS ix, {iy} AS iy
+  FROM geo g
+)
+SELECT doc_id,
+  (CAST({sqlgen.elev_expr('xp', 'iy')} AS DOUBLE) - CAST({sqlgen.elev_expr('xm', 'iy')} AS DOUBLE)) / {d(2.0 * PIX_DX)} AS dzdx,
+  (CAST({sqlgen.elev_expr('ix', 'ym')} AS DOUBLE) - CAST({sqlgen.elev_expr('ix', 'yp')} AS DOUBLE)) / {d(2.0 * PIX_DY)} AS dzdy
+FROM st
+"""
+
+
+def _zone_pixel_hits_sql(field_col: str) -> str:
+    """Shared CTE chain: pixel grid x zones -> PIP hits with field."""
+    cross = sqlgen.pip_crossings_expr("c.px", "c.py", "e.x1", "e.y1", "e.x2", "e.y2")
+    return f"""
+{sqlgen.pixel_grid_cte()},
+zedges(zone_id, x1, y1, x2, y2) AS (VALUES {fixtures.sql_zone_edges_values()}),
+zbox(zone_id, bxmin, bymin, bxmax, bymax) AS (
+  SELECT zone_id, MIN(LEAST(x1, x2)), MIN(LEAST(y1, y2)),
+         MAX(GREATEST(x1, x2)), MAX(GREATEST(y1, y2))
+  FROM zedges GROUP BY zone_id
+),
+cand AS (
+  SELECT p.ix, p.iy, p.px, p.py, p.{field_col} AS v, z.zone_id
+  FROM pix p JOIN zbox z
+    ON p.px >= z.bxmin AND p.px <= z.bxmax
+   AND p.py >= z.bymin AND p.py <= z.bymax
+),
+hits AS (
+  SELECT c.ix, c.iy, c.zone_id, ANY_VALUE(c.v) AS v
+  FROM cand c JOIN zedges e USING (zone_id)
+  GROUP BY c.ix, c.iy, c.zone_id, c.px, c.py
+  HAVING SUM({cross}) % 2 = 1
+)"""
+
+
+def _o_zonal_stats() -> str:
+    return f"""
+WITH {_zone_pixel_hits_sql('elev')}
+SELECT zone_id,
+  COUNT(*) AS n_pix,
+  CAST(SUM(v) AS DOUBLE) AS sum_v,
+  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v,
+  CAST(MIN(v) AS DOUBLE) AS min_v,
+  CAST(MAX(v) AS DOUBLE) AS max_v,
+  (CAST(SUM(v * v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) AS var_v
+FROM hits GROUP BY zone_id
+"""
+
+
+def _o_rasterize_zones() -> str:
+    return f"""
+WITH {_zone_pixel_hits_sql('elev')},
+zattr(zone_id, site_code, year, designate, bxmin, bymin, bxmax, bymax) AS (
+  VALUES {fixtures.sql_zone_attr_values()}
+),
+win AS (
+  SELECT ix, iy, MAX(zone_id) AS zone_id FROM hits GROUP BY ix, iy
+)
+SELECT CAST(a.year AS BIGINT) AS burn_value, COUNT(*) AS n_pixels
+FROM win w JOIN zattr a USING (zone_id)
+GROUP BY a.year
+"""
+
+
+def _o_region_mask_area() -> str:
+    cross = sqlgen.pip_crossings_expr("p.px", "p.py")
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+edges(x1, y1, x2, y2) AS (VALUES {fixtures.sql_region_edges_values()}),
+hits AS (
+  SELECT p.ix, p.iy
+  FROM pix p CROSS JOIN edges
+  GROUP BY p.ix, p.iy, p.px, p.py
+  HAVING SUM({cross}) % 2 = 1
+)
+SELECT COUNT(*) AS n_pix,
+  CAST(COUNT(*) AS DOUBLE) * {d(PIX_DX)} * {d(PIX_DY)} AS area
+FROM hits
+"""
+
+
+def _o_indicate_values() -> str:
+    from geokit_spark.operators.indicate import sql_classifier_expr
+
+    cls = sql_classifier_expr(INDICATE_DSL, "v")
+    return f"""
+WITH {_zone_pixel_hits_sql('clc')}
+SELECT zone_id,
+  COUNT(*) AS n_pix,
+  CAST(SUM(CASE WHEN {cls} THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+  CAST(SUM(CASE WHEN {cls} THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac
+FROM hits GROUP BY zone_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "geocode_cells": _o_geocode_cells(),
         "cell_counts": _o_cell_counts(),
         "pip_region": _o_pip_region(),
         "pip_zones_join": _o_pip_zones_join(),
+        "extract_values": _o_extract_values(),
+        "interp_bilinear": _o_interp_bilinear(),
+        "gradient_points": _o_gradient_points(),
+        "zonal_stats": _o_zonal_stats(),
+        "rasterize_zones": _o_rasterize_zones(),
+        "region_mask_area": _o_region_mask_area(),
+        "indicate_values": _o_indicate_values(),
     }

@@ -1,0 +1,152 @@
+"""Point -> raster lookup joins (reference extractValues /
+interpolateValues, /root/reference/geokit/core/raster.py:866-1303).
+
+The reference loops per-point ReadAsArray window reads
+(raster.py:1062-1101); here each stencil corner is one row in a
+broadcast equi-join against the tile table, and the gather is
+F.element_at on the tile's data array — fully JVM-side, zero Python
+in the hot path. At scale the tile table is the broadcast side
+(bounded by the raster extent); the points side never shuffles until
+the per-point pivot (a groupBy on doc_id, map-side combinable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import (
+    PIX_DX,
+    PIX_DY,
+    RASTER_H,
+    RASTER_W,
+    TILE_SIZE,
+    XMIN,
+    YMAX,
+)
+
+
+def pixel_index_cols(lon, lat):
+    """Point -> integer pixel index (y-at-top); out-of-bounds -> null
+    (reference rasterCellNo raster.py:2652-2665, oob handling
+    raster.py:1115-1118)."""
+    ix = F.floor((lon - F.lit(XMIN)) / F.lit(PIX_DX)).cast("long")
+    iy = F.floor((F.lit(YMAX) - lat) / F.lit(PIX_DY)).cast("long")
+    oob = (ix < 0) | (ix >= RASTER_W) | (iy < 0) | (iy >= RASTER_H)
+    return (
+        F.when(oob, F.lit(None)).otherwise(ix),
+        F.when(oob, F.lit(None)).otherwise(iy),
+    )
+
+
+def _tile_cols(ix, iy):
+    tx = F.floor(ix / F.lit(TILE_SIZE)).cast("int")
+    ty = F.floor(iy / F.lit(TILE_SIZE)).cast("int")
+    off = ((iy % TILE_SIZE) * TILE_SIZE + (ix % TILE_SIZE) + 1).cast("int")
+    return tx, ty, off
+
+
+def extract_values(points: DataFrame, tiles: DataFrame, value_name: str = "value") -> DataFrame:
+    """Nearest-pixel value at each point ('near' mode). points needs
+    (doc_id, lon, lat); returns (doc_id, <value_name>), null if oob."""
+    ix, iy = pixel_index_cols(F.col("lon"), F.col("lat"))
+    pts = points.withColumn("ix", ix).withColumn("iy", iy)
+    tx, ty, off = _tile_cols(F.col("ix"), F.col("iy"))
+    pts = pts.withColumn("tile_x", tx).withColumn("tile_y", ty).withColumn("off", off)
+    j = pts.join(F.broadcast(tiles), ["tile_x", "tile_y"], "left")
+    return j.select(
+        "doc_id", F.element_at("data", F.col("off")).alias(value_name)
+    )
+
+
+def _stencil_join(points: DataFrame, tiles: DataFrame, corners) -> DataFrame:
+    """Explode per-point stencil corners -> tile join -> gather -> pivot
+    back to one row per point with one column per corner value.
+
+    corners: list of (name, dx_col_fn) producing (ix, iy) per corner
+    from the base columns already on `points`.
+    """
+    dfs = None
+    pts = points
+    corner_rows = []
+    for name, (ix_c, iy_c) in corners.items():
+        corner_rows.append(
+            F.struct(
+                F.lit(name).alias("corner"), ix_c.alias("cix"), iy_c.alias("ciy")
+            )
+        )
+    exploded = pts.withColumn("c", F.explode(F.array(*corner_rows))).select(
+        "*", F.col("c.corner").alias("corner"), F.col("c.cix").alias("cix"),
+        F.col("c.ciy").alias("ciy"),
+    ).drop("c")
+    tx, ty, off = _tile_cols(F.col("cix"), F.col("ciy"))
+    exploded = (
+        exploded.withColumn("tile_x", tx)
+        .withColumn("tile_y", ty)
+        .withColumn("off", off)
+        .join(F.broadcast(tiles), ["tile_x", "tile_y"], "left")
+        .withColumn("val", F.element_at("data", F.col("off")))
+    )
+    agg = [
+        F.max(F.when(F.col("corner") == name, F.col("val"))).alias(f"v_{name}")
+        for name in corners
+    ]
+    return exploded.groupBy("doc_id").agg(*agg)
+
+
+def interpolate_bilinear(points: DataFrame, tiles: DataFrame) -> DataFrame:
+    """Bilinear interpolation at each point (reference
+    interpolateValues mode='linear-spline' window-2 analog,
+    raster.py:1241-1297). Border handling: the 2x2 stencil origin is
+    clamped to the grid, matching the oracle exactly."""
+    gx = (F.col("lon") - F.lit(XMIN)) / F.lit(PIX_DX) - F.lit(0.5)
+    gy = (F.lit(YMAX) - F.col("lat")) / F.lit(PIX_DY) - F.lit(0.5)
+    ix0 = F.least(F.greatest(F.floor(gx), F.lit(0)), F.lit(RASTER_W - 2)).cast("long")
+    iy0 = F.least(F.greatest(F.floor(gy), F.lit(0)), F.lit(RASTER_H - 2)).cast("long")
+    pts = (
+        points.withColumn("fx", gx - ix0)
+        .withColumn("fy", gy - iy0)
+        .withColumn("ix0", ix0)
+        .withColumn("iy0", iy0)
+    )
+    corners = {
+        "00": (F.col("ix0"), F.col("iy0")),
+        "10": (F.col("ix0") + 1, F.col("iy0")),
+        "01": (F.col("ix0"), F.col("iy0") + 1),
+        "11": (F.col("ix0") + 1, F.col("iy0") + 1),
+    }
+    vals = _stencil_join(pts.select("doc_id", "fx", "fy", "ix0", "iy0"), tiles, corners)
+    out = pts.select("doc_id", "fx", "fy").join(vals, "doc_id")
+    one = F.lit(1.0)
+    interp = (
+        F.col("v_00") * (one - F.col("fx")) * (one - F.col("fy"))
+        + F.col("v_10") * F.col("fx") * (one - F.col("fy"))
+        + F.col("v_01") * (one - F.col("fx")) * F.col("fy")
+        + F.col("v_11") * F.col("fx") * F.col("fy")
+    )
+    return out.select("doc_id", interp.alias("elev_bilinear"))
+
+
+def gradient_at_points(points: DataFrame, tiles: DataFrame) -> DataFrame:
+    """Central-difference gradient at each point's pixel (reference
+    gradient, raster.py:640-753; stencil :724-740). Neighbor indices
+    clamp at raster borders (one-sided difference there would change
+    the divisor; the reference pads edges — we clamp, documented and
+    mirrored in the oracle)."""
+    ix, iy = pixel_index_cols(F.col("lon"), F.col("lat"))
+    pts = points.withColumn("ix", ix).withColumn("iy", iy)
+    xm = F.greatest(F.col("ix") - 1, F.lit(0))
+    xp = F.least(F.col("ix") + 1, F.lit(RASTER_W - 1))
+    ym = F.greatest(F.col("iy") - 1, F.lit(0))
+    yp = F.least(F.col("iy") + 1, F.lit(RASTER_H - 1))
+    corners = {
+        "xm": (xm, F.col("iy")),
+        "xp": (xp, F.col("iy")),
+        "ym": (F.col("ix"), ym),
+        "yp": (F.col("ix"), yp),
+    }
+    vals = _stencil_join(pts.select("doc_id", "ix", "iy"), tiles, corners)
+    dzdx = (F.col("v_xp") - F.col("v_xm")) / F.lit(2.0 * PIX_DX)
+    # y-at-top: increasing iy = decreasing latitude
+    dzdy = (F.col("v_ym") - F.col("v_yp")) / F.lit(2.0 * PIX_DY)
+    return vals.select("doc_id", dzdx.alias("dzdx"), dzdy.alias("dzdy"))

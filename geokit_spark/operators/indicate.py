@@ -1,0 +1,103 @@
+"""indicateValues: value-set DSL classification + zonal membership
+(the reference's flagship GLAES pipeline, regionmask.py:768-1289).
+
+The DSL is re-implemented with the reference's exact grammar
+(regionmask.py:1006-1062): comma-separated elements, each a scalar
+("12") or a range "[low-high)" with inclusive [ ] / exclusive ( )
+brackets and optional open ends ("[20-]").
+
+Pipeline: classify tiles (numpy boolean ops, compiled once and
+broadcast) -> zonal partial/final fraction per zone = the fractional
+membership the reference computes via warp-average resampling
+(regionmask.py:1074-1092) — here an exact partial/final agg.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .zonal import zonal_partials
+
+_VALUE_RE = re.compile(
+    r"(?P<range>(?P<open>[\[\(])(?P<low>[-+]?(\d*\.\d+|\d+\.?))?-"
+    r"(?P<high>[-+]?(\d*\.\d+|\d+\.?))?(?P<close>[\]\)]))"
+    r"|(?P<value>[-+]?(\d*\.\d+|\d+\.?))"
+)
+
+
+def parse_value_dsl(value: str):
+    """DSL string -> list of (low, high, low_incl, high_incl) with None
+    for open ends; scalars become (v, v, True, True)."""
+    out = []
+    for element in value.split(","):
+        element = element.replace(" ", "")
+        if element == "":
+            continue
+        m = _VALUE_RE.match(element)
+        if m is None or (m["value"] is None and m["range"] is None):
+            raise ValueError(f'element "{element}" does not match the DSL')
+        if m["value"] is not None:
+            v = float(m["value"])
+            out.append((v, v, True, True))
+        else:
+            low = float(m["low"]) if m["low"] is not None else None
+            high = float(m["high"]) if m["high"] is not None else None
+            out.append((low, high, m["open"] == "[", m["close"] == "]"))
+    return out
+
+
+def compile_classifier(value: str):
+    """DSL -> numpy boolean classifier (compiled once per query,
+    shipped to executors inside the pandas UDF closure)."""
+    terms = parse_value_dsl(value)
+
+    def classify(data: np.ndarray) -> np.ndarray:
+        out = np.zeros(data.shape, dtype=bool)
+        for low, high, li, hi in terms:
+            sel = np.ones(data.shape, dtype=bool)
+            if low is not None:
+                sel &= (data >= low) if li else (data > low)
+            if high is not None:
+                sel &= (data <= high) if hi else (data < high)
+            out |= sel
+        return out
+
+    return classify
+
+
+def sql_classifier_expr(value: str, col: str) -> str:
+    """Same DSL as a SQL boolean expression (for the DuckDB oracle)."""
+    terms = parse_value_dsl(value)
+    parts = []
+    for low, high, li, hi in terms:
+        conds = []
+        if low is not None:
+            conds.append(f"{col} {'>=' if li else '>'} {low!r}")
+        if high is not None:
+            conds.append(f"{col} {'<=' if hi else '<'} {high!r}")
+        parts.append("(" + " AND ".join(conds or ["TRUE"]) + ")")
+    return " OR ".join(parts)
+
+
+def indicate_values(tiles: DataFrame, value: str, zones=None) -> DataFrame:
+    """Per-zone fractional membership of DSL-matching pixels:
+    (zone_id, n_pix, n_match, frac)."""
+    classify = compile_classifier(value)
+
+    def transform(data: np.ndarray) -> np.ndarray:
+        return classify(data).astype(np.float64)
+
+    p = zonal_partials(tiles, zones=zones, transform=transform)
+    agg = p.groupBy("zone_id").agg(
+        F.sum("n").alias("n_pix"), F.sum("s").alias("_match")
+    )
+    return agg.select(
+        "zone_id",
+        "n_pix",
+        F.col("_match").cast("long").alias("n_match"),
+        (F.col("_match") / F.col("n_pix").cast("double")).alias("frac"),
+    )

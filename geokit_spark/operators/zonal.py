@@ -1,0 +1,111 @@
+"""Zonal statistics as partial/final aggregation over tiles.
+
+Physical shape (the reference's rasterStats + RegionMask workflow,
+/root/reference/geokit/core/raster.py:586-635, regionmask.py:768-1289,
+re-expressed as Spark's two-stage agg):
+
+  tiles ──mapInPandas──► per-(tile, zone) PARTIAL sums
+        ──groupBy(zone)──► FINAL sums → mean/var by exact arithmetic
+
+The pandas stage tests each tile's pixel-center coordinate arrays
+against the (broadcast) zone polygons with the same vectorized
+ray-casting kernel as the point joins. Partial sums are integers
+(fields are integer-valued), so the final sums are exact and
+order-independent — aggregation results are reproducible bit-for-bit
+regardless of partitioning, which is what makes the oracle comparison
+(and resume idempotence) possible at any cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import fixtures
+from ..constants import PIX_DX, PIX_DY, TILE_SIZE, XMIN, YMAX
+from ..kernels.pip import points_in_poly
+from ..kernels.raster_fields import pixel_center
+from ..sources.tiles import tile_pixel_indices
+
+_PARTIAL_SCHEMA = (
+    "zone_id int, n long, s double, s2 double, vmin double, vmax double"
+)
+
+
+def _tile_bbox(tx: int, ty: int):
+    x0 = XMIN + tx * TILE_SIZE * PIX_DX
+    x1 = XMIN + (tx + 1) * TILE_SIZE * PIX_DX
+    y1 = YMAX - ty * TILE_SIZE * PIX_DY
+    y0 = YMAX - (ty + 1) * TILE_SIZE * PIX_DY
+    return x0, y0, x1, y1
+
+
+def zonal_partials(tiles: DataFrame, zones=None, transform=None) -> DataFrame:
+    """Per-(tile, zone) partial aggregates. `transform` optionally maps
+    the tile's value array (e.g. a DSL indicator) before aggregation."""
+    zones = zones if zones is not None else fixtures.ZONES
+    zlist = [
+        (z["zone_id"], z["verts"], fixtures.poly_bbox(z["verts"])) for z in zones
+    ]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                bx0, by0, bx1, by1 = _tile_bbox(tx, ty)
+                data = np.asarray(r.data, dtype=np.float64)
+                if transform is not None:
+                    data = transform(data)
+                gx, gy = tile_pixel_indices(tx, ty)
+                px, py = pixel_center(gx, gy)
+                for zid, verts, (zx0, zy0, zx1, zy1) in zlist:
+                    if zx1 < bx0 or zx0 > bx1 or zy1 < by0 or zy0 > by1:
+                        continue
+                    m = points_in_poly(px, py, verts)
+                    n = int(m.sum())
+                    if n == 0:
+                        continue
+                    v = data[m]
+                    rows.append(
+                        (zid, n, float(v.sum()), float((v * v).sum()),
+                         float(v.min()), float(v.max()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["zone_id", "n", "s", "s2", "vmin", "vmax"]
+            )
+
+    return tiles.mapInPandas(fn, schema=_PARTIAL_SCHEMA)
+
+
+def zonal_stats(tiles: DataFrame, zones=None) -> DataFrame:
+    """Final zonal statistics per zone: count / sum / mean / min / max /
+    population variance — all derived from exact integer sums."""
+    p = zonal_partials(tiles, zones)
+    agg = p.groupBy("zone_id").agg(
+        F.sum("n").alias("n_pix"),
+        F.sum("s").alias("sum_v"),
+        F.sum("s2").alias("_s2"),
+        F.min("vmin").alias("min_v"),
+        F.max("vmax").alias("max_v"),
+    )
+    n = F.col("n_pix").cast("double")
+    mean = F.col("sum_v") / n
+    var = (F.col("_s2") - F.col("sum_v") * F.col("sum_v") / n) / n
+    return agg.select(
+        "zone_id", "n_pix", "sum_v", mean.alias("mean_v"),
+        "min_v", "max_v", var.alias("var_v"),
+    )
+
+
+def region_mask_stats(tiles: DataFrame) -> DataFrame:
+    """RegionMask.area analog (regionmask.py:535-536): pixel count of
+    the rasterized region mask and its geographic area."""
+    region_zone = [{"zone_id": 0, "verts": fixtures.REGION_VERTS}]
+    p = zonal_partials(tiles, zones=region_zone)
+    return p.groupBy("zone_id").agg(F.sum("n").alias("n_pix")).select(
+        F.col("n_pix"),
+        (F.col("n_pix").cast("double") * F.lit(PIX_DX) * F.lit(PIX_DY)).alias("area"),
+    )
