@@ -134,6 +134,17 @@ def q_indicate_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via cell-ring expansion (north rule; SURVEY.md §2.3 kNN row)."""
+    from geokit_spark.functions.geo import grid_cell_id
+    from geokit_spark.operators.knn import knn
+
+    pts = _geo_docs(spark, sf_dir).withColumn(
+        "cell_id", grid_cell_id(F.col("lon"), F.col("lat"))
+    )
+    return knn(spark, pts, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: count geocoded pages per zone at sf0.001."""
     return q_pip_zones_join(spark, "/root/testdata/sf0.001")
@@ -152,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_zones": q_rasterize_zones,
         "region_mask_area": q_region_mask_area,
         "indicate_values": q_indicate_values,
+        "knn": q_knn,
     }
 
 
@@ -362,6 +374,25 @@ FROM hits GROUP BY zone_id
 """
 
 
+def _o_knn() -> str:
+    return f"""
+WITH {sqlgen.geocode_cte()},
+qpts(query_id, word, qlon, qlat) AS (VALUES {fixtures.sql_points_values()}),
+dists AS (
+  SELECT p.query_id, g.doc_id,
+    (g.lon - p.qlon) * (g.lon - p.qlon) + (g.lat - p.qlat) * (g.lat - p.qlat) AS dist2
+  FROM geo g CROSS JOIN qpts p
+),
+ranked AS (
+  SELECT query_id, doc_id, dist2,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, doc_id) AS rank
+  FROM dists
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, dist2
+FROM ranked WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "geocode_cells": _o_geocode_cells(),
@@ -375,4 +406,5 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_zones": _o_rasterize_zones(),
         "region_mask_area": _o_region_mask_area(),
         "indicate_values": _o_indicate_values(),
+        "knn": _o_knn(),
     }

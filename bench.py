@@ -1,0 +1,136 @@
+"""Headline benchmark suite.
+
+Times the engine's flagship stages at scale: the driver's sf tables
+hold only O(10^3) documents, so the spatial stages run over
+GEOKIT_BENCH_DOCS synthetic pages generated distributively with
+spark.range + the same closed-form geocoder (deterministic, no
+external data) — the pipeline under test is identical to the
+driver-checked queries, just wider.
+
+Prints ONE JSON line:
+  {"metric": "headline_suite_wall_sec", "value": <total sec>,
+   "unit": "sec", "queries": {name: sec}, "sf": <sf>, ...extras}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     GEOKIT_BENCH_DOCS (default 2_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geokit_spark.functions.geo import (  # noqa: E402
+    cell_cols,
+    grid_cell_id,
+    with_geocode,
+)
+from geokit_spark.operators import spatial_join, zonal  # noqa: E402
+from geokit_spark.operators.knn import knn  # noqa: E402
+from geokit_spark.operators import extract_values as ev  # noqa: E402
+from geokit_spark.session import get_spark  # noqa: E402
+from geokit_spark.sources import tiles as tilesrc  # noqa: E402
+
+
+def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
+    """Returns {name: (seconds, rows_processed)}."""
+    pages = spark.range(n_docs).withColumnRenamed("id", "doc_id").repartition(
+        max(2 * cpus, 16)
+    )
+    pages = with_geocode(pages).withColumn(
+        "cell_id", grid_cell_id(F.col("lon"), F.col("lat"))
+    )
+    pages.cache().count()  # materialize once; time the operators, not the generator
+    clc = tilesrc.raster_table(spark, "clc").cache()
+    elev = tilesrc.raster_table(spark, "elev").cache()
+    clc.count(), elev.count()
+
+    results = {}
+
+    def timed(name, fn, rows):
+        t0 = time.perf_counter()
+        fn()
+        results[name] = (time.perf_counter() - t0, rows)
+
+    cx, cy = cell_cols(F.col("lon"), F.col("lat"))
+    timed(
+        "tiling_cell_counts",
+        lambda: pages.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n"), F.count("*"))
+        .collect(),
+        n_docs,
+    )
+    timed(
+        "pip_region_semi_join",
+        lambda: spatial_join.docs_in_region(spark, pages.select("doc_id")).count(),
+        n_docs,
+    )
+    timed(
+        "pip_zones_join",
+        lambda: spatial_join.docs_join_zones(spark, pages.select("doc_id"))
+        .groupBy("zone_id")
+        .count()
+        .collect(),
+        n_docs,
+    )
+    timed(
+        "extract_values",
+        lambda: ev.extract_values(pages, clc, "v").agg(F.sum("v")).collect(),
+        n_docs,
+    )
+    timed(
+        "knn_ring",
+        lambda: knn(spark, pages, k=5).collect(),
+        n_docs,
+    )
+    timed(
+        "zonal_stats",
+        lambda: zonal.zonal_stats(elev).collect(),
+        512 * 512,
+    )
+    return results
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "2000000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    results = bench_queries(spark, sf_dir, n_docs, cpus)
+    queries = {k: round(v[0], 3) for k, v in results.items()}
+    total = round(sum(v[0] for v in results.values()), 3)
+    doc_stages = [
+        "tiling_cell_counts", "pip_region_semi_join", "pip_zones_join",
+        "extract_values", "knn_ring",
+    ]
+    docs_per_sec = {
+        k: int(results[k][1] / results[k][0]) for k in doc_stages
+    }
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_docs": n_docs,
+        "cpus": cpus,
+        "docs_per_sec": docs_per_sec,
+        "tiles_per_sec": int(results["zonal_stats"][1] / results["zonal_stats"][0]),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,13 @@ def covering_cells(verts, pad: int = 0) -> list[tuple[int, int]]:
     return [(cx, cy) for cx in range(cx0, cx1 + 1) for cy in range(cy0, cy1 + 1)]
 
 
+def _dl(x: float) -> str:
+    """Exact DOUBLE literal. Plain decimal literals parse as DECIMAL in
+    DuckDB (exact decimal arithmetic diverges from IEEE doubles), so
+    every coordinate literal must be cast."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
 def sql_zone_edges_values() -> str:
     """DuckDB VALUES literal: one row per directed zone edge
     (zone_id, x1, y1, x2, y2) — the oracle's ray-casting input."""
@@ -151,7 +158,9 @@ def sql_zone_edges_values() -> str:
         for i in range(len(v)):
             x1, y1 = v[i]
             x2, y2 = v[(i + 1) % len(v)]
-            rows.append(f"({z['zone_id']},{x1!r},{y1!r},{x2!r},{y2!r})")
+            rows.append(
+                f"({z['zone_id']},{_dl(x1)},{_dl(y1)},{_dl(x2)},{_dl(y2)})"
+            )
     return ",".join(rows)
 
 
@@ -163,7 +172,7 @@ def sql_zone_attr_values() -> str:
         b = poly_bbox(z["verts"])
         rows.append(
             f"({z['zone_id']},'{z['site_code']}',{z['year']},"
-            f"'{z['designate']}',{b[0]!r},{b[1]!r},{b[2]!r},{b[3]!r})"
+            f"'{z['designate']}',{_dl(b[0])},{_dl(b[1])},{_dl(b[2])},{_dl(b[3])})"
         )
     return ",".join(rows)
 
@@ -174,11 +183,12 @@ def sql_region_edges_values() -> str:
     for i in range(len(v)):
         x1, y1 = v[i]
         x2, y2 = v[(i + 1) % len(v)]
-        rows.append(f"({x1!r},{y1!r},{x2!r},{y2!r})")
+        rows.append(f"({_dl(x1)},{_dl(y1)},{_dl(x2)},{_dl(y2)})")
     return ",".join(rows)
 
 
 def sql_points_values() -> str:
     return ",".join(
-        f"({p['id']},'{p['word']}',{p['lon']!r},{p['lat']!r})" for p in POINTS
+        f"({p['id']},'{p['word']}',{_dl(p['lon'])},{_dl(p['lat'])})"
+        for p in POINTS
     )

@@ -1,0 +1,122 @@
+"""kNN via cell-ring expansion (north rule; absent in the reference —
+SURVEY.md §2.3 maps it to iterative ring joins + window top-k).
+
+Algorithm (distributed; the driver only steers ring radii):
+
+1. For each query point, enumerate grid cells within Chebyshev ring
+   radius r of its cell (driver-side numpy over the tiny query set,
+   broadcast as a (query_id, cell_id) candidate map).
+2. Equijoin docs.cell_id against the candidate map (broadcast hash
+   join — the big side never shuffles), compute exact squared
+   distance, count candidates per query.
+3. If any query has < k candidates, grow r (doubling) and repeat.
+4. Correctness radius: the kth-nearest candidate at ring r is only
+   guaranteed correct if its distance <= r * min(cell_w, cell_h)
+   (a nearer point could hide in ring r+1 otherwise). Expand to the
+   radius implied by the kth distance, re-join once, then take the
+   final window top-k ordered by (dist2, doc_id).
+
+The final top-k is row_number() over (query_id ORDER BY dist2,
+doc_id) — deterministic under ties. With skewed docs the per-query
+candidate sets stay bounded by ring size, so the shuffle in the
+window stage is tiny regardless of the hot-spot cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import fixtures
+from ..constants import GRID_N, XSPAN, YSPAN
+
+CELL_W = XSPAN / GRID_N
+CELL_H = YSPAN / GRID_N
+_MIN_SPAN = min(CELL_W, CELL_H)
+
+
+def _query_cells(queries) -> dict[int, tuple[int, int]]:
+    """query_id -> (cx, cy) grid cell (same floor math as the engine)."""
+    from ..constants import GRID_INV_X, GRID_INV_Y, XMIN, YMIN
+
+    out = {}
+    for q in queries:
+        cx = min(max(int(np.floor((q["lon"] - XMIN) * GRID_INV_X)), 0), GRID_N - 1)
+        cy = min(max(int(np.floor((q["lat"] - YMIN) * GRID_INV_Y)), 0), GRID_N - 1)
+        out[q["id"]] = (cx, cy)
+    return out
+
+
+def _ring_candidates(spark: SparkSession, queries, radii: dict[int, int]) -> DataFrame:
+    """(query_id, cell_id) pairs for all cells within each query's ring."""
+    qcells = _query_cells(queries)
+    rows = []
+    for qid, r in radii.items():
+        cx, cy = qcells[qid]
+        for x in range(max(0, cx - r), min(GRID_N, cx + r + 1)):
+            for y in range(max(0, cy - r), min(GRID_N, cy + r + 1)):
+                rows.append((qid, x * GRID_N + y))
+    return spark.createDataFrame(rows, "query_id int, cell_id long")
+
+
+def knn(
+    spark: SparkSession,
+    docs_pts: DataFrame,
+    queries=None,
+    k: int = 5,
+    start_radius: int = 1,
+    max_radius: int = GRID_N,
+) -> DataFrame:
+    """docs_pts: DataFrame with (doc_id, lon, lat, cell_id).
+    queries: [{'id', 'lon', 'lat'}, ...] (defaults to the fixture
+    points). Returns (query_id, rank, doc_id, dist2)."""
+    queries = queries if queries is not None else fixtures.POINTS
+    qdf_rows = [(q["id"], q["lon"], q["lat"]) for q in queries]
+    qdf = spark.createDataFrame(qdf_rows, "query_id int, qlon double, qlat double")
+
+    radii = {q["id"]: start_radius for q in queries}
+    docs_pts = docs_pts.select("doc_id", "lon", "lat", "cell_id")
+
+    def candidates(radii_now) -> DataFrame:
+        cand = _ring_candidates(spark, queries, radii_now)
+        j = docs_pts.join(F.broadcast(cand), "cell_id").join(
+            F.broadcast(qdf), "query_id"
+        )
+        dx = F.col("lon") - F.col("qlon")
+        dy = F.col("lat") - F.col("qlat")
+        return j.withColumn("dist2", dx * dx + dy * dy)
+
+    # phase 1: grow rings until every query has >= k candidates
+    for _ in range(32):
+        c = candidates(radii)
+        counts = {
+            r["query_id"]: r["n"]
+            for r in c.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        lacking = [q["id"] for q in queries if counts.get(q["id"], 0) < k]
+        if not lacking:
+            break
+        for qid in lacking:
+            radii[qid] = min(max_radius, radii[qid] * 2)
+        if all(radii[qid] >= max_radius for qid in lacking):
+            break
+
+    # phase 2: expand each ring to the radius guaranteed by its kth distance
+    w = Window.partitionBy("query_id").orderBy("dist2", "doc_id")
+    kth = (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == k)
+        .select("query_id", F.sqrt("dist2").alias("kth_dist"))
+        .collect()
+    )
+    for r in kth:
+        need = int(np.ceil(r["kth_dist"] / _MIN_SPAN)) + 1
+        radii[r["query_id"]] = min(max_radius, max(radii[r["query_id"]], need))
+
+    final = candidates(radii)
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "dist2")
+    )
