@@ -145,6 +145,63 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn(spark, pts, k=5)
 
 
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis stage: token count, stopword count, quality score,
+    lang-ID heuristic, md5 fingerprint (training-pipeline graft)."""
+    from geokit_spark.functions.text import with_text_features
+
+    return with_text_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_stop", "quality", "lang_guess", "fp"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash."""
+    from geokit_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard >= 0.6 over blocked candidates."""
+    from geokit_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (band bucket join + exact verify)."""
+    from geokit_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit simhash sketch."""
+    from geokit_spark.operators.dedup import simhash_docs
+
+    return simhash_docs(_docs(spark, sf_dir))
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors over the embeddings table."""
+    from geokit_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only check; recall vs the
+    exact baseline is pytest-verified in tests/test_similarity.py)."""
+    from geokit_spark.operators.similarity import ann_topk
+
+    return ann_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5, probe_bits=1
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: count geocoded pages per zone at sf0.001."""
     return q_pip_zones_join(spark, "/root/testdata/sf0.001")
@@ -164,6 +221,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_mask_area": q_region_mask_area,
         "indicate_values": q_indicate_values,
         "knn": q_knn,
+        "text_features": q_text_features,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embed_topk": q_embed_topk,
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -393,6 +457,93 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _o_text_features() -> str:
+    from geokit_spark.oracle import textsql as ts
+
+    return f"""
+SELECT doc_id,
+  CAST({ts.token_count()} AS INT) AS n_tokens,
+  CAST({ts.stop_count()} AS INT) AS n_stop,
+  {ts.quality_expr()} AS quality,
+  {ts.lang_guess_expr()} AS lang_guess,
+  {ts.fingerprint_expr()} AS fp
+FROM documents
+"""
+
+
+def _o_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS text_md5, COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _o_ngram_jaccard() -> str:
+    from geokit_spark.oracle import textsql as ts
+
+    return f"""
+WITH {ts.shingles_cte()}, {ts.candidate_pairs_sql()}
+SELECT id_a, id_b, {ts.jaccard_expr()} AS jac
+FROM cand
+WHERE {ts.jaccard_expr()} >= CAST(0.6 AS DOUBLE)
+"""
+
+
+def _o_minhash_lsh() -> str:
+    from geokit_spark.oracle import textsql as ts
+
+    mh = ",\n    ".join(ts.minhash_cols())
+    return f"""
+WITH {ts.shingles_cte()},
+sig AS (SELECT doc_id, s, {mh} FROM sh),
+bands AS ({ts.band_keys_union('sig')}),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+withsh AS (
+  SELECT c.id_a, c.id_b, sa.s AS sh_a, sb.s AS sh_b
+  FROM cpairs c JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, {ts.jaccard_expr()} AS jac
+FROM withsh WHERE {ts.jaccard_expr()} >= CAST(0.6 AS DOUBLE)
+"""
+
+
+def _o_simhash() -> str:
+    from geokit_spark.oracle import textsql as ts
+
+    return f"""
+WITH {ts.shingles_cte()}
+SELECT doc_id, {ts.simhash_expr('s')} AS simhash FROM sh
+"""
+
+
+def _o_embed_topk() -> str:
+    from geokit_spark.oracle import textsql as ts
+
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding, {ts.norm_expr('embedding')} AS nrm FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    {ts.dot_expr('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS sim
+  FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id
+FROM ranked WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "geocode_cells": _o_geocode_cells(),
@@ -407,4 +558,11 @@ def oracle_sql() -> dict[str, str]:
         "region_mask_area": _o_region_mask_area(),
         "indicate_values": _o_indicate_values(),
         "knn": _o_knn(),
+        "text_features": _o_text_features(),
+        "dedup_exact": _o_dedup_exact(),
+        "ngram_jaccard": _o_ngram_jaccard(),
+        "minhash_lsh": _o_minhash_lsh(),
+        "simhash": _o_simhash(),
+        "embed_topk": _o_embed_topk(),
+        # ann_topk: approximate -> rows-only check (recall pytest-verified)
     }

@@ -1,0 +1,206 @@
+"""Deduplication operators for the training-data pipeline.
+
+All hot paths are built-in array/lambda functions (JVM) — shingling,
+minhash, simhash and Jaccard run without Python. The LSH band join is
+a plain equijoin on band keys, so at 100 TB it shuffles only
+(doc_id, band_key) pairs and AQE splits skewed buckets.
+
+* exact        — group by content hash, canonical = min doc_id
+* ngram-jaccard— 3-char shingle sets, candidate pairs bounded by
+                 (lang, length band), exact Jaccard refine
+* minhash LSH  — NUM_HASHES permutation-free minhash over shingle
+                 codes, banded into NUM_BANDS buckets, bucket equijoin
+                 -> candidates -> exact Jaccard verify
+* simhash      — SIM_BITS-bit sign-of-sum sketch over shingle codes,
+                 hamming distance on candidate pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# minhash parameters (shared with the SQL oracle)
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+MH_PRIME = 2147483647  # 2^31 - 1
+# deterministic odd multipliers / offsets (LCG-derived, fixed)
+MH_A = [2 * ((1103515245 * (i + 1) + 12345) % 1048576) + 1 for i in range(NUM_HASHES)]
+MH_B = [(69069 * (i + 1) + 1) % MH_PRIME for i in range(NUM_HASHES)]
+
+SIM_BITS = 16
+SHINGLE_K = 3
+
+LEN_BAND = 30  # candidate pairs must be within this n_chars distance
+
+
+def shingle_codes_expr(text_col: str) -> F.Column:
+    """Distinct 3-char shingle integer codes:
+    code = ascii(c0)*65536 + ascii(c1)*256 + ascii(c2).
+    Pure built-ins (JVM); identical closed form in the SQL oracle."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - 2, 1)),"
+        f" i -> ascii(substring({text_col}, i, 1)) * 65536"
+        f" + ascii(substring({text_col}, i + 1, 1)) * 256"
+        f" + ascii(substring({text_col}, i + 2, 1))))"
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(text_md5, n_docs, canonical_doc_id) per distinct content."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("sh", shingle_codes_expr("text"))
+
+
+def candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Blocked candidate pairs: same lang, n_chars within LEN_BAND.
+    Blocking bounds the quadratic term; at scale the length band is a
+    range-join on bucketed length (here: band bucket equijoin on
+    floor(n_chars / LEN_BAND) and its neighbor)."""
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("len_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("len_b"),
+    )
+    return a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= LEN_BAND),
+    ).select("id_a", "id_b")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """(id_a, id_b, jac) for candidate pairs with Jaccard >= threshold
+    over distinct 3-char shingles. jac = |A∩B| / |A∪B| in exact
+    integer-count arithmetic."""
+    sh = _with_shingles(docs).select("doc_id", "sh")
+    pairs = candidate_pairs(docs)
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.withColumn("jac", inter / union)
+        .filter(F.col("jac") >= F.lit(threshold))
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def minhash_signature_cols(sh_col: str = "sh") -> list[F.Column]:
+    """NUM_HASHES minhash values: min over shingles of (a*code + b) % P."""
+    return [
+        F.expr(
+            f"array_min(transform({sh_col}, "
+            f"c -> ({MH_A[i]} * CAST(c AS BIGINT) + {MH_B[i]}) % {MH_PRIME}))"
+        ).alias(f"mh_{i}")
+        for i in range(NUM_HASHES)
+    ]
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): band_key concatenates the band's
+    minhash values — the LSH bucket id."""
+    sig = _with_shingles(docs).select("doc_id", *minhash_signature_cols())
+    bands = []
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        key = F.concat_ws("_", *[c.cast("string") for c in cols])
+        bands.append(
+            sig.select(
+                "doc_id", F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    out = bands[0]
+    for df in bands[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LSH candidate pairs (share >= 1 band bucket) verified by exact
+    shingle Jaccard >= threshold. Returns (id_a, id_b, jac)."""
+    bands = minhash_bands(docs)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = _with_shingles(docs).select("doc_id", "sh")
+    j = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.withColumn("jac", inter / union)
+        .filter(F.col("jac") >= F.lit(threshold))
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def simhash_col(sh_col: str = "sh") -> F.Column:
+    """SIM_BITS-bit simhash: bit b set iff sum over shingle codes of
+    (2*bit_b(h(c)) - 1) > 0, with h(c) = (a0*c + b0) % P."""
+    a0, b0 = MH_A[0], MH_B[0]
+    terms = []
+    for b in range(SIM_BITS):
+        s = F.expr(
+            f"aggregate(transform({sh_col}, "
+            f"c -> 2 * (((({a0} * CAST(c AS BIGINT) + {b0}) % {MH_PRIME}) div {1 << b}) % 2) - 1), "
+            f"0L, (acc, x) -> acc + x)"
+        )
+        terms.append(F.when(s > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    return _with_shingles(docs).select(
+        "doc_id", simhash_col().alias("simhash")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """(id_a, id_b, hamming) for candidate pairs within max_hamming on
+    the simhash sketch (candidates blocked like ngram_jaccard)."""
+    sh = simhash_docs(docs)
+    pairs = candidate_pairs(docs)
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "h_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "h_b"), "id_b")
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        j.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

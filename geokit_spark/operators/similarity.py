@@ -1,0 +1,139 @@
+"""Similarity search over the embeddings table.
+
+* brute-force cosine top-k — the exactness baseline; dot products via
+  zip_with + aggregate (left fold, JVM) in float64 so the summation
+  order is defined (and mirrored by the oracle's list_reduce).
+* LSH-bucketed ANN — random-hyperplane signatures from the
+  deterministic LCG; bucket equijoin + in-bucket top-k. The scale
+  path: candidates per query are bounded by bucket size, the big
+  side shuffles only (vec_id, bucket) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+N_PLANES = 4  # bits per table (16 buckets/table)
+N_TABLES = 8  # independent hash tables; candidates = union over tables
+
+
+def _lcg_plane(plane: int, dim: int) -> float:
+    """Deterministic hyperplane component in [-1, 1) (shared with any
+    oracle re-implementation)."""
+    state = (plane * 1000003 + dim * 7919 + 12345) % 2147483648
+    state = (state * 1103515245 + 12345) % 2147483648
+    return state / 1073741824.0 - 1.0
+
+
+def dot_col(a: str, b: str) -> F.Column:
+    """Left-fold float64 dot product of two array<float> columns."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector (excluding self).
+    Returns (vec_id, rank, neighbor_id). O(n^2) — the correctness
+    baseline; ann_topk is the scale path."""
+    a = emb.select(
+        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea")
+    ).withColumn("na", norm_col("ea"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    ).withColumn("nb", norm_col("eb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor_id"))
+    sim = dot_col("ea", "eb") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )
+
+
+def lsh_bucket_col(table: int, emb_col: str = "embedding") -> F.Column:
+    """Random-hyperplane signature for one table:
+    bit p = (dot(v, plane_{table,p}) > 0), offset by table id so keys
+    from different tables never collide."""
+    bucket = F.lit(table * (1 << N_PLANES))
+    for p in range(N_PLANES):
+        plane = [_lcg_plane(table * N_PLANES + p, d) for d in range(EMB_DIM)]
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk(emb: DataFrame, k: int = 5, probe_bits: int = 0) -> DataFrame:
+    """Approximate top-k: candidates share any table's LSH bucket
+    (multi-table random-hyperplane LSH). probe_bits adds 1-bit-flip
+    probe buckets per table. Returns (vec_id, rank, neighbor_id).
+
+    Scale shape: the per-table bucket join shuffles only
+    (vec_id, bucket) pairs; exact re-scoring happens on the deduped
+    candidate union, bounded by bucket sizes per table."""
+    e = emb.select("vec_id", "embedding")
+    unprobed, probed = [], []
+    for t in range(N_TABLES):
+        te = e.withColumn("bucket", lsh_bucket_col(t))
+        unprobed.append(te)
+        probed.append(te)
+        for p in range(min(probe_bits, N_PLANES)):
+            probed.append(
+                te.withColumn(
+                    "bucket", F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                )
+            )
+    probes = probed[0]
+    for m in probed[1:]:
+        probes = probes.unionByName(m)
+    base_u = unprobed[0]
+    for m in unprobed[1:]:
+        base_u = base_u.unionByName(m)
+    a = probes.select(F.col("vec_id"), "bucket")
+    base = base_u.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    # bucket ids are table-offset, so probe rows only meet their own table
+    cand = (
+        a.join(base, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    av = e.select(F.col("vec_id"), F.col("embedding").alias("ea")).withColumn(
+        "na", norm_col("ea")
+    )
+    bv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    ).withColumn("nb", norm_col("eb"))
+    scored = cand.join(av, "vec_id").join(bv, "neighbor_id")
+    sim = dot_col("ea", "eb") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )

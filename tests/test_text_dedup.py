@@ -1,0 +1,84 @@
+"""Text features, dedup family, similarity search tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geokit_spark.functions.text import with_text_features
+from geokit_spark.operators import dedup, similarity
+
+
+def test_text_features_sane(spark, docs):
+    got = with_text_features(docs).toPandas()
+    assert (got["n_tokens"] > 0).all()
+    assert (got["n_stop"] <= got["n_tokens"]).all()
+    assert got["fp"].str.len().eq(32).all()
+    # quality: avg token len minus stop penalty, bounded for word-soup text
+    assert got["quality"].between(-2, 20).all()
+
+
+def test_dedup_exact_with_injected_dups(spark):
+    rows = [(1, "hello world", "en", 11), (2, "hello world", "en", 11),
+            (3, "other text", "en", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    got = dedup.dedup_exact(df).toPandas()
+    assert len(got) == 2
+    dup = got[got.n_docs == 2].iloc[0]
+    assert dup["canonical_doc_id"] == 1
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    rows = [(1, "spark table scan", "en", 16), (2, "spark table scan", "en", 16),
+            (3, "zebra quilt xylophone", "en", 21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    got = dedup.ngram_jaccard_pairs(df, threshold=0.9).toPandas()
+    assert got[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert got["jac"].iloc[0] == 1.0
+
+
+def test_minhash_identical_signatures(spark):
+    rows = [(1, "spark table scan", "en", 16), (2, "spark table scan", "en", 16)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    sig = df.withColumn("sh", dedup.shingle_codes_expr("text")).select(
+        dedup.minhash_signature_cols()[0], dedup.minhash_signature_cols()[1]
+    ).toPandas()
+    assert (sig.iloc[0] == sig.iloc[1]).all()
+
+
+def test_minhash_lsh_superset_recall(spark, docs):
+    """Every very-near pair (jac >= 0.9) must be caught by LSH bands
+    (16 hashes / 4 bands: P(catch | j=0.9) = 1-(1-0.9^4)^4 ≈ 0.97;
+    on this fixture we assert the observed near pairs are all caught)."""
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.9).toPandas()
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.9).toPandas()
+    jac_pairs = set(map(tuple, jac[["id_a", "id_b"]].values.tolist()))
+    lsh_pairs = set(map(tuple, lsh[["id_a", "id_b"]].values.tolist()))
+    # LSH works on unblocked candidates -> must be a superset of the
+    # blocked exact pairs at the same threshold
+    missed = jac_pairs - lsh_pairs
+    assert len(missed) <= max(1, int(0.05 * len(jac_pairs))), missed
+
+
+def test_simhash_close_for_identical(spark):
+    rows = [(1, "spark table scan", "en", 16), (2, "spark table scan", "en", 16)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    got = dedup.simhash_docs(df).toPandas()
+    assert got["simhash"].iloc[0] == got["simhash"].iloc[1]
+    assert 0 <= got["simhash"].iloc[0] < (1 << dedup.SIM_BITS)
+
+
+def test_cosine_topk_self_excluded_and_symmetric_sanity(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similarity.cosine_topk(emb, k=3).toPandas()
+    n = emb.count()
+    assert len(got) == 3 * n
+    assert (got["vec_id"] != got["neighbor_id"]).all()
+
+
+def test_ann_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, k=5).toPandas()
+    ann = similarity.ann_topk(emb, k=5, probe_bits=1).toPandas()
+    e = exact.groupby("vec_id")["neighbor_id"].apply(set)
+    a = ann.groupby("vec_id")["neighbor_id"].apply(set)
+    recalls = [len(e[v] & a.get(v, set())) / 5 for v in e.index]
+    assert np.mean(recalls) > 0.5, np.mean(recalls)
