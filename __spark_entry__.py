@@ -134,6 +134,38 @@ def q_indicate_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kernel_max3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 max filter via tile halo exchange (reference
+    KernelProcessor, util.py:259-341; 3x3 max test
+    test_06_extent.py:565-574). Output: per-tile sums."""
+    from geokit_spark.operators.kernel import kernel_filter_tiles, tile_sums
+
+    filtered = kernel_filter_tiles(
+        tilesrc.raster_table(spark, "elev"), "max", size=1, edge_value=0.0
+    )
+    return tile_sums(filtered)
+
+
+def q_warp_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-average downsample x8 (reference scaleMatrix down path,
+    util.py:204-248 / warp 'average' resampleAlg)."""
+    from geokit_spark.operators.warp import scale_down_tiles
+
+    return scale_down_tiles(tilesrc.raster_table(spark, "elev"), 8)
+
+
+def q_mosaic_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combineSimilarRasters: patch layer wins on non-noData pixels
+    (combineSimilarRasters.py:179-188). Output: per-tile sums."""
+    from geokit_spark.operators.kernel import tile_sums
+    from geokit_spark.operators.warp import mosaic_last_wins
+    from geokit_spark.sources.tiles import patch_raster_table
+
+    elev = tilesrc.raster_table(spark, "elev")
+    patch = patch_raster_table(spark)
+    return tile_sums(mosaic_last_wins([elev, patch]))
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via cell-ring expansion (north rule; SURVEY.md §2.3 kNN row)."""
     from geokit_spark.functions.geo import grid_cell_id
@@ -220,6 +252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_zones": q_rasterize_zones,
         "region_mask_area": q_region_mask_area,
         "indicate_values": q_indicate_values,
+        "kernel_max3": q_kernel_max3,
+        "warp_average": q_warp_average,
+        "mosaic_combine": q_mosaic_combine,
         "knn": q_knn,
         "text_features": q_text_features,
         "dedup_exact": q_dedup_exact,
@@ -438,6 +473,53 @@ FROM hits GROUP BY zone_id
 """
 
 
+def _o_kernel_max3() -> str:
+    # 3x3 max with constant edge_value=0 outside the raster
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nx = f"(ix + {dx})"
+            ny = f"(iy + {dy})"
+            val = f"CAST({sqlgen.elev_expr(nx, ny)} AS DOUBLE)"
+            inb = (
+                f"{nx} >= 0 AND {nx} < {RASTER_W} AND {ny} >= 0 AND {ny} < {RASTER_H}"
+            )
+            terms.append(f"CASE WHEN {inb} THEN {val} ELSE CAST(0.0 AS DOUBLE) END")
+    mx = "GREATEST(" + ", ".join(terms) + ")"
+    return f"""
+WITH {sqlgen.pixel_grid_cte()}
+SELECT CAST(ix // 64 AS INT) AS tile_x, CAST(iy // 64 AS INT) AS tile_y,
+       SUM({mx}) AS sum_v
+FROM pix GROUP BY 1, 2
+"""
+
+
+def _o_warp_average() -> str:
+    return f"""
+WITH {sqlgen.pixel_grid_cte()}
+SELECT CAST(ix // 8 AS INT) AS block_x, CAST(iy // 8 AS INT) AS block_y,
+       CAST(SUM(elev) AS DOUBLE) / CAST(64.0 AS DOUBLE) AS value
+FROM pix GROUP BY 1, 2
+"""
+
+
+def _o_mosaic_combine() -> str:
+    from geokit_spark.sources.tiles import PATCH_X0, PATCH_X1, PATCH_Y0, PATCH_Y1
+
+    v = (
+        f"CASE WHEN ix >= {PATCH_X0} AND ix < {PATCH_X1} "
+        f"AND iy >= {PATCH_Y0} AND iy < {PATCH_Y1} "
+        f"THEN CAST(elev AS DOUBLE) + CAST(1000.0 AS DOUBLE) "
+        f"ELSE CAST(elev AS DOUBLE) END"
+    )
+    return f"""
+WITH {sqlgen.pixel_grid_cte()}
+SELECT CAST(ix // 64 AS INT) AS tile_x, CAST(iy // 64 AS INT) AS tile_y,
+       SUM({v}) AS sum_v
+FROM pix GROUP BY 1, 2
+"""
+
+
 def _o_knn() -> str:
     return f"""
 WITH {sqlgen.geocode_cte()},
@@ -557,6 +639,9 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_zones": _o_rasterize_zones(),
         "region_mask_area": _o_region_mask_area(),
         "indicate_values": _o_indicate_values(),
+        "kernel_max3": _o_kernel_max3(),
+        "warp_average": _o_warp_average(),
+        "mosaic_combine": _o_mosaic_combine(),
         "knn": _o_knn(),
         "text_features": _o_text_features(),
         "dedup_exact": _o_dedup_exact(),

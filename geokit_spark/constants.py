@@ -30,9 +30,10 @@ LCG_M = 2147483648  # 2^31
 HOT_MOD = 5  # doc_id % 5 == 0 -> hot-spot (20% of docs)
 
 # Local analysis grid over the bbox (engine's join prefilter index).
-# 64x64 cells; INV factors precomputed so both sides evaluate
-# floor((lon - XMIN) * GRID_INV_X).
-GRID_N = 64
+# 128x128 cells; INV factors precomputed so both sides evaluate
+# floor((lon - XMIN) * GRID_INV_X). Finer grid = thinner boundary band
+# = fewer rows reaching the exact-PIP refinement UDF.
+GRID_N = 128
 GRID_INV_X = GRID_N / XSPAN
 GRID_INV_Y = GRID_N / YSPAN
 

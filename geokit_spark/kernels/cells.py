@@ -60,6 +60,43 @@ def classify_cells(verts, grid_n: int = GRID_N) -> np.ndarray:
     return cls
 
 
+def classify_covering_cells(verts) -> list[tuple[int, int]]:
+    """For one polygon: [(cell_id, class)] over its envelope's covering
+    cells, class in {IN, BOUNDARY} (OUT cells are dropped — they can
+    never contain a member point, the bbox prefilter alone would have
+    sent them to the exact test). Same conservative edge-bbox argument
+    as classify_cells."""
+    from .. import fixtures
+
+    vx = np.asarray([v[0] for v in verts], dtype=np.float64)
+    vy = np.asarray([v[1] for v in verts], dtype=np.float64)
+    if vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]
+    ex0 = np.minimum(vx, np.roll(vx, -1)) - _EPS
+    ex1 = np.maximum(vx, np.roll(vx, -1)) + _EPS
+    ey0 = np.minimum(vy, np.roll(vy, -1)) - _EPS
+    ey1 = np.maximum(vy, np.roll(vy, -1)) + _EPS
+
+    dx = XSPAN / GRID_N
+    dy = YSPAN / GRID_N
+    out = []
+    for cx, cy in fixtures.covering_cells(verts):
+        x0 = XMIN + cx * dx
+        x1 = x0 + dx
+        y0 = YMIN + cy * dy
+        y1 = y0 + dy
+        if bool(
+            np.any((ex0 <= x1) & (x0 <= ex1) & (ey0 <= y1) & (y0 <= ey1))
+        ):
+            out.append((cx * GRID_N + cy, BOUNDARY))
+        elif points_in_poly(
+            np.array([x0 + dx / 2]), np.array([y0 + dy / 2]), verts
+        )[0]:
+            out.append((cx * GRID_N + cy, IN))
+        # else OUT: drop
+    return out
+
+
 def cells_of_class(cls: np.ndarray, which: int) -> list[int]:
     """Flattened cell ids (cx * grid_n + cy) of a class."""
     n = cls.shape[0]

@@ -1,0 +1,109 @@
+"""Sliding-window kernel ops via tile halo exchange.
+
+Reference: KernelProcessor (util.py:259-341) applies a (2s+1)^2 window
+per pixel over a whole matrix, padding the outside with a constant
+edgeValue. Distributed shape:
+
+  tiles ──explode 9 neighbor copies──► groupBy(target tile)
+        ──applyInPandas: assemble padded block, vectorized stride
+          window op──► filtered tile table
+
+Each tile row is copied to itself + its 8 neighbors (the halo
+exchange); the per-tile pandas stage assembles a (T+2s)^2 padded
+matrix and applies the kernel with numpy stride tricks — no Python
+per-pixel loop. At 100 TB the shuffle moves 9x tile bytes (or 4x with
+edge-strip-only halos — noted as the production refinement); the agg
+is per-tile local.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import RASTER_H, RASTER_W, TILE_SIZE
+from ..sources.tiles import NTX, NTY
+
+
+def _window_view(padded: np.ndarray, size: int) -> np.ndarray:
+    """(T, T, k, k) sliding windows of a (T+2s, T+2s) padded block."""
+    k = 2 * size + 1
+    t = padded.shape[0] - 2 * size
+    return np.lib.stride_tricks.sliding_window_view(padded, (k, k))[:t, :t]
+
+
+def kernel_filter_tiles(
+    tiles: DataFrame,
+    kernel: str = "max",
+    size: int = 1,
+    edge_value: float = 0.0,
+) -> DataFrame:
+    """Apply a (2*size+1)^2 window reduce ('max'|'min'|'mean'|'sum')
+    per pixel. Out-of-raster pixels contribute edge_value (reference
+    KernelProcessor edgeValue padding, util.py:318-324)."""
+    red = {
+        "max": lambda w: w.max(axis=(2, 3)),
+        "min": lambda w: w.min(axis=(2, 3)),
+        "mean": lambda w: w.mean(axis=(2, 3)),
+        "sum": lambda w: w.sum(axis=(2, 3)),
+    }[kernel]
+
+    # halo exchange: send each tile to itself and its 8 neighbors
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    exploded = (
+        tiles.withColumn("o", F.explode(offsets))
+        .withColumn("tgt_x", F.col("tile_x") + F.col("o.dx"))
+        .withColumn("tgt_y", F.col("tile_y") + F.col("o.dy"))
+        .filter(
+            (F.col("tgt_x") >= 0) & (F.col("tgt_x") < NTX)
+            & (F.col("tgt_y") >= 0) & (F.col("tgt_y") < NTY)
+        )
+        .select("tgt_x", "tgt_y", "tile_x", "tile_y", "data")
+    )
+
+    T = TILE_SIZE
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tgt_x"].iloc[0])
+        ty = int(pdf["tgt_y"].iloc[0])
+        padded = np.full((T + 2 * size, T + 2 * size), edge_value, dtype=np.float64)
+        for r in pdf.itertuples():
+            block = np.asarray(r.data, dtype=np.float64).reshape(T, T)
+            dy = (r.tile_y - ty) * T
+            dx = (r.tile_x - tx) * T
+            y0 = size + dy
+            x0 = size + dx
+            ys = slice(max(y0, 0), min(y0 + T, T + 2 * size))
+            xs = slice(max(x0, 0), min(x0 + T, T + 2 * size))
+            if ys.start >= ys.stop or xs.start >= xs.stop:
+                continue
+            padded[ys, xs] = block[
+                ys.start - y0 : ys.stop - y0, xs.start - x0 : xs.stop - x0
+            ]
+        out = red(_window_view(padded, size))
+        return pd.DataFrame(
+            [{"tile_x": tx, "tile_y": ty, "data": out.ravel()}]
+        )
+
+    return (
+        exploded.groupBy("tgt_x", "tgt_y")
+        .applyInPandas(per_tile, schema="tile_x int, tile_y int, data array<double>")
+    )
+
+
+def tile_sums(tiles: DataFrame) -> DataFrame:
+    """(tile_x, tile_y, sum_v): exact per-tile content sums (the
+    oracle-comparable aggregate of any tile transform)."""
+    return tiles.select(
+        "tile_x",
+        "tile_y",
+        F.aggregate("data", F.lit(0.0), lambda a, x: a + x).alias("sum_v"),
+    )

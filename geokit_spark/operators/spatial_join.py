@@ -93,23 +93,33 @@ def _in_zone_udf(lon: pd.Series, lat: pd.Series, zone_id: pd.Series) -> pd.Serie
 
 
 def zone_candidates_df(spark: SparkSession) -> DataFrame:
-    """Exploded (cell_id, zone_id) map: the broadcast prefilter side.
-    A cell maps to every zone whose envelope covers it (analog of the
-    reference's per-source envelope pruning, extent.py:718-795)."""
+    """Exploded (cell_id, zone_id, cell_class) map: the broadcast
+    prefilter side. Cells fully outside a zone are dropped at build
+    time; interior cells carry class IN so matching rows skip the
+    exact test entirely (analog of the reference's per-source envelope
+    pruning, extent.py:718-795, strengthened by cell classification)."""
+    from ..kernels.cells import classify_covering_cells
+
     rows = []
     for z in fixtures.ZONES:
-        for cx, cy in fixtures.covering_cells(z["verts"]):
-            rows.append((cx * GRID_N + cy, z["zone_id"]))
-    return spark.createDataFrame(rows, "cell_id long, zone_id int")
+        for cell_id, cls in classify_covering_cells(z["verts"]):
+            rows.append((cell_id, z["zone_id"], cls))
+    return spark.createDataFrame(rows, "cell_id long, zone_id int, cell_class int")
 
 
 def docs_join_zones(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Inner spatial join: (doc, zone) pairs where the doc's point is
     inside the zone polygon. One doc may match several overlapping
-    zones (the fixtures overlap by construction)."""
+    zones (the fixtures overlap by construction). Only boundary-cell
+    candidates reach the Python refine; interior-cell candidates are
+    accepted JVM-side."""
     cand = zone_candidates_df(spark)
     pts = with_geocode(docs).withColumn(
         "cell_id", grid_cell_id(F.col("lon"), F.col("lat"))
     )
     pairs = pts.join(F.broadcast(cand), "cell_id", "inner")
-    return pairs.filter(_in_zone_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
+    interior = pairs.filter(F.col("cell_class") == IN)
+    boundary = pairs.filter(F.col("cell_class") == BOUNDARY).filter(
+        _in_zone_udf(F.col("lon"), F.col("lat"), F.col("zone_id"))
+    )
+    return interior.unionByName(boundary).drop("cell_class")

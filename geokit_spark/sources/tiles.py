@@ -64,6 +64,39 @@ def raster_table(spark: SparkSession, field: str = "elev") -> DataFrame:
     )
 
 
+# patch-layer bounds in pixel indices (mosaic fixture): the second
+# raster covers this window with elev+1000, noData elsewhere
+PATCH_X0, PATCH_X1 = 128, 256
+PATCH_Y0, PATCH_Y1 = 192, 320
+
+
+def patch_raster_table(spark: SparkSession) -> DataFrame:
+    """Second mosaic source: elev + 1000 inside the patch window,
+    noData (-9999) outside (divided_raster multi-source analog,
+    FIXTURES.md §8)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for tid in pdf["id"].to_numpy():
+                tx, ty = int(tid) % NTX, int(tid) // NTX
+                gx, gy = tile_pixel_indices(tx, ty)
+                v = elev_value(gx, gy).astype(np.float64) + 1000.0
+                inside = (
+                    (gx >= PATCH_X0) & (gx < PATCH_X1)
+                    & (gy >= PATCH_Y0) & (gy < PATCH_Y1)
+                )
+                v = np.where(inside, v, -9999.0)
+                out.append(
+                    {"tile_x": tx, "tile_y": ty, "data": v, "nodata": -9999.0}
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(NTX * NTY).repartition(8).mapInPandas(
+        gen, schema="tile_x int, tile_y int, data array<double>, nodata double"
+    )
+
+
 def raster_info(df: DataFrame) -> dict:
     """Raster schema/stats summary (reference rasterInfo,
     raster.py:770-858): tile grid, pixel count, value stats."""

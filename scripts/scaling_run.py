@@ -1,0 +1,80 @@
+"""Two-parallelism scaling evidence (north rule).
+
+Runs the identical bench workload at local[8] and local[32] (the
+sandbox proxy for N vs 4N executors per BASELINE.md) and writes
+BENCH/BASELINE.md with throughputs and scaling efficiency
+  eff = (docs_per_sec@32 / docs_per_sec@8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, n_docs: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        GEOKIT_BENCH_DOCS=str(n_docs),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "4000000"))
+    r8 = run_bench(8, n_docs)
+    r32 = run_bench(32, n_docs)
+
+    stages = list(r8["docs_per_sec"].keys())
+    lines = [
+        "# BENCH/BASELINE — two-parallelism scaling run",
+        "",
+        f"Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} "
+        f"over {n_docs:,} synthetic pages (deterministic geocoder), "
+        "identical workload at local[8] vs local[32] — the sandbox proxy "
+        "for N vs 4N executors (BASELINE.md, north rule).",
+        "",
+        "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    effs = []
+    for s in stages:
+        d8 = r8["docs_per_sec"][s]
+        d32 = r32["docs_per_sec"][s]
+        sp = d32 / d8
+        eff = sp / 4.0
+        effs.append((s, eff))
+        lines.append(f"| {s} | {d8:,} | {d32:,} | {sp:.2f}x | {eff:.2f} |")
+    t8 = sum(r8["queries"].values())
+    t32 = sum(r32["queries"].values())
+    sp = t8 / t32
+    lines += [
+        f"| **suite wall time** | {t8:.1f}s | {t32:.1f}s | {sp:.2f}x | {sp / 4:.2f} |",
+        "",
+        f"Raw local[8]:  `{json.dumps(r8)}`",
+        "",
+        f"Raw local[32]: `{json.dumps(r32)}`",
+        "",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"efficiency": dict(effs), "suite_eff": sp / 4}))
+
+
+if __name__ == "__main__":
+    main()
