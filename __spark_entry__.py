@@ -177,6 +177,59 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn(spark, pts, k=5)
 
 
+def q_box_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touches/Overlaps/CentroidWithin on the corner-touching boxes
+    (reference predicate semantics vector.py:365-434,
+    test_05_vector.py:43-131). Filter box = ron's box."""
+    from geokit_spark.operators.predicates import box_predicates
+
+    return box_predicates(spark, 1.0, 1.0, 3.0, 3.0)
+
+
+def q_mutate_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutateVector user-processor hook: scale zone quads x1.1 about
+    the vertex mean, return new shoelace areas (vector.py:1482-1617)."""
+    from geokit_spark.operators.mutate import scale_zones
+
+    return scale_zones(spark, 1.1)
+
+
+def q_union_area_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of all zone polygons at cell level: pixels covered by >= 1
+    zone (the engine's native union representation for the flatten /
+    union-tree op, geom.py:871-913; cross-tile polygonize is graded on
+    counts/areas per SURVEY §7)."""
+    from geokit_spark.operators.rasterize import rasterize_zones_tiles
+
+    burned = rasterize_zones_tiles(tilesrc.raster_table(spark, "elev"))
+    return (
+        burned.select(F.explode("burn").alias("b"))
+        .filter(F.col("b") >= 0)
+        .agg(
+            F.count("*").alias("n_pix"),
+            (F.count("*").cast("double") * F.lit(PIX_DX) * F.lit(PIX_DY)).alias(
+                "union_area"
+            ),
+        )
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing with deterministic fake metadata
+    (multimodal training-pipeline graft; real codec stubbed)."""
+    from geokit_spark.operators.multimodal import multimodal_meta
+
+    return multimodal_meta(_docs(spark, sf_dir))
+
+
+def q_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocationSet median bisect (reference location.py:485-535):
+    rank-median split on lon."""
+    from geokit_spark.operators.location import bisect
+
+    return bisect(_geo_docs(spark, sf_dir), "lon")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis stage: token count, stopword count, quality score,
     lang-ID heuristic, md5 fingerprint (training-pipeline graft)."""
@@ -256,6 +309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_average": q_warp_average,
         "mosaic_combine": q_mosaic_combine,
         "knn": q_knn,
+        "box_predicates": q_box_predicates,
+        "mutate_vector": q_mutate_vector,
+        "union_area_cells": q_union_area_cells,
+        "multimodal_meta": q_multimodal_meta,
+        "bisect": q_bisect,
         "text_features": q_text_features,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -539,6 +597,47 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _o_box_predicates() -> str:
+    from geokit_spark.operators.predicates import sql_box_predicates
+
+    return sql_box_predicates(1.0, 1.0, 3.0, 3.0)
+
+
+def _o_mutate_vector() -> str:
+    from geokit_spark.operators.mutate import sql_scale_zones
+
+    return sql_scale_zones(1.1)
+
+
+def _o_union_area_cells() -> str:
+    return f"""
+WITH {_zone_pixel_hits_sql('elev')},
+upix AS (SELECT ix, iy FROM hits GROUP BY ix, iy)
+SELECT COUNT(*) AS n_pix,
+  CAST(COUNT(*) AS DOUBLE) * {d(PIX_DX)} * {d(PIX_DY)} AS union_area
+FROM upix
+"""
+
+
+def _o_multimodal_meta() -> str:
+    from geokit_spark.operators.multimodal import sql_multimodal_meta
+
+    return sql_multimodal_meta()
+
+
+def _o_bisect() -> str:
+    return f"""
+WITH {sqlgen.geocode_cte()},
+r AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY lon, doc_id) AS rnk,
+    COUNT(*) OVER () AS n
+  FROM geo
+)
+SELECT doc_id, CASE WHEN rnk <= n // 2 THEN 0 ELSE 1 END AS side FROM r
+"""
+
+
 def _o_text_features() -> str:
     from geokit_spark.oracle import textsql as ts
 
@@ -643,6 +742,11 @@ def oracle_sql() -> dict[str, str]:
         "warp_average": _o_warp_average(),
         "mosaic_combine": _o_mosaic_combine(),
         "knn": _o_knn(),
+        "box_predicates": _o_box_predicates(),
+        "mutate_vector": _o_mutate_vector(),
+        "union_area_cells": _o_union_area_cells(),
+        "multimodal_meta": _o_multimodal_meta(),
+        "bisect": _o_bisect(),
         "text_features": _o_text_features(),
         "dedup_exact": _o_dedup_exact(),
         "ngram_jaccard": _o_ngram_jaccard(),

@@ -40,21 +40,36 @@ from geokit_spark.sources import tiles as tilesrc  # noqa: E402
 
 
 def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
-    """Returns {name: (seconds, rows_processed)}."""
-    pages = spark.range(n_docs).withColumnRenamed("id", "doc_id").repartition(
-        max(2 * cpus, 16)
-    )
-    pages = with_geocode(pages).withColumn(
-        "cell_id", grid_cell_id(F.col("lon"), F.col("lat"))
-    )
-    pages.cache().count()  # materialize once; time the operators, not the generator
+    """Returns {name: (seconds, rows_processed)}.
+
+    Env knobs (for the scaling run): GEOKIT_BENCH_REPS (default 3),
+    GEOKIT_BENCH_CACHE (default 1), GEOKIT_LIGHT_MULT (default 1 —
+    multiplies n_docs for the cheap all-JVM stages so they run long
+    enough to be compute-bound)."""
+    reps = int(os.environ.get("GEOKIT_BENCH_REPS", "3"))
+    use_cache = os.environ.get("GEOKIT_BENCH_CACHE", "1") != "0"
+    light_mult = int(os.environ.get("GEOKIT_LIGHT_MULT", "1"))
+    parts = max(2 * cpus, 16)
+
+    def make_pages(n):
+        # numPartitions set at generation time: no repartition shuffle
+        p = spark.range(0, n, 1, parts).withColumnRenamed("id", "doc_id")
+        return with_geocode(p).withColumn(
+            "cell_id", grid_cell_id(F.col("lon"), F.col("lat"))
+        )
+
+    pages = make_pages(n_docs)
+    if use_cache:
+        pages.cache().count()
+    n_light = n_docs * light_mult
+    pages_light = make_pages(n_light) if light_mult > 1 else pages
     clc = tilesrc.raster_table(spark, "clc").cache()
     elev = tilesrc.raster_table(spark, "elev").cache()
     clc.count(), elev.count()
 
     results = {}
 
-    def timed(name, fn, rows, reps: int = 3):
+    def timed(name, fn, rows):
         fn()  # warm-up: python worker pool, broadcasts, code paths —
         # long-running executors amortize these; steady-state is the
         # cluster-honest number
@@ -68,12 +83,12 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     cx, cy = cell_cols(F.col("lon"), F.col("lat"))
     timed(
         "tiling_cell_counts",
-        lambda: pages.select(cx.alias("cx"), cy.alias("cy"))
+        lambda: pages_light.select(cx.alias("cx"), cy.alias("cy"))
         .groupBy("cx", "cy")
         .agg(F.count("*").alias("n"))
         .agg(F.sum("n"), F.count("*"))
         .collect(),
-        n_docs,
+        n_light,
     )
     timed(
         "pip_region_semi_join",
@@ -90,8 +105,8 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     )
     timed(
         "extract_values",
-        lambda: ev.extract_values(pages, clc, "v").agg(F.sum("v")).collect(),
-        n_docs,
+        lambda: ev.extract_values(pages_light, clc, "v").agg(F.sum("v")).collect(),
+        n_light,
     )
     timed(
         "knn_ring",
@@ -102,6 +117,22 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         "zonal_stats",
         lambda: zonal.zonal_stats(elev).collect(),
         512 * 512,
+    )
+
+    # CPU-bound text stage (dedup pipeline): 256-char synthetic docs
+    from geokit_spark.operators.dedup import minhash_signatures_fast
+
+    n_text = max(n_docs // 50, 10000)
+    texts = spark.range(0, n_text, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.repeat(F.md5(F.col("id").cast("string")), 8).alias("text"),
+    )
+    timed(
+        "minhash_signatures",
+        lambda: minhash_signatures_fast(texts)
+        .select(F.min(F.element_at("sig", 1)))
+        .collect(),
+        n_text,
     )
     return results
 
@@ -118,7 +149,7 @@ def main():
     total = round(sum(v[0] for v in results.values()), 3)
     doc_stages = [
         "tiling_cell_counts", "pip_region_semi_join", "pip_zones_join",
-        "extract_values", "knn_ring",
+        "extract_values", "knn_ring", "minhash_signatures",
     ]
     docs_per_sec = {
         k: int(results[k][1] / results[k][0]) for k in doc_stages

@@ -37,6 +37,14 @@ GRID_N = 128
 GRID_INV_X = GRID_N / XSPAN
 GRID_INV_Y = GRID_N / YSPAN
 
+# Spatial-join prefilter grid (internal, decoupled from the oracle-
+# facing GRID_N): finer cells = thinner boundary band = fewer rows in
+# the exact-PIP UDF. 512^2 cells over the bbox; the per-zone candidate
+# map stays a small broadcast (~200k rows).
+JOIN_GRID_N = 512
+JOIN_GRID_INV_X = JOIN_GRID_N / XSPAN
+JOIN_GRID_INV_Y = JOIN_GRID_N / YSPAN
+
 # Raster workspace: W x H pixel grid over the bbox, tiled T x T.
 RASTER_W = 512
 RASTER_H = 512

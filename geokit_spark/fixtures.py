@@ -130,15 +130,17 @@ def poly_bbox(verts) -> tuple[float, float, float, float]:
     return min(xs), min(ys), max(xs), max(ys)
 
 
-def covering_cells(verts, pad: int = 0) -> list[tuple[int, int]]:
-    """Grid cells (GRID_N x GRID_N over the bbox) covering a polygon's
+def covering_cells(verts, pad: int = 0, grid_n: int = GRID_N) -> list[tuple[int, int]]:
+    """Grid cells (grid_n x grid_n over the bbox) covering a polygon's
     envelope — the engine's spatial-join prefilter key set (the analog
     of the reference's bbox SetSpatialFilter, vector.py:144-160)."""
+    inv_x = grid_n / XSPAN
+    inv_y = grid_n / YSPAN
     bx0, by0, bx1, by1 = poly_bbox(verts)
-    cx0 = max(0, int(math.floor((bx0 - XMIN) * GRID_INV_X)) - pad)
-    cx1 = min(GRID_N - 1, int(math.floor((bx1 - XMIN) * GRID_INV_X)) + pad)
-    cy0 = max(0, int(math.floor((by0 - YMIN) * GRID_INV_Y)) - pad)
-    cy1 = min(GRID_N - 1, int(math.floor((by1 - YMIN) * GRID_INV_Y)) + pad)
+    cx0 = max(0, int(math.floor((bx0 - XMIN) * inv_x)) - pad)
+    cx1 = min(grid_n - 1, int(math.floor((bx1 - XMIN) * inv_x)) + pad)
+    cy0 = max(0, int(math.floor((by0 - YMIN) * inv_y)) - pad)
+    cy1 = min(grid_n - 1, int(math.floor((by1 - YMIN) * inv_y)) + pad)
     return [(cx, cy) for cx in range(cx0, cx1 + 1) for cy in range(cy0, cy1 + 1)]
 
 
@@ -146,7 +148,7 @@ def _dl(x: float) -> str:
     """Exact DOUBLE literal. Plain decimal literals parse as DECIMAL in
     DuckDB (exact decimal arithmetic diverges from IEEE doubles), so
     every coordinate literal must be cast."""
-    return f"CAST({x!r} AS DOUBLE)"
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def sql_zone_edges_values() -> str:

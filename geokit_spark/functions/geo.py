@@ -75,6 +75,18 @@ def grid_cell_id(lon: Column, lat: Column) -> Column:
     return (cx.cast("long") * F.lit(GRID_N) + cy.cast("long")).alias("cell_id")
 
 
+def join_cell_id(lon: Column, lat: Column) -> Column:
+    """Fine-grained spatial-join prefilter cell (JOIN_GRID_N^2 over the
+    bbox, internal — not oracle-facing)."""
+    from ..constants import JOIN_GRID_INV_X, JOIN_GRID_INV_Y, JOIN_GRID_N
+
+    cx = F.floor((lon - F.lit(XMIN)) * F.lit(JOIN_GRID_INV_X))
+    cy = F.floor((lat - F.lit(YMIN)) * F.lit(JOIN_GRID_INV_Y))
+    cx = F.least(F.greatest(cx, F.lit(0)), F.lit(JOIN_GRID_N - 1))
+    cy = F.least(F.greatest(cy, F.lit(0)), F.lit(JOIN_GRID_N - 1))
+    return cx * F.lit(JOIN_GRID_N) + cy
+
+
 def cell_cols(lon: Column, lat: Column) -> tuple[Column, Column]:
     """Global equirectangular cell at CELL_ZOOM (oracle-safe 'tile')."""
     cx = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(CELL_N)))

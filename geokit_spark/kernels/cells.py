@@ -60,12 +60,12 @@ def classify_cells(verts, grid_n: int = GRID_N) -> np.ndarray:
     return cls
 
 
-def classify_covering_cells(verts) -> list[tuple[int, int]]:
+def classify_covering_cells(verts, grid_n: int = GRID_N) -> list[tuple[int, int]]:
     """For one polygon: [(cell_id, class)] over its envelope's covering
     cells, class in {IN, BOUNDARY} (OUT cells are dropped — they can
     never contain a member point, the bbox prefilter alone would have
     sent them to the exact test). Same conservative edge-bbox argument
-    as classify_cells."""
+    as classify_cells. Vectorized over the covering-cell grid."""
     from .. import fixtures
 
     vx = np.asarray([v[0] for v in verts], dtype=np.float64)
@@ -77,23 +77,28 @@ def classify_covering_cells(verts) -> list[tuple[int, int]]:
     ey0 = np.minimum(vy, np.roll(vy, -1)) - _EPS
     ey1 = np.maximum(vy, np.roll(vy, -1)) + _EPS
 
-    dx = XSPAN / GRID_N
-    dy = YSPAN / GRID_N
-    out = []
-    for cx, cy in fixtures.covering_cells(verts):
-        x0 = XMIN + cx * dx
-        x1 = x0 + dx
-        y0 = YMIN + cy * dy
-        y1 = y0 + dy
-        if bool(
-            np.any((ex0 <= x1) & (x0 <= ex1) & (ey0 <= y1) & (y0 <= ey1))
-        ):
-            out.append((cx * GRID_N + cy, BOUNDARY))
-        elif points_in_poly(
-            np.array([x0 + dx / 2]), np.array([y0 + dy / 2]), verts
-        )[0]:
-            out.append((cx * GRID_N + cy, IN))
-        # else OUT: drop
+    dx = XSPAN / grid_n
+    dy = YSPAN / grid_n
+    cover = fixtures.covering_cells(verts, grid_n=grid_n)
+    if not cover:
+        return []
+    cxs = np.array([c[0] for c in cover], dtype=np.int64)
+    cys = np.array([c[1] for c in cover], dtype=np.int64)
+    x0 = XMIN + cxs * dx
+    y0 = YMIN + cys * dy
+    # (cells, edges) bbox-overlap test
+    bnd = (
+        (ex0[None, :] <= (x0 + dx)[:, None])
+        & (x0[:, None] <= ex1[None, :])
+        & (ey0[None, :] <= (y0 + dy)[:, None])
+        & (y0[:, None] <= ey1[None, :])
+    ).any(axis=1)
+    ids = cxs * grid_n + cys
+    out = [(int(i), BOUNDARY) for i in ids[bnd]]
+    free = ~bnd
+    if free.any():
+        inside = points_in_poly(x0[free] + dx / 2, y0[free] + dy / 2, verts)
+        out.extend((int(i), IN) for i in ids[free][inside])
     return out
 
 

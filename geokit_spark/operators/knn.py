@@ -75,46 +75,44 @@ def knn(
     qdf_rows = [(q["id"], q["lon"], q["lat"]) for q in queries]
     qdf = spark.createDataFrame(qdf_rows, "query_id int, qlon double, qlat double")
 
-    radii = {q["id"]: start_radius for q in queries}
     docs_pts = docs_pts.select("doc_id", "lon", "lat", "cell_id")
 
-    def candidates(radii_now) -> DataFrame:
-        cand = _ring_candidates(spark, queries, radii_now)
-        j = docs_pts.join(F.broadcast(cand), "cell_id").join(
-            F.broadcast(qdf), "query_id"
-        )
-        dx = F.col("lon") - F.col("qlon")
-        dy = F.col("lat") - F.col("qlat")
-        return j.withColumn("dist2", dx * dx + dy * dy)
+    # pass 1: per-cell histogram (one scan of the docs; tiny result).
+    # Ring growth is then pure driver arithmetic — no repeated scans.
+    hist = {
+        int(r["cell_id"]): int(r["n"])
+        for r in docs_pts.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+    }
+    qcells = _query_cells(queries)
+    diag = float(np.hypot(CELL_W, CELL_H))
 
-    # phase 1: grow rings until every query has >= k candidates
-    for _ in range(32):
-        c = candidates(radii)
-        counts = {
-            r["query_id"]: r["n"]
-            for r in c.groupBy("query_id").agg(F.count("*").alias("n")).collect()
-        }
-        lacking = [q["id"] for q in queries if counts.get(q["id"], 0) < k]
-        if not lacking:
-            break
-        for qid in lacking:
-            radii[qid] = min(max_radius, radii[qid] * 2)
-        if all(radii[qid] >= max_radius for qid in lacking):
-            break
+    radii = {}
+    for q in queries:
+        cx, cy = qcells[q["id"]]
+        # smallest Chebyshev radius whose cells hold >= k docs
+        r = start_radius
+        while r < max_radius:
+            total = sum(
+                hist.get(x * GRID_N + y, 0)
+                for x in range(max(0, cx - r), min(GRID_N, cx + r + 1))
+                for y in range(max(0, cy - r), min(GRID_N, cy + r + 1))
+            )
+            if total >= k:
+                break
+            r += max(1, r)  # grow ~2x
+        # correctness radius: the kth neighbor among ring-r candidates
+        # is at distance <= (r + 1) * diag from the query cell, so any
+        # true neighbor lies within that distance -> Chebyshev radius
+        max_dist = (r + 1) * diag
+        radii[q["id"]] = min(max_radius, int(np.ceil(max_dist / _MIN_SPAN)) + 1)
 
-    # phase 2: expand each ring to the radius guaranteed by its kth distance
+    # pass 2: single candidate join with the final per-query rings
+    cand = _ring_candidates(spark, queries, radii)
+    j = docs_pts.join(F.broadcast(cand), "cell_id").join(F.broadcast(qdf), "query_id")
+    dx = F.col("lon") - F.col("qlon")
+    dy = F.col("lat") - F.col("qlat")
+    final = j.withColumn("dist2", dx * dx + dy * dy)
     w = Window.partitionBy("query_id").orderBy("dist2", "doc_id")
-    kth = (
-        c.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == k)
-        .select("query_id", F.sqrt("dist2").alias("kth_dist"))
-        .collect()
-    )
-    for r in kth:
-        need = int(np.ceil(r["kth_dist"] / _MIN_SPAN)) + 1
-        radii[r["query_id"]] = min(max_radius, max(radii[r["query_id"]], need))
-
-    final = candidates(radii)
     return (
         final.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

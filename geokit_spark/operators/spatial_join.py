@@ -26,17 +26,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import fixtures
-from ..constants import GRID_N
-from ..functions.geo import grid_cell_id, with_geocode
-from ..kernels.cells import BOUNDARY, IN, classify_cells
+from ..constants import JOIN_GRID_N
+from ..functions.geo import join_cell_id, with_geocode
+from ..kernels.cells import BOUNDARY, IN, classify_covering_cells
 from ..kernels.pip import points_in_poly
 
 # ---------------------------------------------------------------------------
 # region (single polygon) semi-join
-
-
-def _region_cls():
-    return classify_cells(fixtures.REGION_VERTS)
 
 
 @F.pandas_udf(T.BooleanType())
@@ -50,18 +46,11 @@ def _in_region_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
 def docs_in_region(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Semi-join: documents whose geocoded point lies in the region
     polygon. Interior-cell rows bypass the exact test entirely."""
-    cls = _region_cls()
-    # broadcast the tiny cell→class map as a literal lookup table
-    cell_rows = [
-        (int(cx) * GRID_N + int(cy), int(cls[cx, cy]))
-        for cx in range(GRID_N)
-        for cy in range(GRID_N)
-        if cls[cx, cy] != 0
-    ]
+    cell_rows = classify_covering_cells(fixtures.REGION_VERTS, JOIN_GRID_N)
     cell_df = spark.createDataFrame(cell_rows, "cell_id long, cell_class int")
 
     pts = with_geocode(docs).withColumn(
-        "cell_id", grid_cell_id(F.col("lon"), F.col("lat"))
+        "cell_id", join_cell_id(F.col("lon"), F.col("lat"))
     )
     joined = pts.join(F.broadcast(cell_df), "cell_id", "inner")
     interior = joined.filter(F.col("cell_class") == IN)
@@ -98,11 +87,9 @@ def zone_candidates_df(spark: SparkSession) -> DataFrame:
     time; interior cells carry class IN so matching rows skip the
     exact test entirely (analog of the reference's per-source envelope
     pruning, extent.py:718-795, strengthened by cell classification)."""
-    from ..kernels.cells import classify_covering_cells
-
     rows = []
     for z in fixtures.ZONES:
-        for cell_id, cls in classify_covering_cells(z["verts"]):
+        for cell_id, cls in classify_covering_cells(z["verts"], JOIN_GRID_N):
             rows.append((cell_id, z["zone_id"], cls))
     return spark.createDataFrame(rows, "cell_id long, zone_id int, cell_class int")
 
@@ -115,7 +102,7 @@ def docs_join_zones(spark: SparkSession, docs: DataFrame) -> DataFrame:
     accepted JVM-side."""
     cand = zone_candidates_df(spark)
     pts = with_geocode(docs).withColumn(
-        "cell_id", grid_cell_id(F.col("lon"), F.col("lat"))
+        "cell_id", join_cell_id(F.col("lon"), F.col("lat"))
     )
     pairs = pts.join(F.broadcast(cand), "cell_id", "inner")
     interior = pairs.filter(F.col("cell_class") == IN)

@@ -37,8 +37,12 @@ from ..constants import (
 
 
 def d(x: float) -> str:
-    """Exact double literal for SQL."""
-    return f"CAST({x!r} AS DOUBLE)"
+    """Exact double literal for SQL. The string route is mandatory:
+    DuckDB parses bare numeric literals as DECIMAL and the
+    DECIMAL->DOUBLE cast double-rounds (observed 1-ULP error on
+    17-digit literals); CAST('<repr>' AS DOUBLE) uses strtod, which is
+    correctly rounded."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def geocode_cte(source: str = "documents") -> str:

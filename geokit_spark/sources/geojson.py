@@ -1,0 +1,45 @@
+"""GeoJSON serialization (reference createGeoJson,
+/root/reference/geokit/core/vector.py:1276-1385).
+
+Features are assembled JVM-side with to_json over structs — the
+geometry coordinates ride as array<array<array<double>>> (ring list),
+so the sink is a plain DataFrame write of one JSON string per feature
+plus a driver-side FeatureCollection wrapper for small outputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mutate import zones_feature_df
+
+
+def zones_geojson_features(spark: SparkSession) -> DataFrame:
+    """(zone_id, feature_json) — one GeoJSON Feature per zone."""
+    zf = zones_feature_df(spark)
+    # closed ring: append first vertex
+    ring = F.transform(
+        F.sequence(F.lit(0), F.size("xs")),  # 0..n inclusive -> n+1 points
+        lambda i: F.array(
+            F.element_at("xs", (i % F.size("xs")) + 1),
+            F.element_at("ys", (i % F.size("ys")) + 1),
+        ),
+    )
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.col("zone_id"), F.col("site_code"), F.col("year"), F.col("designate")
+        ).alias("properties"),
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.array(ring).alias("coordinates"),
+        ).alias("geometry"),
+    )
+    return zf.select("zone_id", F.to_json(feature).alias("feature_json"))
+
+
+def feature_collection(df: DataFrame, json_col: str = "feature_json") -> str:
+    """Driver-side FeatureCollection assembly (small outputs only —
+    large sinks write line-delimited features instead)."""
+    feats = [r[json_col] for r in df.select(json_col).collect()]
+    return '{"type":"FeatureCollection","features":[' + ",".join(feats) + "]}"
