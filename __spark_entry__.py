@@ -177,6 +177,74 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn(spark, pts, k=5)
 
 
+def q_count_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filterLayer semantics: attribute `where` + spatial filter
+    combined (reference filterLayer/countFeatures,
+    vector.py:139-202): per-lang counts of docs inside the region,
+    restricted to lang in ('en','de')."""
+    inside = spatial_join.docs_in_region(spark, _docs(spark, sf_dir))
+    return (
+        inside.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_interp_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interpolateValues mode='average' (window 3): mean of the 3x3
+    pixel neighborhood at each point (reference raster.py:1241-1297),
+    neighbors clamped at raster borders."""
+    from geokit_spark.operators.extract_values import interpolate_average3
+
+    return interpolate_average3(
+        _geo_docs(spark, sf_dir), tilesrc.raster_table(spark, "elev")
+    )
+
+
+def q_subtiles_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy subTiles per zone at zoom 15 (reference geom.subTiles
+    geom.py:195-241; golden-tested vs the reference's own tile indices
+    in tests/test_kernels_tiling.py). Rows-only driver check: the
+    Web-Mercator ln()/asinh differs from DuckDB by 1 ULP."""
+    import pandas as pd
+
+    from geokit_spark.kernels.tiling import sub_tiles
+    from geokit_spark.operators.mutate import zones_feature_df
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                verts = list(zip(r.xs, r.ys))
+                tiles = list(sub_tiles(verts, 15, check_intersect=True))
+                rows.append({"zone_id": r.zone_id, "n_tiles": len(tiles)})
+            yield pd.DataFrame(rows)
+
+    return zones_feature_df(spark).mapInPandas(
+        fn, schema="zone_id int, n_tiles int"
+    )
+
+
+def q_extract_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extractAndClipFeatures: clip zones by a box window, areaShare +
+    attribute scaling (vector.py:738-947). Rows-only driver check
+    (polygon clipping is not SQL-expressible); numpy-oracle tested in
+    tests/test_streaming_clip.py."""
+    from geokit_spark.operators.clipops import extract_and_clip_zones
+
+    return extract_and_clip_zones(spark, (6.05, 50.6, 6.25, 50.8))
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tile connected components of the categorical raster
+    (polygonize counts artifact, geom.py:525-702 / SURVEY §7). Rows-
+    only driver check; full-matrix oracle in tests/test_components.py."""
+    from geokit_spark.operators.components import connected_components
+
+    pdf = connected_components(tilesrc.raster_table(spark, "clc"))
+    return spark.createDataFrame(pdf)
+
+
 def q_box_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Touches/Overlaps/CentroidWithin on the corner-touching boxes
     (reference predicate semantics vector.py:365-434,
@@ -309,6 +377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_average": q_warp_average,
         "mosaic_combine": q_mosaic_combine,
         "knn": q_knn,
+        "count_features": q_count_features,
+        "interp_average": q_interp_average,
+        "subtiles_zones": q_subtiles_zones,
+        "extract_clip": q_extract_clip,
+        "connected_components": q_connected_components,
         "box_predicates": q_box_predicates,
         "mutate_vector": q_mutate_vector,
         "union_area_cells": q_union_area_cells,
@@ -597,6 +670,40 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _o_count_features() -> str:
+    cross = sqlgen.pip_crossings_expr("g.lon", "g.lat")
+    return f"""
+WITH {sqlgen.geocode_cte()},
+edges(x1, y1, x2, y2) AS (VALUES {fixtures.sql_region_edges_values()}),
+hits AS (
+  SELECT g.doc_id
+  FROM geo g CROSS JOIN edges
+  GROUP BY g.doc_id
+  HAVING SUM({cross}) % 2 = 1
+)
+SELECT d.lang, COUNT(*) AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+WHERE d.lang IN ('en', 'de')
+GROUP BY d.lang
+"""
+
+
+def _o_interp_average() -> str:
+    ix, iy = sqlgen.raster_cell_exprs("g.lon", "g.lat")
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nx = f"LEAST(GREATEST(ix + {dx}, 0), {RASTER_W - 1})"
+            ny = f"LEAST(GREATEST(iy + {dy}, 0), {RASTER_H - 1})"
+            terms.append(f"CAST({sqlgen.elev_expr(f'({nx})', f'({ny})')} AS DOUBLE)")
+    total = " + ".join(terms)
+    return f"""
+WITH {sqlgen.geocode_cte()},
+st AS (SELECT g.doc_id, {ix} AS ix, {iy} AS iy FROM geo g)
+SELECT doc_id, ({total}) / CAST(9.0 AS DOUBLE) AS elev_avg3 FROM st
+"""
+
+
 def _o_box_predicates() -> str:
     from geokit_spark.operators.predicates import sql_box_predicates
 
@@ -742,6 +849,11 @@ def oracle_sql() -> dict[str, str]:
         "warp_average": _o_warp_average(),
         "mosaic_combine": _o_mosaic_combine(),
         "knn": _o_knn(),
+        "count_features": _o_count_features(),
+        "interp_average": _o_interp_average(),
+        # subtiles_zones / extract_clip / connected_components:
+        # rows-only (mercator 1-ULP / polygon clipping / CC not
+        # SQL-expressible); numpy-oracle pytest coverage instead
         "box_predicates": _o_box_predicates(),
         "mutate_vector": _o_mutate_vector(),
         "union_area_cells": _o_union_area_cells(),

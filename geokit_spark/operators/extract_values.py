@@ -127,6 +127,27 @@ def interpolate_bilinear(points: DataFrame, tiles: DataFrame) -> DataFrame:
     return out.select("doc_id", interp.alias("elev_bilinear"))
 
 
+def interpolate_average3(points: DataFrame, tiles: DataFrame) -> DataFrame:
+    """interpolateValues mode='average' (window 3): mean of the 3x3
+    neighborhood around each point's pixel (reference
+    raster.py:1241-1297), neighbors clamped at the raster border.
+    Sum of 9 integer-valued gathers / 9.0 — exact, oracle-safe."""
+    ix, iy = pixel_index_cols(F.col("lon"), F.col("lat"))
+    pts = points.withColumn("ix", ix).withColumn("iy", iy)
+    corners = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            cx = F.least(F.greatest(F.col("ix") + dx, F.lit(0)), F.lit(RASTER_W - 1))
+            cy = F.least(F.greatest(F.col("iy") + dy, F.lit(0)), F.lit(RASTER_H - 1))
+            corners[f"{dx + 1}{dy + 1}"] = (cx, cy)
+    vals = _stencil_join(pts.select("doc_id", "ix", "iy"), tiles, corners)
+    total = None
+    for name in corners:
+        c = F.col(f"v_{name}")
+        total = c if total is None else total + c
+    return vals.select("doc_id", (total / F.lit(9.0)).alias("elev_avg3"))
+
+
 def gradient_at_points(points: DataFrame, tiles: DataFrame) -> DataFrame:
     """Central-difference gradient at each point's pixel (reference
     gradient, raster.py:640-753; stencil :724-740). Neighbor indices

@@ -1,0 +1,74 @@
+"""Connected components: distributed labeling + seam merge vs a
+single-node full-matrix oracle (same min-propagation algorithm run
+globally)."""
+
+import numpy as np
+import pytest
+
+from geokit_spark.constants import RASTER_H, RASTER_W
+from geokit_spark.kernels.raster_fields import clc_value
+from geokit_spark.operators.components import (
+    connected_components, label_block, sieve_small_components,
+)
+from geokit_spark.sources import tiles as tilesrc
+
+
+def test_label_block_simple():
+    m = np.array(
+        [[1, 1, 2], [2, 1, 2], [2, 2, 2]], dtype=float
+    )
+    lab = label_block(m)
+    # component of the three 1s is connected; the 2s form one L-comp
+    assert lab[0, 0] == lab[0, 1] == lab[1, 1]
+    assert lab[0, 2] == lab[1, 2] == lab[2, 2] == lab[2, 0] == lab[1, 0]
+    assert lab[0, 0] != lab[0, 2]
+
+
+def test_label_block_diagonal_not_connected():
+    m = np.array([[1, 2], [2, 1]], dtype=float)
+    lab = label_block(m)
+    assert lab[0, 0] != lab[1, 1]  # 4-connectivity only
+    assert lab[0, 1] != lab[1, 0]
+
+
+def _full_cc_oracle():
+    ix, iy = np.meshgrid(np.arange(RASTER_W), np.arange(RASTER_H))
+    full = clc_value(ix, iy).astype(np.float64)
+    lab = label_block(full)
+    roots, counts = np.unique(lab, return_counts=True)
+    vals = full.ravel()[roots]
+    import pandas as pd
+
+    df = pd.DataFrame({"value": vals, "n": counts})
+    return (
+        df.groupby("value", as_index=False)
+        .agg(n_components=("n", "count"), n_pixels=("n", "sum"),
+             max_component=("n", "max"))
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def clc_tiles(spark):
+    return tilesrc.raster_table(spark, "clc").cache()
+
+
+def test_connected_components_matches_full_matrix(spark, clc_tiles):
+    got = connected_components(clc_tiles)
+    exp = _full_cc_oracle()
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["n_components"].tolist() == exp["n_components"].tolist()
+    assert got["n_pixels"].tolist() == exp["n_pixels"].tolist()
+    assert got["max_component"].tolist() == exp["max_component"].tolist()
+
+
+def test_sieve_drops_small(spark, clc_tiles):
+    full = connected_components(clc_tiles)
+    sieved = sieve_small_components(clc_tiles, min_size=100)
+    m = full.merge(sieved, on="value", how="left", suffixes=("", "_s"))
+    assert (m["n_components_s"].fillna(0) <= m["n_components"]).all()
+    assert (m["n_pixels_s"].fillna(0) <= m["n_pixels"]).all()
+    # a huge threshold keeps only the biggest components
+    tiny = sieve_small_components(clc_tiles, min_size=10**9)
+    assert len(tiny) == 0
