@@ -245,6 +245,18 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour statistics per level (reference
+    contours raster.py:2044-2137; counts/lengths parity per SURVEY §7).
+    Rows-only driver check; full-matrix numpy oracle in
+    tests/test_contours.py."""
+    from geokit_spark.operators.contour_op import contour_stats
+
+    return contour_stats(
+        tilesrc.raster_table(spark, "elev"), [400.0, 800.0, 1200.0]
+    )
+
+
 def q_box_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Touches/Overlaps/CentroidWithin on the corner-touching boxes
     (reference predicate semantics vector.py:365-434,
@@ -345,6 +357,47 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (task mandate): ordered
+    pairs with cosine >= 0.2 (float64 left-fold dots are bit-identical
+    across engines, so the threshold filter is deterministic)."""
+    from geokit_spark.operators.similarity import dot_col, norm_col
+    from pyspark.sql import functions as SF
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(SF.col("vec_id").alias("id_a"), SF.col("embedding").alias("ea"))
+    b = emb.select(SF.col("vec_id").alias("id_b"), SF.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(SF.col("id_a") < SF.col("id_b"))
+    sim = dot_col("ea", "eb") / (norm_col("ea") * norm_col("eb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(SF.col("sim") >= SF.lit(0.2))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over embeddings (task mandate: IVF as the scale path;
+    rows-only check, recall pytest-verified)."""
+    from geokit_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation shape on the events
+    table (streaming §2.10 batch-parity path): daily counts per
+    event_type."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from geokit_spark.streaming.incremental import stream_events_windowed
+
+    return stream_events_windowed(spark, events).select(
+        "window_start", "event_type", "n"
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (rows-only check; recall vs the
     exact baseline is pytest-verified in tests/test_similarity.py)."""
@@ -382,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtiles_zones": q_subtiles_zones,
         "extract_clip": q_extract_clip,
         "connected_components": q_connected_components,
+        "contours": q_contours,
         "box_predicates": q_box_predicates,
         "mutate_vector": q_mutate_vector,
         "union_area_cells": q_union_area_cells,
@@ -394,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embed_topk": q_embed_topk,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "embed_near_dup": q_embed_near_dup,
+        "events_daily": q_events_daily,
     }
 
 
@@ -832,6 +889,29 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _o_embed_near_dup() -> str:
+    from geokit_spark.oracle import textsql as ts
+
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding, {ts.norm_expr('embedding')} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  {ts.dot_expr('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {ts.dot_expr('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= CAST('0.2' AS DOUBLE)
+"""
+
+
+def _o_events_daily() -> str:
+    # Spark window('ts', '1 day') buckets align to epoch-day boundaries
+    # == date_trunc('day', ts) for UTC timestamps
+    return """
+SELECT date_trunc('day', ts) AS window_start, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "geocode_cells": _o_geocode_cells(),
@@ -865,5 +945,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _o_minhash_lsh(),
         "simhash": _o_simhash(),
         "embed_topk": _o_embed_topk(),
-        # ann_topk: approximate -> rows-only check (recall pytest-verified)
+        # ann_topk / ivf_topk: approximate -> rows-only checks
+        # (recall pytest-verified in tests/test_text_dedup.py)
+        "embed_near_dup": _o_embed_near_dup(),
+        "events_daily": _o_events_daily(),
     }

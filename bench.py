@@ -110,8 +110,8 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     )
     timed(
         "knn_ring",
-        lambda: knn(spark, pages, k=5).collect(),
-        n_docs,
+        lambda: knn(spark, pages_light, k=5).collect(),
+        n_light,
     )
     timed(
         "zonal_stats",

@@ -57,14 +57,16 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFram
     stride arithmetic, per-doc mins via np.minimum.reduceat. ~50x the
     throughput of per-element JVM lambdas on long docs (distinctness
     is irrelevant under min, so no per-doc unique pass)."""
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def mh(texts: pd.Series) -> pd.Series:
-        lens = texts.str.len().to_numpy(np.int64)
-        if len(lens) == 0:
-            return pd.Series([], dtype=object)
+    CHUNK = 4096  # docs per inner chunk: bounds transient buffers to
+    # ~50 MB/worker (a whole 64k Arrow batch allocates ~1 GB of utf-32
+    # + code temporaries per worker — allocator/bandwidth thrash when
+    # many workers run concurrently)
+
+    def _chunk(texts: list[str]) -> np.ndarray:
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
         # two NUL pads per doc emulate ascii(substring-beyond-end) = 0
         # for sub-3-char docs, matching the JVM expression exactly
-        flat = "".join(t + "\x00\x00" for t in texts.tolist())
+        flat = "".join(t + "\x00\x00" for t in texts)
         cp = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32).astype(
             np.int64
         )
@@ -83,7 +85,15 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFram
         for i in range(NUM_HASHES):
             h = (MH_A[i] * seg + MH_B[i]) % MH_PRIME
             mins[i] = np.minimum.reduceat(h, sh_starts)
-        return pd.Series(list(mins.T))
+        return mins.T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def mh(texts: pd.Series) -> pd.Series:
+        lst = texts.tolist()
+        if not lst:
+            return pd.Series([], dtype=object)
+        outs = [_chunk(lst[i : i + CHUNK]) for i in range(0, len(lst), CHUNK)]
+        return pd.Series(list(np.concatenate(outs, axis=0)))
 
     return docs.select("doc_id", mh(F.col(text_col)).alias("sig"))
 

@@ -11,8 +11,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 EMB_DIM = 64
 N_PLANES = 4  # bits per table (16 buckets/table)
@@ -85,6 +88,98 @@ def lsh_bucket_col(table: int, emb_col: str = "embedding") -> F.Column:
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = 5, n_lists: int = 16, n_probe: int = 4,
+    iters: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: Lloyd-clustered centroid lists, each
+    query probes its n_probe nearest lists and re-scores exactly.
+
+    Scale shape: centroids live on the driver (n_lists rows); the
+    assignment pass is one broadcast-free column expression; the probe
+    join is an equijoin on list_id, so candidates are bounded by list
+    sizes — the standard IVF trade (recall vs n_probe)."""
+    e = emb.select("vec_id", "embedding")
+    # deterministic Lloyd on normalized vectors (cosine ~ dot on unit)
+    seeds = e.orderBy("vec_id").limit(n_lists).collect()
+    cents = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seeds]
+    )
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign_udf(cents_now: np.ndarray, probes_n: int):
+        c = cents_now.copy()
+
+        @F.pandas_udf(
+            T.StructType(
+                [
+                    T.StructField("list_id", T.IntegerType()),
+                    T.StructField("probes", T.ArrayType(T.IntegerType())),
+                ]
+            )
+        )
+        def assign(embs: pd.Series) -> pd.DataFrame:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+            dots = m @ c.T  # (n, n_lists)
+            order = np.argsort(-dots, axis=1)
+            return pd.DataFrame(
+                {
+                    "list_id": order[:, 0].astype("int32"),
+                    "probes": list(order[:, :probes_n].astype("int32")),
+                }
+            )
+
+        return assign
+
+    # Lloyd iterations: one Arrow pass assigns, one JVM agg recenters
+    for _ in range(iters):
+        a = e.withColumn("a", assign_udf(cents, 1)(F.col("embedding")))
+        rows = (
+            a.select(F.col("a.list_id").alias("list_id"), "embedding")
+            .groupBy("list_id")
+            .agg(*[
+                F.avg(F.element_at("embedding", d + 1)).alias(f"m{d}")
+                for d in range(EMB_DIM)
+            ])
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            v = np.array([r[f"m{d}"] for d in range(EMB_DIM)], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[int(r["list_id"])] = v / n
+        cents = new
+
+    final_assign = e.withColumn("a", assign_udf(cents, n_probe)(F.col("embedding")))
+    assigned = final_assign.select(
+        "vec_id", "embedding", F.col("a.list_id").alias("list_id")
+    )
+    probes = final_assign.select(
+        "vec_id",
+        F.col("embedding").alias("ea"),
+        F.explode("a.probes").alias("list_id"),
+    )
+
+    cand = probes.join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("eb"),
+            "list_id",
+        ),
+        "list_id",
+    ).filter(F.col("vec_id") != F.col("neighbor_id"))
+    cand = cand.withColumn("na", norm_col("ea")).withColumn("nb", norm_col("eb"))
+    sim = dot_col("ea", "eb") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )
 
 
 def ann_topk(emb: DataFrame, k: int = 5, probe_bits: int = 0) -> DataFrame:

@@ -1,0 +1,58 @@
+"""Marching-squares contours: kernel unit tests + distributed parity
+vs the full-matrix kernel."""
+
+import numpy as np
+import pytest
+
+from geokit_spark.constants import RASTER_H, RASTER_W
+from geokit_spark.kernels.contours import contour_segments, contour_stats_per_level
+from geokit_spark.kernels.raster_fields import elev_value
+from geokit_spark.operators.contour_op import contour_stats
+from geokit_spark.sources import tiles as tilesrc
+
+LEVELS = [400.0, 800.0, 1200.0]
+
+
+def test_single_cell_cases():
+    # level cuts one corner: exactly one segment
+    m = np.array([[0.0, 0.0], [0.0, 1.0]])
+    n, ln, segs = contour_segments(m, 0.5)
+    assert n == 1
+    # diagonal cut near the corner: endpoints on bottom and right edges
+    (x0, y0, x1, y1) = segs[0]
+    assert {round(x0, 2), round(x1, 2)} == {0.5, 1.0}
+
+    # flat matrix: no contours
+    n, ln, _ = contour_segments(np.ones((4, 4)), 0.5)
+    assert n == 0
+
+    # saddle case produces two segments
+    m = np.array([[1.0, 0.0], [0.0, 1.0]])
+    n, _, _ = contour_segments(m, 0.5)
+    assert n == 2
+
+
+def test_contour_length_square_bump():
+    # a plateau of 1s in a sea of 0s: the 0.5-contour surrounds it
+    m = np.zeros((8, 8))
+    m[3:5, 3:5] = 1.0
+    n, ln, _ = contour_segments(m, 0.5)
+    assert n == 8  # 4 sides + 4 corners
+    assert ln == pytest.approx(4 * 1.0 + 4 * np.hypot(0.5, 0.5))
+
+
+def test_distributed_matches_full_matrix(spark):
+    tiles = tilesrc.raster_table(spark, "elev")
+    got = (
+        contour_stats(tiles, LEVELS)
+        .toPandas()
+        .sort_values("level")
+        .reset_index(drop=True)
+    )
+    ix, iy = np.meshgrid(np.arange(RASTER_W), np.arange(RASTER_H))
+    full = elev_value(ix, iy).astype(np.float64)
+    exp = contour_stats_per_level(full, LEVELS)
+    for (lv, n, ln), row in zip(exp, got.itertuples()):
+        assert row.level == lv
+        assert row.n_segments == n
+        assert np.isclose(row.total_length, ln)

@@ -74,6 +74,16 @@ def test_cosine_topk_self_excluded_and_symmetric_sanity(spark):
     assert (got["vec_id"] != got["neighbor_id"]).all()
 
 
+def test_ivf_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, k=5).toPandas()
+    ivf = similarity.ivf_topk(emb, k=5, n_lists=16, n_probe=4).toPandas()
+    e = exact.groupby("vec_id")["neighbor_id"].apply(set)
+    a = ivf.groupby("vec_id")["neighbor_id"].apply(set)
+    recalls = [len(e[v] & a.get(v, set())) / 5 for v in e.index]
+    assert np.mean(recalls) > 0.45, np.mean(recalls)
+
+
 def test_ann_recall_vs_exact(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = similarity.cosine_topk(emb, k=5).toPandas()
