@@ -245,6 +245,20 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def q_extract_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source extractValues with priority routing: the patch
+    raster (elev+1000 in its window, noData outside) overrides the
+    base elevation (reference multi-raster routing raster.py:997-1008)."""
+    from geokit_spark.operators.extract_values import extract_values_multi
+    from geokit_spark.sources.tiles import patch_raster_table
+
+    return extract_values_multi(
+        _geo_docs(spark, sf_dir),
+        [tilesrc.raster_table(spark, "elev"), patch_raster_table(spark)],
+        "value",
+    )
+
+
 def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour statistics per level (reference
     contours raster.py:2044-2137; counts/lengths parity per SURVEY §7).
@@ -435,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtiles_zones": q_subtiles_zones,
         "extract_clip": q_extract_clip,
         "connected_components": q_connected_components,
+        "extract_multi": q_extract_multi,
         "contours": q_contours,
         "box_predicates": q_box_predicates,
         "mutate_vector": q_mutate_vector,
@@ -761,6 +776,23 @@ SELECT doc_id, ({total}) / CAST(9.0 AS DOUBLE) AS elev_avg3 FROM st
 """
 
 
+def _o_extract_multi() -> str:
+    from geokit_spark.sources.tiles import PATCH_X0, PATCH_X1, PATCH_Y0, PATCH_Y1
+
+    ix, iy = sqlgen.raster_cell_exprs("g.lon", "g.lat")
+    base = f"CAST({sqlgen.elev_expr(f'({ix})', f'({iy})')} AS DOUBLE)"
+    inpatch = (
+        f"({ix}) >= {PATCH_X0} AND ({ix}) < {PATCH_X1} "
+        f"AND ({iy}) >= {PATCH_Y0} AND ({iy}) < {PATCH_Y1}"
+    )
+    return f"""
+WITH {sqlgen.geocode_cte()}
+SELECT g.doc_id,
+  CASE WHEN {inpatch} THEN {base} + CAST('1000.0' AS DOUBLE) ELSE {base} END AS value
+FROM geo g
+"""
+
+
 def _o_box_predicates() -> str:
     from geokit_spark.operators.predicates import sql_box_predicates
 
@@ -934,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         # subtiles_zones / extract_clip / connected_components:
         # rows-only (mercator 1-ULP / polygon clipping / CC not
         # SQL-expressible); numpy-oracle pytest coverage instead
+        "extract_multi": _o_extract_multi(),
         "box_predicates": _o_box_predicates(),
         "mutate_vector": _o_mutate_vector(),
         "union_area_cells": _o_union_area_cells(),

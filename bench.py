@@ -13,7 +13,13 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     GEOKIT_BENCH_DOCS (default 2_000_000).
+     GEOKIT_BENCH_DOCS (default 20_000_000; light all-JVM stages run
+     at GEOKIT_LIGHT_MULT x that, default 4 -> 80M),
+     GEOKIT_BENCH_REPS (default 2, min-of-reps steady state),
+     GEOKIT_BENCH_CACHE (default 0: generation included — it is part
+     of the pipeline and keeps memory flat at any scale).
+The same settings produce BENCH/BASELINE.md via scripts/scaling_run.py,
+so per-round BENCH_r{N}.json and the baseline are directly comparable.
 """
 
 from __future__ import annotations
@@ -42,13 +48,12 @@ from geokit_spark.sources import tiles as tilesrc  # noqa: E402
 def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     """Returns {name: (seconds, rows_processed)}.
 
-    Env knobs (for the scaling run): GEOKIT_BENCH_REPS (default 3),
-    GEOKIT_BENCH_CACHE (default 1), GEOKIT_LIGHT_MULT (default 1 —
-    multiplies n_docs for the cheap all-JVM stages so they run long
-    enough to be compute-bound)."""
-    reps = int(os.environ.get("GEOKIT_BENCH_REPS", "3"))
-    use_cache = os.environ.get("GEOKIT_BENCH_CACHE", "1") != "0"
-    light_mult = int(os.environ.get("GEOKIT_LIGHT_MULT", "1"))
+    Stage order matters: the UDF-heavy joins run FIRST — the 80M-row
+    bulk JVM stages leave GC debt that (measured) slows a following
+    Arrow-UDF stage ~4x on this box."""
+    reps = int(os.environ.get("GEOKIT_BENCH_REPS", "2"))
+    use_cache = os.environ.get("GEOKIT_BENCH_CACHE", "0") != "0"
+    light_mult = int(os.environ.get("GEOKIT_LIGHT_MULT", "4"))
     parts = max(2 * cpus, 16)
 
     def make_pages(n):
@@ -82,15 +87,6 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
 
     cx, cy = cell_cols(F.col("lon"), F.col("lat"))
     timed(
-        "tiling_cell_counts",
-        lambda: pages_light.select(cx.alias("cx"), cy.alias("cy"))
-        .groupBy("cx", "cy")
-        .agg(F.count("*").alias("n"))
-        .agg(F.sum("n"), F.count("*"))
-        .collect(),
-        n_light,
-    )
-    timed(
         "pip_region_semi_join",
         lambda: spatial_join.docs_in_region(spark, pages.select("doc_id")).count(),
         n_docs,
@@ -104,13 +100,22 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         n_docs,
     )
     timed(
-        "extract_values",
-        lambda: ev.extract_values(pages_light, clc, "v").agg(F.sum("v")).collect(),
+        "knn_ring",
+        lambda: knn(spark, pages_light, k=5).collect(),
         n_light,
     )
     timed(
-        "knn_ring",
-        lambda: knn(spark, pages_light, k=5).collect(),
+        "tiling_cell_counts",
+        lambda: pages_light.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n"), F.count("*"))
+        .collect(),
+        n_light,
+    )
+    timed(
+        "extract_values",
+        lambda: ev.extract_values(pages_light, clc, "v").agg(F.sum("v")).collect(),
         n_light,
     )
     timed(
@@ -140,7 +145,7 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "2000000"))
+    n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "20000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 

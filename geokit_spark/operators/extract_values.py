@@ -127,6 +127,33 @@ def interpolate_bilinear(points: DataFrame, tiles: DataFrame) -> DataFrame:
     return out.select("doc_id", interp.alias("elev_bilinear"))
 
 
+def extract_values_multi(
+    points: DataFrame, sources: list[DataFrame], value_name: str = "value",
+    nodata: float = -9999.0,
+) -> DataFrame:
+    """Multi-source point lookup with priority routing (reference
+    extractValues bbox routing across rasters, raster.py:997-1008;
+    divided_raster fixture FIXTURES.md §8): later sources win where
+    they have data; points covered by no source -> null. One broadcast
+    join per source + a coalesce — no per-point routing loop."""
+    out = points.select("doc_id", "lon", "lat")
+    val_cols = []
+    for i, tiles in enumerate(sources):
+        v = extract_values(
+            points.select("doc_id", "lon", "lat"), tiles, f"_v{i}"
+        ).withColumn(
+            f"_v{i}",
+            F.when(F.col(f"_v{i}") == F.lit(nodata), F.lit(None)).otherwise(
+                F.col(f"_v{i}")
+            ),
+        )
+        out = out.join(v, "doc_id", "left")
+        val_cols.append(f"_v{i}")
+    # later sources take precedence (reference mosaic ordering)
+    merged = F.coalesce(*[F.col(c) for c in reversed(val_cols)])
+    return out.select("doc_id", merged.alias(value_name))
+
+
 def interpolate_average3(points: DataFrame, tiles: DataFrame) -> DataFrame:
     """interpolateValues mode='average' (window 3): mean of the 3x3
     neighborhood around each point's pixel (reference

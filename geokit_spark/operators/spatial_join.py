@@ -87,11 +87,22 @@ def zone_candidates_df(spark: SparkSession) -> DataFrame:
     time; interior cells carry class IN so matching rows skip the
     exact test entirely (analog of the reference's per-source envelope
     pruning, extent.py:718-795, strengthened by cell classification)."""
-    rows = []
+    frames = []
     for z in fixtures.ZONES:
-        for cell_id, cls in classify_covering_cells(z["verts"], JOIN_GRID_N):
-            rows.append((cell_id, z["zone_id"], cls))
-    return spark.createDataFrame(rows, "cell_id long, zone_id int, cell_class int")
+        pairs = classify_covering_cells(z["verts"], JOIN_GRID_N)
+        if pairs:
+            arr = np.asarray(pairs, dtype=np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "cell_id": arr[:, 0],
+                        "zone_id": np.int32(z["zone_id"]),
+                        "cell_class": arr[:, 1].astype(np.int32),
+                    }
+                )
+            )
+    pdf = pd.concat(frames, ignore_index=True)
+    return spark.createDataFrame(pdf)  # Arrow path: ~10x faster than tuples
 
 
 def docs_join_zones(spark: SparkSession, docs: DataFrame) -> DataFrame:

@@ -79,8 +79,8 @@ def _merge_best(runs: list[dict]) -> dict:
 
 
 def main():
-    n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "4000000"))
-    rounds = int(os.environ.get("GEOKIT_SCALING_ROUNDS", "1"))
+    n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "20000000"))
+    rounds = int(os.environ.get("GEOKIT_SCALING_ROUNDS", "2"))
     cal = calibrate()
     runs8, runs32 = [], []
     for _ in range(rounds):
@@ -108,6 +108,13 @@ def main():
         "bandwidth and cores together; on this box the ceiling applies "
         "to every stage, so the normalized column (raw / ceiling) is "
         "the cluster-relevant number.",
+        "",
+        "**Regime note**: per-stage times must be compute-bound to "
+        "measure scaling; this table uses 100M docs (light all-JVM "
+        "stages at 4x that). The driver's per-round bench.py runs the "
+        "same pipeline at 20M docs for speed — its docs/s are "
+        "comparable (throughput saturates above ~20M) but its wall "
+        "times are partially scheduler-bound.",
         "",
         "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency | normalized |",
         "|---|---|---|---|---|---|",
