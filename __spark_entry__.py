@@ -166,6 +166,23 @@ def q_mosaic_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_sums(mosaic_last_wins([elev, patch]))
 
 
+def q_indicate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indicateFeatures: where-filter zones (designate='B'), rasterize
+    onto the region grid, apply the region mask -> covered fraction
+    (regionmask.py:1293-1583)."""
+    from geokit_spark.operators.indicate import indicate_features
+
+    return indicate_features(tilesrc.raster_table(spark, "elev"), "B")
+
+
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming <= 3 on the 16-bit sketch over
+    blocked candidates."""
+    from geokit_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via cell-ring expansion (north rule; SURVEY.md §2.3 kNN row)."""
     from geokit_spark.functions.geo import grid_cell_id
@@ -461,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
+        "indicate_features": q_indicate_features,
         "embed_topk": q_embed_topk,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -899,6 +918,57 @@ SELECT doc_id, {ts.simhash_expr('s')} AS simhash FROM sh
 """
 
 
+def _o_simhash_near() -> str:
+    from geokit_spark.oracle import textsql as ts
+
+    sh_expr = ts.simhash_expr("s")
+    return f"""
+WITH {ts.shingles_cte()},
+hs AS (SELECT doc_id, lang, n_chars, {sh_expr} AS h FROM sh),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS h_a, b.h AS h_b
+  FROM hs a JOIN hs b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 30
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+"""
+
+
+def _o_indicate_features() -> str:
+    cross_r = sqlgen.pip_crossings_expr("p.px", "p.py")
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+redges(x1, y1, x2, y2) AS (VALUES {fixtures.sql_region_edges_values()}),
+rmask AS (
+  SELECT p.ix, p.iy, p.px, p.py
+  FROM pix p CROSS JOIN redges
+  GROUP BY p.ix, p.iy, p.px, p.py
+  HAVING SUM({cross_r}) % 2 = 1
+),
+zedges(zone_id, x1, y1, x2, y2) AS (VALUES {fixtures.sql_zone_edges_values()}),
+zattr(zone_id, site_code, year, designate, bxmin, bymin, bxmax, bymax) AS (
+  VALUES {fixtures.sql_zone_attr_values()}
+),
+bsel AS (SELECT * FROM zattr WHERE designate = 'B'),
+cov AS (
+  SELECT m.ix, m.iy
+  FROM rmask m JOIN bsel z
+    ON m.px >= z.bxmin AND m.px <= z.bxmax
+   AND m.py >= z.bymin AND m.py <= z.bymax
+  JOIN zedges e ON e.zone_id = z.zone_id
+  GROUP BY m.ix, m.iy, m.px, m.py, z.zone_id
+  HAVING SUM({sqlgen.pip_crossings_expr("m.px", "m.py", "e.x1", "e.y1", "e.x2", "e.y2")}) % 2 = 1
+),
+covu AS (SELECT ix, iy FROM cov GROUP BY ix, iy)
+SELECT (SELECT COUNT(*) FROM rmask) AS n_region_pix,
+       (SELECT COUNT(*) FROM covu) AS n_covered,
+       CAST((SELECT COUNT(*) FROM covu) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM rmask) AS DOUBLE) AS frac
+"""
+
+
 def _o_embed_topk() -> str:
     from geokit_spark.oracle import textsql as ts
 
@@ -977,6 +1047,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _o_ngram_jaccard(),
         "minhash_lsh": _o_minhash_lsh(),
         "simhash": _o_simhash(),
+        "simhash_near": _o_simhash_near(),
+        "indicate_features": _o_indicate_features(),
         "embed_topk": _o_embed_topk(),
         # ann_topk / ivf_topk: approximate -> rows-only checks
         # (recall pytest-verified in tests/test_text_dedup.py)

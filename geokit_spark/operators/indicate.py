@@ -83,6 +83,69 @@ def sql_classifier_expr(value: str, col: str) -> str:
     return " OR ".join(parts)
 
 
+def indicate_features(
+    tiles: DataFrame, designate: str, region_verts=None
+) -> DataFrame:
+    """indicateFeatures (regionmask.py:1293-1583): filter the zones by
+    an attribute `where` (designate class), rasterize them onto the
+    region grid, apply the region mask — output the covered fraction:
+    (n_region_pix, n_covered, frac).
+
+    Physical shape: one mapInPandas over tiles testing pixel centers
+    against (a) the broadcast region polygon and (b) the filtered zone
+    polygons; exact integer partials -> final single-row agg."""
+    import pandas as pd
+
+    from .. import fixtures
+    from ..kernels.pip import points_in_poly
+    from ..kernels.raster_fields import pixel_center
+    from ..sources.tiles import tile_pixel_indices
+    from .zonal import _tile_bbox
+
+    region = region_verts if region_verts is not None else fixtures.REGION_VERTS
+    zsel = [
+        (z["verts"], fixtures.poly_bbox(z["verts"]))
+        for z in fixtures.ZONES
+        if z["designate"] == designate
+    ]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                bx0, by0, bx1, by1 = _tile_bbox(tx, ty)
+                gx, gy = tile_pixel_indices(tx, ty)
+                px, py = pixel_center(gx, gy)
+                in_region = points_in_poly(px, py, region)
+                if not in_region.any():
+                    continue
+                covered = np.zeros(len(px), dtype=bool)
+                for verts, (zx0, zy0, zx1, zy1) in zsel:
+                    if zx1 < bx0 or zx0 > bx1 or zy1 < by0 or zy0 > by1:
+                        continue
+                    covered |= points_in_poly(px, py, verts)
+                rows.append(
+                    {
+                        "n_region": int(in_region.sum()),
+                        "n_covered": int((in_region & covered).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["n_region", "n_covered"])
+
+    p = tiles.mapInPandas(fn, schema="n_region long, n_covered long")
+    return p.agg(
+        F.sum("n_region").alias("n_region_pix"),
+        F.sum("n_covered").alias("n_covered"),
+    ).select(
+        "n_region_pix",
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_region_pix").cast("double")).alias(
+            "frac"
+        ),
+    )
+
+
 def indicate_values(tiles: DataFrame, value: str, zones=None) -> DataFrame:
     """Per-zone fractional membership of DSL-matching pixels:
     (zone_id, n_pix, n_match, frac)."""

@@ -43,11 +43,21 @@ def _in_region_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     return pd.Series(inside)
 
 
+_REGION_CELL_CACHE: dict[int, pd.DataFrame] = {}
+
+
 def docs_in_region(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Semi-join: documents whose geocoded point lies in the region
     polygon. Interior-cell rows bypass the exact test entirely."""
-    cell_rows = classify_covering_cells(fixtures.REGION_VERTS, JOIN_GRID_N)
-    cell_df = spark.createDataFrame(cell_rows, "cell_id long, cell_class int")
+    if JOIN_GRID_N not in _REGION_CELL_CACHE:
+        arr = np.asarray(
+            classify_covering_cells(fixtures.REGION_VERTS, JOIN_GRID_N),
+            dtype=np.int64,
+        )
+        _REGION_CELL_CACHE[JOIN_GRID_N] = pd.DataFrame(
+            {"cell_id": arr[:, 0], "cell_class": arr[:, 1].astype(np.int32)}
+        )
+    cell_df = spark.createDataFrame(_REGION_CELL_CACHE[JOIN_GRID_N])
 
     pts = with_geocode(docs).withColumn(
         "cell_id", join_cell_id(F.col("lon"), F.col("lat"))
@@ -81,28 +91,38 @@ def _in_zone_udf(lon: pd.Series, lat: pd.Series, zone_id: pd.Series) -> pd.Serie
     return pd.Series(out)
 
 
+_ZONE_CAND_CACHE: dict[int, pd.DataFrame] = {}
+
+
+def _zone_candidates_pdf() -> pd.DataFrame:
+    """Driver-side candidate map build, memoized per grid resolution
+    (the classification is pure function of the fixture constants)."""
+    if JOIN_GRID_N not in _ZONE_CAND_CACHE:
+        frames = []
+        for z in fixtures.ZONES:
+            pairs = classify_covering_cells(z["verts"], JOIN_GRID_N)
+            if pairs:
+                arr = np.asarray(pairs, dtype=np.int64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cell_id": arr[:, 0],
+                            "zone_id": np.int32(z["zone_id"]),
+                            "cell_class": arr[:, 1].astype(np.int32),
+                        }
+                    )
+                )
+        _ZONE_CAND_CACHE[JOIN_GRID_N] = pd.concat(frames, ignore_index=True)
+    return _ZONE_CAND_CACHE[JOIN_GRID_N]
+
+
 def zone_candidates_df(spark: SparkSession) -> DataFrame:
     """Exploded (cell_id, zone_id, cell_class) map: the broadcast
     prefilter side. Cells fully outside a zone are dropped at build
     time; interior cells carry class IN so matching rows skip the
     exact test entirely (analog of the reference's per-source envelope
     pruning, extent.py:718-795, strengthened by cell classification)."""
-    frames = []
-    for z in fixtures.ZONES:
-        pairs = classify_covering_cells(z["verts"], JOIN_GRID_N)
-        if pairs:
-            arr = np.asarray(pairs, dtype=np.int64)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "cell_id": arr[:, 0],
-                        "zone_id": np.int32(z["zone_id"]),
-                        "cell_class": arr[:, 1].astype(np.int32),
-                    }
-                )
-            )
-    pdf = pd.concat(frames, ignore_index=True)
-    return spark.createDataFrame(pdf)  # Arrow path: ~10x faster than tuples
+    return spark.createDataFrame(_zone_candidates_pdf())  # Arrow path
 
 
 def docs_join_zones(spark: SparkSession, docs: DataFrame) -> DataFrame:
