@@ -26,37 +26,69 @@ OUT, IN, BOUNDARY = 0, 1, 2
 _EPS = 1e-9  # inflation swallowing float rounding at cell borders
 
 
+def _edges_cross_rects(vx, vy, x0, y0, dx, dy) -> np.ndarray:
+    """Exact segment-vs-rectangle intersection, vectorized over cells.
+
+    vx/vy: polygon vertices (closed ring handled by caller); x0/y0:
+    arrays of cell lower-left corners; dx/dy: cell size. Returns bool
+    (n_cells,): any polygon edge intersects the (slightly inflated)
+    cell rectangle. A segment intersects a rect iff their bboxes
+    overlap AND the rect's four corners are not all strictly on one
+    side of the segment's line. Exact (not just bbox-conservative), so
+    long diagonal edges don't smear a whole band of cells into the
+    BOUNDARY class."""
+    ex0 = np.minimum(vx, np.roll(vx, -1)) - _EPS
+    ex1 = np.maximum(vx, np.roll(vx, -1)) + _EPS
+    ey0 = np.minimum(vy, np.roll(vy, -1)) - _EPS
+    ey1 = np.maximum(vy, np.roll(vy, -1)) + _EPS
+    x1e = np.roll(vx, -1)
+    y1e = np.roll(vy, -1)
+
+    # bbox overlap (cells, edges)
+    bb = (
+        (ex0[None, :] <= (x0 + dx)[:, None])
+        & (x0[:, None] <= ex1[None, :])
+        & (ey0[None, :] <= (y0 + dy)[:, None])
+        & (y0[:, None] <= ey1[None, :])
+    )
+    # line-side test: sign of cross((p1-p0), (corner-p0)) per corner
+    exd = (x1e - vx)[None, :]
+    eyd = (y1e - vy)[None, :]
+    pos = np.zeros(bb.shape, dtype=bool)
+    neg = np.zeros(bb.shape, dtype=bool)
+    for cx, cy in (
+        (x0 - _EPS, y0 - _EPS),
+        (x0 + dx + _EPS, y0 - _EPS),
+        (x0 + dx + _EPS, y0 + dy + _EPS),
+        (x0 - _EPS, y0 + dy + _EPS),
+    ):
+        s = exd * (cy[:, None] - vy[None, :]) - eyd * (cx[:, None] - vx[None, :])
+        pos |= s > 0
+        neg |= s < 0
+    return (bb & pos & neg).any(axis=1)
+
+
 def classify_cells(verts, grid_n: int = GRID_N) -> np.ndarray:
     """Returns int8 array (grid_n, grid_n) indexed [cx, cy]."""
     vx = np.asarray([v[0] for v in verts], dtype=np.float64)
     vy = np.asarray([v[1] for v in verts], dtype=np.float64)
     if vx[0] == vx[-1] and vy[0] == vy[-1]:
         vx, vy = vx[:-1], vy[:-1]
-    ex0 = np.minimum(vx, np.roll(vx, -1)) - _EPS
-    ex1 = np.maximum(vx, np.roll(vx, -1)) + _EPS
-    ey0 = np.minimum(vy, np.roll(vy, -1)) - _EPS
-    ey1 = np.maximum(vy, np.roll(vy, -1)) + _EPS
-
     dx = XSPAN / grid_n
     dy = YSPAN / grid_n
     cls = np.zeros((grid_n, grid_n), dtype=np.int8)
-
-    # boundary marking: for each edge, mark overlapped cell range
-    for x0, x1, y0, y1 in zip(ex0, ex1, ey0, ey1):
-        cx0 = max(0, int(np.floor((x0 - XMIN) / dx)))
-        cx1 = min(grid_n - 1, int(np.floor((x1 - XMIN) / dx)))
-        cy0 = max(0, int(np.floor((y0 - YMIN) / dy)))
-        cy1 = min(grid_n - 1, int(np.floor((y1 - YMIN) / dy)))
-        cls[cx0 : cx1 + 1, cy0 : cy1 + 1] = BOUNDARY
-
-    # interior/exterior via center PIP for non-boundary cells
-    free = cls != BOUNDARY
-    cxs, cys = np.nonzero(free)
-    if len(cxs):
-        px = XMIN + (cxs + 0.5) * dx
-        py = YMIN + (cys + 0.5) * dy
-        inside = points_in_poly(px, py, list(zip(vx, vy)))
-        cls[cxs[inside], cys[inside]] = IN
+    cxs, cys = np.meshgrid(np.arange(grid_n), np.arange(grid_n), indexing="ij")
+    cxs, cys = cxs.ravel(), cys.ravel()
+    x0 = XMIN + cxs * dx
+    y0 = YMIN + cys * dy
+    bnd = _edges_cross_rects(vx, vy, x0, y0, dx, dy)
+    cls[cxs[bnd], cys[bnd]] = BOUNDARY
+    free = ~bnd
+    if free.any():
+        inside = points_in_poly(
+            x0[free] + dx / 2, y0[free] + dy / 2, list(zip(vx, vy))
+        )
+        cls[cxs[free][inside], cys[free][inside]] = IN
     return cls
 
 
@@ -72,11 +104,6 @@ def classify_covering_cells(verts, grid_n: int = GRID_N) -> list[tuple[int, int]
     vy = np.asarray([v[1] for v in verts], dtype=np.float64)
     if vx[0] == vx[-1] and vy[0] == vy[-1]:
         vx, vy = vx[:-1], vy[:-1]
-    ex0 = np.minimum(vx, np.roll(vx, -1)) - _EPS
-    ex1 = np.maximum(vx, np.roll(vx, -1)) + _EPS
-    ey0 = np.minimum(vy, np.roll(vy, -1)) - _EPS
-    ey1 = np.maximum(vy, np.roll(vy, -1)) + _EPS
-
     dx = XSPAN / grid_n
     dy = YSPAN / grid_n
     cover = fixtures.covering_cells(verts, grid_n=grid_n)
@@ -86,14 +113,43 @@ def classify_covering_cells(verts, grid_n: int = GRID_N) -> list[tuple[int, int]
     cys = np.array([c[1] for c in cover], dtype=np.int64)
     x0 = XMIN + cxs * dx
     y0 = YMIN + cys * dy
-    # (cells, edges) bbox-overlap test
-    bnd = (
-        (ex0[None, :] <= (x0 + dx)[:, None])
-        & (x0[:, None] <= ex1[None, :])
-        & (ey0[None, :] <= (y0 + dy)[:, None])
-        & (y0[:, None] <= ey1[None, :])
-    ).any(axis=1)
+    bnd = _edges_cross_rects(vx, vy, x0, y0, dx, dy)
     ids = cxs * grid_n + cys
+    out = [(int(i), BOUNDARY) for i in ids[bnd]]
+    free = ~bnd
+    if free.any():
+        inside = points_in_poly(x0[free] + dx / 2, y0[free] + dy / 2, verts)
+        out.extend((int(i), IN) for i in ids[free][inside])
+    return out
+
+
+def classify_subcells(
+    verts, parent_cells: list[int], parent_n: int, factor: int
+) -> list[tuple[int, int]]:
+    """Adaptive resolution refinement (north rule): re-classify the
+    f x f subcells of the given parent cells at grid parent_n*factor.
+    Returns [(fine_cell_id, class)] with OUT dropped — a boundary-cell
+    row that finds no fine match is therefore outside the polygon.
+    Same conservative edge-bbox argument as classify_covering_cells."""
+    vx = np.asarray([v[0] for v in verts], dtype=np.float64)
+    vy = np.asarray([v[1] for v in verts], dtype=np.float64)
+    if vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]
+    fine_n = parent_n * factor
+    dx = XSPAN / fine_n
+    dy = YSPAN / fine_n
+    pc = np.asarray(parent_cells, dtype=np.int64)
+    pcx = pc // parent_n
+    pcy = pc % parent_n
+    sub = np.arange(factor, dtype=np.int64)
+    sx, sy = np.meshgrid(sub, sub, indexing="ij")
+    # fine cell indices for every (parent, subcell)
+    fx = (pcx[:, None] * factor + sx.ravel()[None, :]).ravel()
+    fy = (pcy[:, None] * factor + sy.ravel()[None, :]).ravel()
+    x0 = XMIN + fx * dx
+    y0 = YMIN + fy * dy
+    bnd = _edges_cross_rects(vx, vy, x0, y0, dx, dy)
+    ids = fx * fine_n + fy
     out = [(int(i), BOUNDARY) for i in ids[bnd]]
     free = ~bnd
     if free.any():

@@ -26,10 +26,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import fixtures
-from ..constants import JOIN_GRID_N
+from ..constants import JOIN_GRID_N, XMIN, XSPAN, YMIN, YSPAN
 from ..functions.geo import join_cell_id, with_geocode
-from ..kernels.cells import BOUNDARY, IN, classify_covering_cells
+from ..kernels.cells import (
+    BOUNDARY,
+    IN,
+    classify_covering_cells,
+    classify_subcells,
+)
 from ..kernels.pip import points_in_poly
+
+# adaptive resolution refinement (north rule): boundary cells of the
+# coarse join grid are re-classified at REFINE x finer resolution, so
+# the exact-PIP UDF only sees the fine boundary band
+REFINE = 8
+FINE_N = JOIN_GRID_N * REFINE
 
 # ---------------------------------------------------------------------------
 # region (single polygon) semi-join
@@ -125,19 +136,86 @@ def zone_candidates_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_zone_candidates_pdf())  # Arrow path
 
 
-def docs_join_zones(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _zone_fine_pdf() -> pd.DataFrame:
+    """Level-2 refinement map: boundary coarse cells re-classified at
+    FINE_N (north rule: adaptive resolution refinement). Memoized."""
+    key = (JOIN_GRID_N, REFINE)
+    if key not in _ZONE_CAND_CACHE:
+        coarse = _zone_candidates_pdf()
+        frames = []
+        for z in fixtures.ZONES:
+            zb = coarse[
+                (coarse.zone_id == z["zone_id"])
+                & (coarse.cell_class == BOUNDARY)
+            ]
+            fine = classify_subcells(
+                z["verts"], zb["cell_id"].tolist(), JOIN_GRID_N, REFINE
+            )
+            if fine:
+                arr = np.asarray(fine, dtype=np.int64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "fine_id": arr[:, 0],
+                            "zone_id": np.int32(z["zone_id"]),
+                            "fine_class": arr[:, 1].astype(np.int32),
+                        }
+                    )
+                )
+        _ZONE_CAND_CACHE[key] = pd.concat(frames, ignore_index=True)
+    return _ZONE_CAND_CACHE[key]
+
+
+def _fine_cell_col():
+    fx = F.floor((F.col("lon") - F.lit(XMIN)) * F.lit(FINE_N / XSPAN))
+    fy = F.floor((F.col("lat") - F.lit(YMIN)) * F.lit(FINE_N / YSPAN))
+    fx = F.least(F.greatest(fx, F.lit(0)), F.lit(FINE_N - 1))
+    fy = F.least(F.greatest(fy, F.lit(0)), F.lit(FINE_N - 1))
+    return fx * F.lit(FINE_N) + fy
+
+
+def docs_join_zones(
+    spark: SparkSession, docs: DataFrame, refine: bool = False
+) -> DataFrame:
     """Inner spatial join: (doc, zone) pairs where the doc's point is
     inside the zone polygon. One doc may match several overlapping
     zones (the fixtures overlap by construction). Only boundary-cell
     candidates reach the Python refine; interior-cell candidates are
-    accepted JVM-side."""
+    accepted JVM-side.
+
+    refine=True adds the level-2 adaptive resolution split (north
+    rule): boundary rows re-key at FINE_N against a refinement map, so
+    only the thin fine band hits the UDF. Measured trade-off on this
+    box: the extra broadcast join + third union branch costs more than
+    the UDF it saves for these 4-vertex zones (ray-casting 4 edges is
+    ~as cheap as the join) — it pays off when polygons are complex
+    enough that exact PIP dominates (100+-vertex coastlines etc.)."""
     cand = zone_candidates_df(spark)
     pts = with_geocode(docs).withColumn(
         "cell_id", join_cell_id(F.col("lon"), F.col("lat"))
     )
     pairs = pts.join(F.broadcast(cand), "cell_id", "inner")
-    interior = pairs.filter(F.col("cell_class") == IN)
-    boundary = pairs.filter(F.col("cell_class") == BOUNDARY).filter(
-        _in_zone_udf(F.col("lon"), F.col("lat"), F.col("zone_id"))
+    interior = pairs.filter(F.col("cell_class") == IN).drop("cell_class")
+
+    if not refine:
+        boundary = (
+            pairs.filter(F.col("cell_class") == BOUNDARY)
+            .drop("cell_class")
+            .filter(_in_zone_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
+        )
+        return interior.unionByName(boundary)
+
+    fine_map = spark.createDataFrame(_zone_fine_pdf())
+    bnd = (
+        pairs.filter(F.col("cell_class") == BOUNDARY)
+        .drop("cell_class")
+        .withColumn("fine_id", _fine_cell_col())
+        .join(F.broadcast(fine_map), ["fine_id", "zone_id"], "left")
     )
-    return interior.unionByName(boundary).drop("cell_class")
+    fine_in = bnd.filter(F.col("fine_class") == IN).drop("fine_id", "fine_class")
+    exact = (
+        bnd.filter(F.col("fine_class") == BOUNDARY)
+        .filter(_in_zone_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
+        .drop("fine_id", "fine_class")
+    )
+    return interior.unionByName(fine_in).unionByName(exact)
