@@ -97,6 +97,31 @@ def patch_raster_table(spark: SparkSession) -> DataFrame:
     )
 
 
+def save_raster(df: DataFrame, path: str):
+    """Persist a tile table (saveRasterAsTif analog,
+    raster.py:350-428): parquet partitioned by tile_x so window reads
+    prune on the tile key (the Iceberg partition-layout analog)."""
+    df.write.mode("overwrite").partitionBy("tile_x").parquet(path)
+
+
+def load_raster(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def raster_like(spark: SparkSession, template: DataFrame, fill: float = 0.0) -> DataFrame:
+    """createRasterLike (raster.py:350-428): same tile grid as the
+    template, constant fill."""
+    import pyspark.sql.functions as F
+
+    t2 = TILE_SIZE * TILE_SIZE
+    return template.select(
+        "tile_x",
+        "tile_y",
+        F.array_repeat(F.lit(float(fill)), t2).alias("data"),
+        F.lit(-9999.0).alias("nodata"),
+    )
+
+
 def raster_info(df: DataFrame) -> dict:
     """Raster schema/stats summary (reference rasterInfo,
     raster.py:770-858): tile grid, pixel count, value stats."""
