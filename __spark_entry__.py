@@ -166,6 +166,24 @@ def q_mosaic_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_sums(mosaic_last_wins([elev, patch]))
 
 
+def q_lang_zone_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over the spatial join output (SURVEY §2.4:
+    grouping sets are free via Catalyst once the join is expressed
+    relationally): doc counts per (lang x zone) with subtotals."""
+    pairs = spatial_join.docs_join_zones(spark, _docs(spark, sf_dir))
+    return (
+        pairs.cube("lang", "zone_id")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("zone_id").cast("string"), F.lit("ALL")).alias(
+                "zone"
+            ),
+            "n_docs",
+        )
+    )
+
+
 def q_indicate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """indicateFeatures: where-filter zones (designate='B'), rasterize
     onto the region grid, apply the region mask -> covered fraction
@@ -480,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
+        "lang_zone_cube": q_lang_zone_cube,
         "embed_topk": q_embed_topk,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -918,6 +937,38 @@ SELECT doc_id, {ts.simhash_expr('s')} AS simhash FROM sh
 """
 
 
+def _o_lang_zone_cube() -> str:
+    cross = sqlgen.pip_crossings_expr("c.lon", "c.lat", "e.x1", "e.y1", "e.x2", "e.y2")
+    return f"""
+WITH {sqlgen.geocode_cte()},
+zedges(zone_id, x1, y1, x2, y2) AS (VALUES {fixtures.sql_zone_edges_values()}),
+zbox(zone_id, bxmin, bymin, bxmax, bymax) AS (
+  SELECT zone_id, MIN(LEAST(x1, x2)), MIN(LEAST(y1, y2)),
+         MAX(GREATEST(x1, x2)), MAX(GREATEST(y1, y2))
+  FROM zedges GROUP BY zone_id
+),
+cand AS (
+  SELECT g.doc_id, g.lon, g.lat, z.zone_id
+  FROM geo g JOIN zbox z
+    ON g.lon >= z.bxmin AND g.lon <= z.bxmax
+   AND g.lat >= z.bymin AND g.lat <= z.bymax
+),
+hits AS (
+  SELECT c.doc_id, c.zone_id
+  FROM cand c JOIN zedges e USING (zone_id)
+  GROUP BY c.doc_id, c.zone_id, c.lon, c.lat
+  HAVING SUM({cross}) % 2 = 1
+),
+joined AS (
+  SELECT d.lang, h.zone_id FROM hits h JOIN documents d USING (doc_id)
+)
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(CAST(zone_id AS VARCHAR), 'ALL') AS zone,
+       COUNT(*) AS n_docs
+FROM joined GROUP BY CUBE (lang, zone_id)
+"""
+
+
 def _o_simhash_near() -> str:
     from geokit_spark.oracle import textsql as ts
 
@@ -1049,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(),
         "simhash_near": _o_simhash_near(),
         "indicate_features": _o_indicate_features(),
+        "lang_zone_cube": _o_lang_zone_cube(),
         "embed_topk": _o_embed_topk(),
         # ann_topk / ivf_topk: approximate -> rows-only checks
         # (recall pytest-verified in tests/test_text_dedup.py)
