@@ -166,6 +166,27 @@ def q_mosaic_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_sums(mosaic_last_wins([elev, patch]))
 
 
+def q_wkb_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB binary geometry column -> shoelace areas (SURVEY §1.7 data
+    model: BinaryType WKB + Arrow-batched parse; geom.py WKT/WKB
+    constructors geom.py:483-518)."""
+    from geokit_spark.operators.wkbops import wkb_areas
+
+    return wkb_areas(spark)
+
+
+def q_location_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocationSet epsilon-equality dedup (reference Location 1e-5 deg
+    hash equality, location.py:19-79): distinct geocoded locations on
+    the 1e-5 grid."""
+    d = _geo_docs(spark, sf_dir)
+    lonr = F.floor(F.col("lon") * F.lit(100000.0) + F.lit(0.5))
+    latr = F.floor(F.col("lat") * F.lit(100000.0) + F.lit(0.5))
+    return d.select(lonr.alias("lonr"), latr.alias("latr")).distinct().agg(
+        F.count("*").alias("n_locations")
+    )
+
+
 def q_lang_zone_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation over the spatial join output (SURVEY §2.4:
     grouping sets are free via Catalyst once the join is expressed
@@ -499,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
         "lang_zone_cube": q_lang_zone_cube,
+        "wkb_areas": q_wkb_areas,
+        "location_dedup": q_location_dedup,
         "embed_topk": q_embed_topk,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -937,6 +960,35 @@ SELECT doc_id, {ts.simhash_expr('s')} AS simhash FROM sh
 """
 
 
+def _o_wkb_areas() -> str:
+    from geokit_spark.operators.mutate import sql_zone_verts_values
+
+    # shoelace over the literal quad vertices, same term order as the
+    # WKB kernel's left-assoc accumulation
+    area = (
+        "((x1 * y2 - x2 * y1)"
+        " + (x2 * y3 - x3 * y2)"
+        " + (x3 * y4 - x4 * y3)"
+        " + (x4 * y1 - x1 * y4)) / CAST(2.0 AS DOUBLE)"
+    )
+    return f"""
+WITH zv(zone_id, x1, x2, x3, x4, y1, y2, y3, y4) AS (VALUES {sql_zone_verts_values()})
+SELECT zone_id, abs({area}) AS area FROM zv
+"""
+
+
+def _o_location_dedup() -> str:
+    return f"""
+WITH {sqlgen.geocode_cte()},
+r AS (
+  SELECT DISTINCT CAST(FLOOR(lon * CAST('100000.0' AS DOUBLE) + CAST('0.5' AS DOUBLE)) AS BIGINT) AS lonr,
+                  CAST(FLOOR(lat * CAST('100000.0' AS DOUBLE) + CAST('0.5' AS DOUBLE)) AS BIGINT) AS latr
+  FROM geo
+)
+SELECT COUNT(*) AS n_locations FROM r
+"""
+
+
 def _o_lang_zone_cube() -> str:
     cross = sqlgen.pip_crossings_expr("c.lon", "c.lat", "e.x1", "e.y1", "e.x2", "e.y2")
     return f"""
@@ -1101,6 +1153,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near": _o_simhash_near(),
         "indicate_features": _o_indicate_features(),
         "lang_zone_cube": _o_lang_zone_cube(),
+        "wkb_areas": _o_wkb_areas(),
+        "location_dedup": _o_location_dedup(),
         "embed_topk": _o_embed_topk(),
         # ann_topk / ivf_topk: approximate -> rows-only checks
         # (recall pytest-verified in tests/test_text_dedup.py)

@@ -103,6 +103,15 @@ class Extent:
         return xoff, yoff, xwin, ywin
 
 
+def tile_sources(template: str, tiles) -> list[str]:
+    """Template-expand {z}/{x}/{y} tile paths (reference
+    Extent.tileSources, extent.py:1501-1535): the partition-path
+    enumeration for cell-keyed external tile stores."""
+    return [
+        template.format(z=z, x=x, y=y) for x, y, z in tiles
+    ]
+
+
 def extract_matrix_window(tiles, extent: Extent):
     """Windowed raster read: filter the tile table to the tiles
     intersecting `extent` (reference extractMatrix, raster.py:433-583 —

@@ -1,0 +1,68 @@
+"""WKB geometry encoding/decoding (SURVEY §1.7 data model: geometry
+scalar = BinaryType WKB column — never a Python object per row).
+
+Pure-struct implementation of the OGC WKB spec for the types the
+engine carries (Point, Polygon with one outer ring); little-endian,
+2-D. The decode path is vectorized enough for pandas-UDF use (one
+frombuffer per geometry, no per-coordinate Python)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_LE = 1
+WKB_POINT = 1
+WKB_POLYGON = 3
+
+
+def point_wkb(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", _LE, WKB_POINT, x, y)
+
+
+def polygon_wkb(verts) -> bytes:
+    """Single-ring polygon; ring is closed automatically."""
+    pts = [(float(x), float(y)) for x, y in verts]
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    head = struct.pack("<BIII", _LE, WKB_POLYGON, 1, len(pts))
+    body = np.asarray(pts, dtype="<f8").tobytes()
+    return head + body
+
+
+def parse_wkb(buf: bytes):
+    """-> ("point", (x, y)) or ("polygon", ndarray (n, 2) closed ring).
+    Raises ValueError on unsupported types/endianness."""
+    if len(buf) < 5:
+        raise ValueError("truncated WKB")
+    endian, gtype = buf[0], int.from_bytes(buf[1:5], "little")
+    if endian != _LE:
+        raise ValueError("big-endian WKB not supported")
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from("<dd", buf, 5)
+        return "point", (x, y)
+    if gtype == WKB_POLYGON:
+        n_rings = int.from_bytes(buf[5:9], "little")
+        if n_rings < 1:
+            return "polygon", np.zeros((0, 2))
+        n_pts = int.from_bytes(buf[9:13], "little")
+        coords = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=13)
+        return "polygon", coords.reshape(n_pts, 2)
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def polygon_wkb_area(buf: bytes) -> float:
+    """Shoelace area straight from WKB bytes (explicit left-assoc term
+    order over the ring — mirrored by the SQL oracle for quads)."""
+    kind, coords = parse_wkb(buf)
+    if kind != "polygon" or len(coords) < 4:
+        return 0.0
+    x = coords[:-1, 0]
+    y = coords[:-1, 1]
+    x2 = np.roll(x, -1)
+    y2 = np.roll(y, -1)
+    s = 0.0
+    for t in x * y2 - x2 * y:  # fixed order: left-assoc accumulation
+        s = s + t
+    return abs(s / 2.0)

@@ -1,0 +1,43 @@
+"""WKB-column operators: the BinaryType geometry representation of
+SURVEY §1.7 (geometry scalar = WKB binary column + attributes).
+
+zones_wkb_df builds the zones feature table in WKB form; wkb_areas
+parses the binary column inside an Arrow-batched pandas UDF (one
+frombuffer per geometry) and computes shoelace areas — the pattern for
+any WKB-consuming kernel (PIP, clip, ...) over binary geometry
+columns ingested from external systems."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import fixtures
+from ..kernels.wkb import polygon_wkb, polygon_wkb_area
+
+
+def zones_wkb_df(spark: SparkSession) -> DataFrame:
+    """(zone_id, site_code, year, designate, geom binary)."""
+    rows = [
+        (z["zone_id"], z["site_code"], z["year"], z["designate"],
+         bytearray(polygon_wkb(z["verts"])))
+        for z in fixtures.ZONES
+    ]
+    return spark.createDataFrame(
+        rows,
+        "zone_id int, site_code string, year int, designate string, geom binary",
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _wkb_area_udf(geom: pd.Series) -> pd.Series:
+    return geom.map(lambda b: polygon_wkb_area(bytes(b)))
+
+
+def wkb_areas(spark: SparkSession) -> DataFrame:
+    """(zone_id, area) computed from the WKB binary column."""
+    return zones_wkb_df(spark).select(
+        "zone_id", _wkb_area_udf(F.col("geom")).alias("area")
+    )
