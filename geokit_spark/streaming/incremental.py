@@ -48,6 +48,64 @@ def stream_cell_counts(
     )
 
 
+def stream_cell_counts_stateful(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, out_path: str
+):
+    """Custom stateful operator via applyInPandasWithState: running
+    per-cell document counts with explicit state across micro-batches
+    (the task's custom-stateful-streaming pattern). Unlike the
+    groupBy-complete version, state is engine-managed per key and only
+    updated keys are emitted per batch (update semantics — the shape
+    that scales to unbounded key spaces)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    pts = with_geocode(src)
+    cx, cy = cell_cols(F.col("lon"), F.col("lat"))
+    keyed = pts.select(cx.alias("cell_x"), cy.alias("cell_y"))
+
+    def update(key, pdfs, state: GroupState):
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        total = (state.get[0] if state.exists else 0) + n_new
+        state.update((total,))
+        yield pd.DataFrame(
+            {"cell_x": [key[0]], "cell_y": [key[1]], "n_docs": [total]}
+        )
+
+    out = keyed.groupBy("cell_x", "cell_y").applyInPandasWithState(
+        update,
+        outputStructType="cell_x int, cell_y int, n_docs long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # foreachBatch parquet sink: the memory sink cannot recover from a
+    # checkpoint in update mode; appending micro-batch outputs (with
+    # the batch id) is also the lineage-friendly pattern — the latest
+    # batch per key is the current state
+    out_dir = out_path
+
+    def write_batch(bdf, batch_id: int):
+        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        out.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_events_windowed(
     spark: SparkSession, events: DataFrame
 ) -> DataFrame:

@@ -52,6 +52,42 @@ def test_stream_resumes_with_new_files(spark, docs, tmp_path):
     assert n2 == docs.count()
 
 
+def test_stateful_counts_across_restarts(spark, docs, tmp_path):
+    """applyInPandasWithState: state survives the checkpoint across
+    stream restarts; final totals equal the batch groupBy."""
+    from geokit_spark.streaming.incremental import stream_cell_counts_stateful
+
+    inp = str(tmp_path / "sin")
+    ck = str(tmp_path / "sck")
+    outp = str(tmp_path / "sout")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    half2 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang")
+    half1.write.mode("append").parquet(inp)
+    q = stream_cell_counts_stateful(spark, inp, ck, outp)
+    q.awaitTermination(180)
+    half2.write.mode("append").parquet(inp)
+    q2 = stream_cell_counts_stateful(spark, inp, ck, outp)
+    q2.awaitTermination(180)
+    # update-mode emissions are appended per batch; latest total wins
+    got = (
+        spark.read.parquet(outp)
+        .groupBy("cell_x", "cell_y")
+        .agg(F.max("n_docs").alias("n_docs"))
+        .toPandas().sort_values(["cell_x", "cell_y"]).reset_index(drop=True)
+    )
+    from geokit_spark.functions.geo import cell_cols, with_geocode
+
+    pts = with_geocode(docs.select("doc_id"))
+    cx, cy = cell_cols(F.col("lon"), F.col("lat"))
+    exp = (
+        pts.select(cx.alias("cell_x"), cy.alias("cell_y"))
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count("*").alias("n_docs"))
+        .toPandas().sort_values(["cell_x", "cell_y"]).reset_index(drop=True)
+    )
+    assert got.equals(exp)
+
+
 def test_events_windowed_batch_parity(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     got = stream_events_windowed(spark, events).toPandas()
