@@ -68,14 +68,19 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
-def _tile_labels(tiles: DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Run the distributed labeling; returns (summaries, edges) pandas
-    frames with globally-unique labels (tile_id * T^2 + local)."""
+def _tile_labels(
+    tiles: DataFrame, with_adjacency: bool = False
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Run the distributed labeling; returns (summaries, edges,
+    adjacency) pandas frames with globally-unique labels
+    (tile_id * T^2 + local). adjacency holds within-tile neighboring
+    label pairs (for sieve's largest-neighbor merge); cross-tile
+    adjacency comes from the edge strips."""
     t = TILE_SIZE
 
     def fn(batches):
         for pdf in batches:
-            srows, erows = [], []
+            srows, erows, arows = [], [], []
             for r in pdf.itertuples():
                 m = np.asarray(r.data, dtype=np.float64).reshape(t, t)
                 lab = label_block(m)
@@ -89,7 +94,7 @@ def _tile_labels(tiles: DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
                     srows.append(
                         {"kind": "s", "tile_x": r.tile_x, "tile_y": r.tile_y,
                          "side": "", "off": 0, "label": int(g), "value": float(v),
-                         "n": int(c)}
+                         "n": int(c), "label_b": 0}
                     )
                 for side, lv, vv in (
                     ("l", glab[:, 0], m[:, 0]), ("r", glab[:, -1], m[:, -1]),
@@ -99,27 +104,43 @@ def _tile_labels(tiles: DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
                         erows.append(
                             {"kind": "e", "tile_x": r.tile_x, "tile_y": r.tile_y,
                              "side": side, "off": off, "label": int(lv[off]),
-                             "value": float(vv[off]), "n": 0}
+                             "value": float(vv[off]), "n": 0, "label_b": 0}
                         )
-            yield pd.DataFrame(srows + erows)
+                if with_adjacency:
+                    # component-level neighbor pairs (deduped in-tile)
+                    pairs = set()
+                    a, b = glab[:, :-1], glab[:, 1:]
+                    diff = a != b
+                    pairs.update(zip(a[diff].tolist(), b[diff].tolist()))
+                    a, b = glab[:-1, :], glab[1:, :]
+                    diff = a != b
+                    pairs.update(zip(a[diff].tolist(), b[diff].tolist()))
+                    for la, lb in pairs:
+                        arows.append(
+                            {"kind": "a", "tile_x": r.tile_x, "tile_y": r.tile_y,
+                             "side": "", "off": 0, "label": int(la),
+                             "value": 0.0, "n": 0, "label_b": int(lb)}
+                        )
+            yield pd.DataFrame(srows + erows + arows)
 
     out = tiles.mapInPandas(
         fn,
         schema="kind string, tile_x int, tile_y int, side string, off int, "
-        "label long, value double, n long",
+        "label long, value double, n long, label_b long",
     ).toPandas()
-    return out[out.kind == "s"], out[out.kind == "e"]
+    return (
+        out[out.kind == "s"],
+        out[out.kind == "e"],
+        out[out.kind == "a"],
+    )
 
 
-def connected_components(tiles: DataFrame) -> pd.DataFrame:
-    """(value, n_components, n_pixels, max_component) across the whole
-    raster. Distributed labeling + driver seam merge."""
-    summaries, edges = _tile_labels(tiles)
+def _seam_union(summaries: pd.DataFrame, edges: pd.DataFrame) -> _UnionFind:
+    """Union-find over global labels with cross-tile seam merges:
+    right edge of (x,y) meets left edge of (x+1,y); bottom meets top."""
     uf = _UnionFind()
     for g in summaries["label"]:
         uf.find(int(g))
-    # seam merges: right edge of (x,y) meets left edge of (x+1,y);
-    # bottom edge of (x,y) meets top edge of (x,y+1)
     idx = {
         (r.tile_x, r.tile_y, r.side, r.off): (int(r.label), r.value)
         for r in edges.itertuples()
@@ -133,13 +154,23 @@ def connected_components(tiles: DataFrame) -> pd.DataFrame:
             continue
         if other is not None and other[1] == r.value:
             uf.union(int(r.label), other[0])
+    return uf
 
+
+def _components(summaries: pd.DataFrame, uf: _UnionFind) -> pd.DataFrame:
     roots = summaries["label"].map(lambda g: uf.find(int(g)))
-    comp = (
+    return (
         summaries.assign(root=roots)
         .groupby(["root", "value"], as_index=False)["n"]
         .sum()
     )
+
+
+def connected_components(tiles: DataFrame) -> pd.DataFrame:
+    """(value, n_components, n_pixels, max_component) across the whole
+    raster. Distributed labeling + driver seam merge."""
+    summaries, edges, _ = _tile_labels(tiles)
+    comp = _components(summaries, _seam_union(summaries, edges))
     return (
         comp.groupby("value", as_index=False)
         .agg(
@@ -153,16 +184,51 @@ def connected_components(tiles: DataFrame) -> pd.DataFrame:
 
 
 def sieve_small_components(tiles: DataFrame, min_size: int) -> pd.DataFrame:
-    """Sieve summary: per value, pixels surviving the min_size filter
-    (components smaller than min_size -> dropped; GDAL merges them into
-    the largest neighbor — documented deviation, counts/areas are the
-    parity artifact per SURVEY §7)."""
-    summaries, edges = _tile_labels(tiles)
-    uf = _UnionFind()
-    for g in summaries["label"]:
-        uf.find(int(g))
+    """Sieve summary (drop mode): per value, pixels surviving the
+    min_size filter. See sieve_merge for the GDAL largest-neighbor
+    merge semantics."""
+    summaries, edges, _ = _tile_labels(tiles)
+    comp = _components(summaries, _seam_union(summaries, edges))
+    kept = comp[comp["n"] >= min_size]
+    return (
+        kept.groupby("value", as_index=False)
+        .agg(n_components=("root", "count"), n_pixels=("n", "sum"))
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+
+
+def sieve_merge(tiles: DataFrame, min_size: int) -> pd.DataFrame:
+    """GDAL-style sieve (reference raster.sieve, raster.py:2426-2557):
+    components smaller than min_size are merged into their LARGEST
+    neighboring component (its value absorbs their pixels), processed
+    smallest-first so chains of tiny components collapse into the
+    dominant neighbor. Returns per-value pixel totals after merging —
+    total pixel count is invariant.
+
+    Adjacency is component-level: within-tile neighbor pairs from the
+    labeling stage + cross-seam pairs from the edge strips; all
+    root-mapped before merging."""
+    summaries, edges, adj = _tile_labels(tiles, with_adjacency=True)
+    uf = _seam_union(summaries, edges)
+    comp = _components(summaries, uf)
+    size = {int(r.root): int(r.n) for r in comp.itertuples()}
+    value = {int(r.root): float(r.value) for r in comp.itertuples()}
+
+    # adjacency between roots (within-tile pairs + seam pairs of
+    # differing value — same-value seam pairs were unioned already)
+    nbrs: dict[int, set[int]] = {r: set() for r in size}
+
+    def add_pair(a: int, b: int):
+        ra, rb = uf.find(a), uf.find(b)
+        if ra != rb:
+            nbrs[ra].add(rb)
+            nbrs[rb].add(ra)
+
+    for r in adj.itertuples():
+        add_pair(int(r.label), int(r.label_b))
     idx = {
-        (r.tile_x, r.tile_y, r.side, r.off): (int(r.label), r.value)
+        (r.tile_x, r.tile_y, r.side, r.off): int(r.label)
         for r in edges.itertuples()
     }
     for r in edges.itertuples():
@@ -172,18 +238,38 @@ def sieve_small_components(tiles: DataFrame, min_size: int) -> pd.DataFrame:
             other = idx.get((r.tile_x, r.tile_y + 1, "t", r.off))
         else:
             continue
-        if other is not None and other[1] == r.value:
-            uf.union(int(r.label), other[0])
-    roots = summaries["label"].map(lambda g: uf.find(int(g)))
-    comp = (
-        summaries.assign(root=roots)
-        .groupby(["root", "value"], as_index=False)["n"]
-        .sum()
-    )
-    kept = comp[comp["n"] >= min_size]
+        if other is not None:
+            add_pair(int(r.label), other)
+
+    # merge smallest-first into the largest current neighbor
+    merged_into: dict[int, int] = {}
+
+    def resolve(r: int) -> int:
+        while r in merged_into:
+            r = merged_into[r]
+        return r
+
+    for root in sorted(size, key=lambda r: size[r]):
+        if size[root] >= min_size:
+            continue
+        cand = {resolve(nb) for nb in nbrs.get(root, ())} - {root}
+        if not cand:
+            continue
+        target = max(cand, key=lambda r: size[r])
+        size[target] += size[root]
+        nbrs.setdefault(target, set()).update(
+            resolve(nb) for nb in nbrs.get(root, ()) if resolve(nb) != target
+        )
+        merged_into[root] = target
+        size[root] = 0
+
+    out: dict[float, int] = {}
+    for root, n in size.items():
+        if n > 0:
+            v = value[resolve(root)]
+            out[v] = out.get(v, 0) + n
     return (
-        kept.groupby("value", as_index=False)
-        .agg(n_components=("root", "count"), n_pixels=("n", "sum"))
-        .sort_values("value")
-        .reset_index(drop=True)
+        pd.DataFrame(
+            sorted(out.items()), columns=["value", "n_pixels"]
+        ).reset_index(drop=True)
     )

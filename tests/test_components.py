@@ -63,6 +63,39 @@ def test_connected_components_matches_full_matrix(spark, clc_tiles):
     assert got["max_component"].tolist() == exp["max_component"].tolist()
 
 
+def test_sieve_merge_preserves_pixels(spark, clc_tiles):
+    from geokit_spark.constants import RASTER_H, RASTER_W
+    from geokit_spark.operators.components import sieve_merge
+
+    merged = sieve_merge(clc_tiles, min_size=100)
+    assert merged["n_pixels"].sum() == RASTER_W * RASTER_H  # invariant
+    full = connected_components(clc_tiles)
+    base = full.set_index("value")["n_pixels"]
+    m = merged.set_index("value")["n_pixels"]
+    # values with only-small components lose pixels; big ones gain
+    assert (m.reindex(base.index).fillna(0) != base).any()
+
+
+def test_sieve_merge_hand_case(spark):
+    """3-tile-free hand case via a tiny custom tile table: a 1-pixel
+    island inside a sea must be absorbed into the sea's value."""
+    import pandas as pd
+
+    from geokit_spark.constants import TILE_SIZE
+    from geokit_spark.operators.components import sieve_merge
+
+    t = TILE_SIZE
+    m = np.full((t, t), 5.0)
+    m[10, 10] = 9.0  # island of size 1
+    pdf = pd.DataFrame(
+        [{"tile_x": 0, "tile_y": 0, "data": m.ravel(), "nodata": -9999.0}]
+    )
+    tiles = spark.createDataFrame(pdf)
+    out = sieve_merge(tiles, min_size=2).set_index("value")["n_pixels"]
+    assert 9.0 not in out.index
+    assert out[5.0] == t * t
+
+
 def test_sieve_drops_small(spark, clc_tiles):
     full = connected_components(clc_tiles)
     sieved = sieve_small_components(clc_tiles, min_size=100)
