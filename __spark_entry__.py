@@ -469,8 +469,8 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (rows-only check; recall vs the
-    exact baseline is pytest-verified in tests/test_similarity.py)."""
+    """LSH-bucketed approximate top-5 (recall vs the exact baseline is
+    pytest-verified in tests/test_text_dedup.py)."""
     from geokit_spark.operators.similarity import ann_topk
 
     return ann_topk(

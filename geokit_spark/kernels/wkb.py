@@ -44,9 +44,16 @@ def parse_wkb(buf: bytes):
         return "point", (x, y)
     if gtype == WKB_POLYGON:
         n_rings = int.from_bytes(buf[5:9], "little")
-        if n_rings < 1:
+        if n_rings == 0:
             return "polygon", np.zeros((0, 2))
+        if n_rings != 1:
+            raise ValueError(
+                f"multi-ring polygon WKB unsupported ({n_rings} rings); "
+                "the engine carries single-ring polygons only"
+            )
         n_pts = int.from_bytes(buf[9:13], "little")
+        if len(buf) < 13 + 16 * n_pts:
+            raise ValueError("truncated polygon WKB")
         coords = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=13)
         return "polygon", coords.reshape(n_pts, 2)
     raise ValueError(f"unsupported WKB geometry type {gtype}")

@@ -35,6 +35,17 @@ def test_parse_rejects_garbage():
         parse_wkb(b"\x00" + b"\x01\x00\x00\x00" + b"\x00" * 16)  # big-endian
 
 
+def test_parse_rejects_multi_ring_and_short_body():
+    # a holed polygon must raise, not silently parse its outer ring
+    ring = polygon_wkb([(0, 0), (4, 0), (4, 4), (0, 4)])
+    two_rings = ring[:5] + (2).to_bytes(4, "little") + ring[9:]
+    with pytest.raises(ValueError, match="multi-ring"):
+        parse_wkb(two_rings)
+    # body shorter than the declared point count must raise
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wkb(ring[:-8])
+
+
 def test_wkb_areas_spark(spark):
     from geokit_spark.operators.wkbops import wkb_areas
 
