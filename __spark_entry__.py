@@ -74,6 +74,18 @@ def q_pip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inside.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+def q_pip_region2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-API spatial semi-join: the SAME operator as pip_region
+    but over a second, independent polygon (fixtures.REGION2_VERTS)
+    passed as a parameter — proving the polygon side is an input, not
+    a closure constant (reference contract: any geometry filters any
+    layer, vector.py:290-455)."""
+    inside = spatial_join.docs_in_polygon(
+        spark, _docs(spark, sf_dir), fixtures.REGION2_VERTS
+    )
+    return inside.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
 def q_pip_zones_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner spatial join docs x zones -> docs per zone (flagship;
     reference sjoin semantics, vector.py:1851-1901)."""
@@ -488,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_cells": q_geocode_cells,
         "cell_counts": q_cell_counts,
         "pip_region": q_pip_region,
+        "pip_region2": q_pip_region2,
         "pip_zones_join": q_pip_zones_join,
         "extract_values": q_extract_values,
         "interp_bilinear": q_interp_bilinear,
@@ -559,6 +572,23 @@ def _o_pip_region() -> str:
     return f"""
 WITH {sqlgen.geocode_cte()},
 edges(x1, y1, x2, y2) AS (VALUES {fixtures.sql_region_edges_values()}),
+hits AS (
+  SELECT g.doc_id
+  FROM geo g CROSS JOIN edges
+  GROUP BY g.doc_id
+  HAVING SUM({cross}) % 2 = 1
+)
+SELECT d.lang, COUNT(*) AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+def _o_pip_region2() -> str:
+    cross = sqlgen.pip_crossings_expr("g.lon", "g.lat")
+    return f"""
+WITH {sqlgen.geocode_cte()},
+edges(x1, y1, x2, y2) AS (VALUES {fixtures.sql_edges_values(fixtures.REGION2_VERTS)}),
 hits AS (
   SELECT g.doc_id
   FROM geo g CROSS JOIN edges
@@ -1122,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode_cells": _o_geocode_cells(),
         "cell_counts": _o_cell_counts(),
         "pip_region": _o_pip_region(),
+        "pip_region2": _o_pip_region2(),
         "pip_zones_join": _o_pip_zones_join(),
         "extract_values": _o_extract_values(),
         "interp_bilinear": _o_interp_bilinear(),

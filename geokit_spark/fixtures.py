@@ -116,6 +116,26 @@ REGION_VERTS: list[tuple[float, float]] = _make_region()
 ZONES: list[dict] = _make_zones()
 POINTS: list[dict] = _make_points()
 
+# A SECOND, independent polygon set exercising the general-API path
+# (the engine must take any polygon side as a parameter, not close
+# over one fixture): an 18-vertex star-convex polygon from a different
+# seed, offset toward the north-east quadrant of the bbox.
+def _make_region2(n_vertices: int = 18) -> list[tuple[float, float]]:
+    cx = XMIN + 0.62 * XSPAN
+    cy = YMIN + 0.58 * YSPAN
+    rx = 0.33 * XSPAN
+    ry = 0.36 * YSPAN
+    rng = _lcg_stream(20240)
+    verts = []
+    for k in range(n_vertices):
+        ang = 2.0 * math.pi * k / n_vertices
+        r = 0.50 + 0.45 * next(rng)
+        verts.append((cx + r * rx * math.cos(ang), cy + r * ry * math.sin(ang)))
+    return verts
+
+
+REGION2_VERTS: list[tuple[float, float]] = _make_region2()
+
 # boxes.shp analog: unit box, 2x2 box, 3x3 box — pairwise corner-touching
 BOXES = [
     {"name": "harry", "smart": 0, "verts": [(0, 0), (1, 0), (1, 1), (0, 1)]},
@@ -124,24 +144,8 @@ BOXES = [
 ]
 
 
-def poly_bbox(verts) -> tuple[float, float, float, float]:
-    xs = [v[0] for v in verts]
-    ys = [v[1] for v in verts]
-    return min(xs), min(ys), max(xs), max(ys)
-
-
-def covering_cells(verts, pad: int = 0, grid_n: int = GRID_N) -> list[tuple[int, int]]:
-    """Grid cells (grid_n x grid_n over the bbox) covering a polygon's
-    envelope — the engine's spatial-join prefilter key set (the analog
-    of the reference's bbox SetSpatialFilter, vector.py:144-160)."""
-    inv_x = grid_n / XSPAN
-    inv_y = grid_n / YSPAN
-    bx0, by0, bx1, by1 = poly_bbox(verts)
-    cx0 = max(0, int(math.floor((bx0 - XMIN) * inv_x)) - pad)
-    cx1 = min(grid_n - 1, int(math.floor((bx1 - XMIN) * inv_x)) + pad)
-    cy0 = max(0, int(math.floor((by0 - YMIN) * inv_y)) - pad)
-    cy1 = min(grid_n - 1, int(math.floor((by1 - YMIN) * inv_y)) + pad)
-    return [(cx, cy) for cx in range(cx0, cx1 + 1) for cy in range(cy0, cy1 + 1)]
+# pure grid helpers live in kernels.cells; re-exported here for callers
+from .kernels.cells import covering_cells, poly_bbox  # noqa: E402,F401
 
 
 def _dl(x: float) -> str:
@@ -176,6 +180,17 @@ def sql_zone_attr_values() -> str:
             f"({z['zone_id']},'{z['site_code']}',{z['year']},"
             f"'{z['designate']}',{_dl(b[0])},{_dl(b[1])},{_dl(b[2])},{_dl(b[3])})"
         )
+    return ",".join(rows)
+
+
+def sql_edges_values(verts) -> str:
+    """DuckDB VALUES literal of a polygon's directed edges."""
+    rows = []
+    v = verts
+    for i in range(len(v)):
+        x1, y1 = v[i]
+        x2, y2 = v[(i + 1) % len(v)]
+        rows.append(f"({_dl(x1)},{_dl(y1)},{_dl(x2)},{_dl(y2)})")
     return ",".join(rows)
 
 

@@ -26,6 +26,28 @@ OUT, IN, BOUNDARY = 0, 1, 2
 _EPS = 1e-9  # inflation swallowing float rounding at cell borders
 
 
+def poly_bbox(verts) -> tuple[float, float, float, float]:
+    xs = [v[0] for v in verts]
+    ys = [v[1] for v in verts]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def covering_cells(verts, pad: int = 0, grid_n: int = GRID_N) -> list[tuple[int, int]]:
+    """Grid cells (grid_n x grid_n over the bbox) covering a polygon's
+    envelope — the engine's spatial-join prefilter key set (the analog
+    of the reference's bbox SetSpatialFilter, vector.py:144-160)."""
+    import math
+
+    inv_x = grid_n / XSPAN
+    inv_y = grid_n / YSPAN
+    bx0, by0, bx1, by1 = poly_bbox(verts)
+    cx0 = max(0, int(math.floor((bx0 - XMIN) * inv_x)) - pad)
+    cx1 = min(grid_n - 1, int(math.floor((bx1 - XMIN) * inv_x)) + pad)
+    cy0 = max(0, int(math.floor((by0 - YMIN) * inv_y)) - pad)
+    cy1 = min(grid_n - 1, int(math.floor((by1 - YMIN) * inv_y)) + pad)
+    return [(cx, cy) for cx in range(cx0, cx1 + 1) for cy in range(cy0, cy1 + 1)]
+
+
 def _edges_cross_rects(vx, vy, x0, y0, dx, dy) -> np.ndarray:
     """Exact segment-vs-rectangle intersection, vectorized over cells.
 
@@ -98,15 +120,13 @@ def classify_covering_cells(verts, grid_n: int = GRID_N) -> list[tuple[int, int]
     never contain a member point, the bbox prefilter alone would have
     sent them to the exact test). Same conservative edge-bbox argument
     as classify_cells. Vectorized over the covering-cell grid."""
-    from .. import fixtures
-
     vx = np.asarray([v[0] for v in verts], dtype=np.float64)
     vy = np.asarray([v[1] for v in verts], dtype=np.float64)
     if vx[0] == vx[-1] and vy[0] == vy[-1]:
         vx, vy = vx[:-1], vy[:-1]
     dx = XSPAN / grid_n
     dy = YSPAN / grid_n
-    cover = fixtures.covering_cells(verts, grid_n=grid_n)
+    cover = covering_cells(verts, grid_n=grid_n)
     if not cover:
         return []
     cxs = np.array([c[0] for c in cover], dtype=np.int64)

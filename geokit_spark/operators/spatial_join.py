@@ -2,15 +2,21 @@
 
 Physical shape (the scale story):
 
-  pages ──geocode──► cell_id (pure JVM arithmetic, codegen)
-        ⋈ broadcast{cell_id → polygon candidates}      (hash join, no shuffle)
-        ──refine──► exact ray-casting PIP, Arrow-batched pandas UDF,
-                    applied ONLY to boundary-cell rows
+  points ──cell_id── (pure JVM arithmetic, codegen)
+         ⋈ broadcast{cell_id → polygon candidates}      (hash join, no shuffle)
+         ──refine──► exact ray-casting PIP, Arrow-batched pandas UDF,
+                     applied ONLY to boundary-cell rows
 
 At 1000 executors the broadcast side stays tiny (cells × candidate
-ids); the pages side never shuffles for a semi-join. Skewed hot cells
+ids); the points side never shuffles for a semi-join. Skewed hot cells
 are irrelevant here (map-side work only); they matter for groupBy
 stages, where AQE + salting handle them (see operators.knn and bench).
+
+The polygon side is a PARAMETER everywhere (vertex lists / feature
+dicts), matching the reference contract where any geometry can filter
+any layer (extractFeatures(geom=...), vector.py:290-455). The aachen
+analogs (fixtures.REGION_VERTS / fixtures.ZONES) are passed in by thin
+wrappers, not closed over by the operators.
 
 Semantics mirror the reference's extractFeatures(geom=...) /
 countFeatures spatial semi-join (vector.py:172-202, 290-455) and the
@@ -42,128 +48,148 @@ from ..kernels.pip import points_in_poly
 REFINE = 8
 FINE_N = JOIN_GRID_N * REFINE
 
-# ---------------------------------------------------------------------------
-# region (single polygon) semi-join
+
+def _verts_key(verts) -> tuple:
+    return tuple((float(x), float(y)) for x, y in verts)
 
 
-@F.pandas_udf(T.BooleanType())
-def _in_region_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    inside = points_in_poly(
-        lon.to_numpy(np.float64), lat.to_numpy(np.float64), fixtures.REGION_VERTS
-    )
-    return pd.Series(inside)
+def _polys_key(polys: dict) -> tuple:
+    return tuple(sorted((int(pid), _verts_key(v)) for pid, v in polys.items()))
 
 
-_REGION_CELL_CACHE: dict[int, pd.DataFrame] = {}
+def pip_udf(verts):
+    """Vectorized exact-PIP pandas UDF for ONE polygon, closing over
+    its vertex list (tiny; shipped with the serialized closure — the
+    broadcast-side of the two-phase join)."""
+    vlist = [(float(x), float(y)) for x, y in verts]
 
-
-def docs_in_region(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """Semi-join: documents whose geocoded point lies in the region
-    polygon. Interior-cell rows bypass the exact test entirely."""
-    if JOIN_GRID_N not in _REGION_CELL_CACHE:
-        arr = np.asarray(
-            classify_covering_cells(fixtures.REGION_VERTS, JOIN_GRID_N),
-            dtype=np.int64,
+    @F.pandas_udf(T.BooleanType())
+    def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        inside = points_in_poly(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), vlist
         )
-        _REGION_CELL_CACHE[JOIN_GRID_N] = pd.DataFrame(
+        return pd.Series(inside)
+
+    return _udf
+
+
+def pip_multi_udf(polys: dict):
+    """Exact-PIP pandas UDF where each row tests against its own
+    polygon id (post-join refinement). polys: {poly_id: verts}."""
+    pdict = {int(pid): [(float(x), float(y)) for x, y in v] for pid, v in polys.items()}
+
+    @F.pandas_udf(T.BooleanType())
+    def _udf(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        zid = poly_id.to_numpy(np.int64)
+        out = np.zeros(len(px), dtype=bool)
+        for z in np.unique(zid):
+            m = zid == z
+            out[m] = points_in_poly(px[m], py[m], pdict[int(z)])
+        return pd.Series(out)
+
+    return _udf
+
+
+# ---------------------------------------------------------------------------
+# single-polygon semi-join (general API)
+
+_CELL_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
+def _polygon_cells_pdf(verts, grid_n: int = JOIN_GRID_N) -> pd.DataFrame:
+    """Driver-side candidate map for one polygon, memoized on the
+    vertex values (pure function of the polygon + grid)."""
+    key = ("poly", _verts_key(verts), grid_n)
+    if key not in _CELL_CACHE:
+        arr = np.asarray(classify_covering_cells(verts, grid_n), dtype=np.int64)
+        _CELL_CACHE[key] = pd.DataFrame(
             {"cell_id": arr[:, 0], "cell_class": arr[:, 1].astype(np.int32)}
         )
-    cell_df = spark.createDataFrame(_REGION_CELL_CACHE[JOIN_GRID_N])
+    return _CELL_CACHE[key]
 
-    pts = with_geocode(docs).withColumn(
-        "cell_id", join_cell_id(F.col("lon"), F.col("lat"))
-    )
-    joined = pts.join(F.broadcast(cell_df), "cell_id", "inner")
+
+def points_in_polygon(spark: SparkSession, pts: DataFrame, verts) -> DataFrame:
+    """Spatial semi-join: rows of `pts` (needs lon/lat columns) whose
+    point lies inside the polygon. Interior-cell rows bypass the exact
+    test entirely; only the boundary band reaches Python."""
+    cell_df = spark.createDataFrame(_polygon_cells_pdf(verts))
+    keyed = pts.withColumn("cell_id", join_cell_id(F.col("lon"), F.col("lat")))
+    joined = keyed.join(F.broadcast(cell_df), "cell_id", "inner")
     interior = joined.filter(F.col("cell_class") == IN)
     boundary = joined.filter(F.col("cell_class") == BOUNDARY).filter(
-        _in_region_udf(F.col("lon"), F.col("lat"))
+        pip_udf(verts)(F.col("lon"), F.col("lat"))
     )
     return interior.unionByName(boundary).drop("cell_class")
 
 
+def docs_in_region(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Fixture wrapper: documents geocoded into the aachen-analog
+    region polygon."""
+    return docs_in_polygon(spark, docs, fixtures.REGION_VERTS)
+
+
+def docs_in_polygon(spark: SparkSession, docs: DataFrame, verts) -> DataFrame:
+    """Semi-join of geocoded documents vs an arbitrary polygon."""
+    return points_in_polygon(spark, with_geocode(docs), verts)
+
+
 # ---------------------------------------------------------------------------
-# zones (many polygons) inner join
+# many-polygons inner join (general API)
 
 
-def _zone_polys() -> dict[int, list[tuple[float, float]]]:
-    return {z["zone_id"]: z["verts"] for z in fixtures.ZONES}
-
-
-@F.pandas_udf(T.BooleanType())
-def _in_zone_udf(lon: pd.Series, lat: pd.Series, zone_id: pd.Series) -> pd.Series:
-    polys = _zone_polys()
-    px = lon.to_numpy(np.float64)
-    py = lat.to_numpy(np.float64)
-    zid = zone_id.to_numpy(np.int64)
-    out = np.zeros(len(px), dtype=bool)
-    for z in np.unique(zid):
-        m = zid == z
-        out[m] = points_in_poly(px[m], py[m], polys[int(z)])
-    return pd.Series(out)
-
-
-_ZONE_CAND_CACHE: dict[int, pd.DataFrame] = {}
-
-
-def _zone_candidates_pdf() -> pd.DataFrame:
-    """Driver-side candidate map build, memoized per grid resolution
-    (the classification is pure function of the fixture constants)."""
-    if JOIN_GRID_N not in _ZONE_CAND_CACHE:
+def _poly_candidates_pdf(polys: dict, grid_n: int = JOIN_GRID_N) -> pd.DataFrame:
+    """Exploded (cell_id, poly_id, cell_class) candidate map, memoized
+    on the polygon values. Cells fully outside a polygon are dropped at
+    build time; interior cells carry class IN so matching rows skip the
+    exact test entirely (analog of the reference's per-source envelope
+    pruning, extent.py:718-795, strengthened by cell classification)."""
+    key = ("set", _polys_key(polys), grid_n)
+    if key not in _CELL_CACHE:
         frames = []
-        for z in fixtures.ZONES:
-            pairs = classify_covering_cells(z["verts"], JOIN_GRID_N)
+        for pid, verts in polys.items():
+            pairs = classify_covering_cells(verts, grid_n)
             if pairs:
                 arr = np.asarray(pairs, dtype=np.int64)
                 frames.append(
                     pd.DataFrame(
                         {
                             "cell_id": arr[:, 0],
-                            "zone_id": np.int32(z["zone_id"]),
+                            "zone_id": np.int32(pid),
                             "cell_class": arr[:, 1].astype(np.int32),
                         }
                     )
                 )
-        _ZONE_CAND_CACHE[JOIN_GRID_N] = pd.concat(frames, ignore_index=True)
-    return _ZONE_CAND_CACHE[JOIN_GRID_N]
+        _CELL_CACHE[key] = pd.concat(frames, ignore_index=True)
+    return _CELL_CACHE[key]
 
 
-def zone_candidates_df(spark: SparkSession) -> DataFrame:
-    """Exploded (cell_id, zone_id, cell_class) map: the broadcast
-    prefilter side. Cells fully outside a zone are dropped at build
-    time; interior cells carry class IN so matching rows skip the
-    exact test entirely (analog of the reference's per-source envelope
-    pruning, extent.py:718-795, strengthened by cell classification)."""
-    return spark.createDataFrame(_zone_candidates_pdf())  # Arrow path
-
-
-def _zone_fine_pdf() -> pd.DataFrame:
+def _poly_fine_pdf(polys: dict, grid_n: int = JOIN_GRID_N) -> pd.DataFrame:
     """Level-2 refinement map: boundary coarse cells re-classified at
-    FINE_N (north rule: adaptive resolution refinement). Memoized."""
-    key = (JOIN_GRID_N, REFINE)
-    if key not in _ZONE_CAND_CACHE:
-        coarse = _zone_candidates_pdf()
+    grid_n*REFINE (north rule: adaptive resolution refinement)."""
+    key = ("fine", _polys_key(polys), grid_n, REFINE)
+    if key not in _CELL_CACHE:
+        coarse = _poly_candidates_pdf(polys, grid_n)
         frames = []
-        for z in fixtures.ZONES:
+        for pid, verts in polys.items():
             zb = coarse[
-                (coarse.zone_id == z["zone_id"])
-                & (coarse.cell_class == BOUNDARY)
+                (coarse.zone_id == int(pid)) & (coarse.cell_class == BOUNDARY)
             ]
-            fine = classify_subcells(
-                z["verts"], zb["cell_id"].tolist(), JOIN_GRID_N, REFINE
-            )
+            fine = classify_subcells(verts, zb["cell_id"].tolist(), grid_n, REFINE)
             if fine:
                 arr = np.asarray(fine, dtype=np.int64)
                 frames.append(
                     pd.DataFrame(
                         {
                             "fine_id": arr[:, 0],
-                            "zone_id": np.int32(z["zone_id"]),
+                            "zone_id": np.int32(pid),
                             "fine_class": arr[:, 1].astype(np.int32),
                         }
                     )
                 )
-        _ZONE_CAND_CACHE[key] = pd.concat(frames, ignore_index=True)
-    return _ZONE_CAND_CACHE[key]
+        _CELL_CACHE[key] = pd.concat(frames, ignore_index=True)
+    return _CELL_CACHE[key]
 
 
 def _fine_cell_col():
@@ -174,38 +200,38 @@ def _fine_cell_col():
     return fx * F.lit(FINE_N) + fy
 
 
-def docs_join_zones(
-    spark: SparkSession, docs: DataFrame, refine: bool = False
+def points_join_polygons(
+    spark: SparkSession, pts: DataFrame, polys: dict, refine: bool = False
 ) -> DataFrame:
-    """Inner spatial join: (doc, zone) pairs where the doc's point is
-    inside the zone polygon. One doc may match several overlapping
-    zones (the fixtures overlap by construction). Only boundary-cell
-    candidates reach the Python refine; interior-cell candidates are
-    accepted JVM-side.
+    """Inner spatial join: (point, zone_id) pairs where the point is
+    inside polys[zone_id]. `pts` needs lon/lat columns; polys is
+    {poly_id: verts} (arbitrary polygon set — the join's broadcast
+    side). One point may match several overlapping polygons. Only
+    boundary-cell candidates reach the Python refine; interior-cell
+    candidates are accepted JVM-side.
 
     refine=True adds the level-2 adaptive resolution split (north
     rule): boundary rows re-key at FINE_N against a refinement map, so
     only the thin fine band hits the UDF. Measured trade-off on this
     box: the extra broadcast join + third union branch costs more than
-    the UDF it saves for these 4-vertex zones (ray-casting 4 edges is
-    ~as cheap as the join) — it pays off when polygons are complex
-    enough that exact PIP dominates (100+-vertex coastlines etc.)."""
-    cand = zone_candidates_df(spark)
-    pts = with_geocode(docs).withColumn(
-        "cell_id", join_cell_id(F.col("lon"), F.col("lat"))
-    )
-    pairs = pts.join(F.broadcast(cand), "cell_id", "inner")
+    the UDF it saves for 4-vertex zones (ray-casting 4 edges is ~as
+    cheap as the join) — it pays off when polygons are complex enough
+    that exact PIP dominates (100+-vertex coastlines etc.)."""
+    cand = spark.createDataFrame(_poly_candidates_pdf(polys))
+    keyed = pts.withColumn("cell_id", join_cell_id(F.col("lon"), F.col("lat")))
+    pairs = keyed.join(F.broadcast(cand), "cell_id", "inner")
     interior = pairs.filter(F.col("cell_class") == IN).drop("cell_class")
+    exact_udf = pip_multi_udf(polys)
 
     if not refine:
         boundary = (
             pairs.filter(F.col("cell_class") == BOUNDARY)
             .drop("cell_class")
-            .filter(_in_zone_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
+            .filter(exact_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
         )
         return interior.unionByName(boundary)
 
-    fine_map = spark.createDataFrame(_zone_fine_pdf())
+    fine_map = spark.createDataFrame(_poly_fine_pdf(polys))
     bnd = (
         pairs.filter(F.col("cell_class") == BOUNDARY)
         .drop("cell_class")
@@ -215,7 +241,28 @@ def docs_join_zones(
     fine_in = bnd.filter(F.col("fine_class") == IN).drop("fine_id", "fine_class")
     exact = (
         bnd.filter(F.col("fine_class") == BOUNDARY)
-        .filter(_in_zone_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
+        .filter(exact_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
         .drop("fine_id", "fine_class")
     )
     return interior.unionByName(fine_in).unionByName(exact)
+
+
+def zones_dict(zones=None) -> dict:
+    """{zone_id: verts} for a zone feature list (fixtures.ZONES shape)."""
+    return {z["zone_id"]: z["verts"] for z in (zones or fixtures.ZONES)}
+
+
+def zone_candidates_df(spark: SparkSession) -> DataFrame:
+    """Fixture wrapper kept for callers that want the broadcast
+    prefilter side of the aachen-analog zones."""
+    return spark.createDataFrame(_poly_candidates_pdf(zones_dict()))
+
+
+def docs_join_zones(
+    spark: SparkSession, docs: DataFrame, refine: bool = False, zones=None
+) -> DataFrame:
+    """Inner spatial join of geocoded documents vs a zone feature list
+    (defaults to the aachen-analog fixtures)."""
+    return points_join_polygons(
+        spark, with_geocode(docs), zones_dict(zones), refine=refine
+    )

@@ -23,15 +23,17 @@ def test_refined_join_equals_unrefined(spark, docs):
 
 def test_fine_map_classes_sane():
     from geokit_spark.kernels.cells import BOUNDARY, IN
-    from geokit_spark.operators.spatial_join import _zone_fine_pdf
+    from geokit_spark.operators.spatial_join import (
+        _poly_candidates_pdf,
+        _poly_fine_pdf,
+        zones_dict,
+    )
 
-    pdf = _zone_fine_pdf()
+    pdf = _poly_fine_pdf(zones_dict())
     assert set(pdf["fine_class"].unique()) <= {IN, BOUNDARY}
     # refinement must shrink the boundary band: fine boundary cells per
     # zone << 64x the coarse boundary cells
-    from geokit_spark.operators.spatial_join import _zone_candidates_pdf
-
-    coarse = _zone_candidates_pdf()
+    coarse = _poly_candidates_pdf(zones_dict())
     n_coarse_bnd = (coarse.cell_class == BOUNDARY).sum()
     n_fine_bnd = (pdf.fine_class == BOUNDARY).sum()
     assert n_fine_bnd < n_coarse_bnd * 64 * 0.35

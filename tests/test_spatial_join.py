@@ -40,6 +40,57 @@ def test_docs_join_zones_matches_brute_force(spark, docs):
     assert set(map(tuple, got.values.tolist())) == expected
 
 
+def test_general_api_second_polygon(spark, docs):
+    """The polygon side is a parameter: the same operator over
+    REGION2_VERTS must match brute force (de-fixtured general API)."""
+    got = (
+        spatial_join.docs_in_polygon(spark, docs, fixtures.REGION2_VERTS)
+        .select("doc_id")
+        .toPandas()
+    )
+    ids = docs.select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
+    lon, lat = geocode(ids)
+    expected = set(ids[points_in_poly(lon, lat, fixtures.REGION2_VERTS)].tolist())
+    assert set(got["doc_id"]) == expected
+    assert len(got) == len(expected)
+
+
+def test_general_api_custom_polygon_set(spark, docs):
+    """points_join_polygons over an ad-hoc polygon dict (triangle +
+    pentagon) must match brute force — no fixture involvement."""
+    from geokit_spark.constants import XMIN, XSPAN, YMIN, YSPAN
+    import math
+
+    tri = [
+        (XMIN + 0.1 * XSPAN, YMIN + 0.1 * YSPAN),
+        (XMIN + 0.6 * XSPAN, YMIN + 0.2 * YSPAN),
+        (XMIN + 0.2 * XSPAN, YMIN + 0.7 * YSPAN),
+    ]
+    pent = [
+        (
+            XMIN + 0.7 * XSPAN + 0.25 * XSPAN * math.cos(2 * math.pi * k / 5),
+            YMIN + 0.6 * YSPAN + 0.25 * YSPAN * math.sin(2 * math.pi * k / 5),
+        )
+        for k in range(5)
+    ]
+    polys = {7: tri, 11: pent}
+    from geokit_spark.functions.geo import with_geocode
+
+    got = (
+        spatial_join.points_join_polygons(spark, with_geocode(docs), polys)
+        .select("doc_id", "zone_id")
+        .toPandas()
+    )
+    ids = docs.select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
+    lon, lat = geocode(ids)
+    expected = set()
+    for pid, verts in polys.items():
+        inside = points_in_poly(lon, lat, verts)
+        for d in ids[inside]:
+            expected.add((int(d), pid))
+    assert set(map(tuple, got.values.tolist())) == expected
+
+
 def test_zone_join_is_broadcast(spark, docs):
     plan = spatial_join.docs_join_zones(spark, docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
