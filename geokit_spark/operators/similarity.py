@@ -90,6 +90,153 @@ def lsh_bucket_col(table: int, emb_col: str = "embedding") -> F.Column:
     return bucket
 
 
+def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Ordered candidate pairs (id_a < id_b) sharing any table's LSH
+    bucket — the bucketed-equijoin candidate generator shared by
+    cosine_near_dup and ann_topk. Shuffles only (vec_id, bucket)
+    pairs; candidate volume is bounded by per-table bucket sizes."""
+    e = emb.select("vec_id", "embedding")
+    tabs = [e.withColumn("bucket", lsh_bucket_col(t)) for t in range(N_TABLES)]
+    buckets = tabs[0]
+    for m in tabs[1:]:
+        buckets = buckets.unionByName(m)
+    a = buckets.select(F.col("vec_id").alias("id_a"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: LSH-bucketed candidate
+    generation + exact float64 cosine verification (>= threshold).
+    Output = { LSH-candidate pairs with sim >= threshold } — the
+    deterministic contract the DuckDB oracle reproduces by computing
+    the same hyperplane buckets from the same LCG literals. The
+    all-pairs crossJoin variant survives as cosine_near_dup_exact for
+    small-sf recall cross-checks only."""
+    cand = lsh_candidate_pairs(emb)
+    av = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    ).withColumn("na", norm_col("ea"))
+    bv = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    ).withColumn("nb", norm_col("eb"))
+    scored = cand.join(av, "id_a").join(bv, "id_b")
+    sim = dot_col("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        scored.withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def cosine_near_dup_exact(emb: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """All-pairs exact near-dup (crossJoin): the small-sf recall
+    baseline for cosine_near_dup; never the scale path."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = dot_col("ea", "eb") / (norm_col("ea") * norm_col("eb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF with a fixed deterministic coarse quantizer (oracle-verifiable)
+
+IVF_N_LISTS = 16
+IVF_N_PROBE = 4
+
+
+def _lcg_centroid_component(j: int, dim: int) -> float:
+    """Deterministic raw centroid component in [-1, 1) (distinct salt
+    from the hyperplane stream)."""
+    state = (j * 7477 + dim * 104729 + 987654321) % 2147483648
+    state = (state * 1103515245 + 12345) % 2147483648
+    return state / 1073741824.0 - 1.0
+
+
+def ivf_centroids(n_lists: int = IVF_N_LISTS, dim: int = EMB_DIM):
+    """Unit-norm fixed centroids. At 100 TB the coarse quantizer is
+    trained OFFLINE and shipped as literals (exactly this shape); the
+    data-dependent Lloyd variant remains available as ivf_topk for
+    recall experiments (its float means are partitioning-order
+    dependent, so it stays pytest-verified rather than oracle-hashed)."""
+    cents = np.array(
+        [[_lcg_centroid_component(j, d) for d in range(dim)] for j in range(n_lists)],
+        dtype=np.float64,
+    )
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def _centroid_dot(emb_col: str, cent: np.ndarray) -> F.Column:
+    return F.aggregate(
+        F.zip_with(
+            F.col(emb_col),
+            F.array(*[F.lit(float(v)) for v in cent]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk_fixed(
+    emb: DataFrame, k: int = 5, n_lists: int = IVF_N_LISTS,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """IVF ANN with the fixed quantizer: every vector is assigned to
+    its best list (max centroid dot) and each query probes its n_probe
+    best lists; candidates come from an equijoin on list_id and are
+    re-scored exactly. All arithmetic is JVM-side column expressions
+    (sort of (-dot, list_id) structs), bit-reproducible by the SQL
+    oracle's ROW_NUMBER over (dot DESC, list_id)."""
+    cents = ivf_centroids(n_lists)
+    e = emb.select("vec_id", "embedding")
+    entries = F.array(
+        *[
+            F.struct(
+                (-_centroid_dot("embedding", cents[j])).alias("nd"),
+                F.lit(j).alias("list_id"),
+            )
+            for j in range(n_lists)
+        ]
+    )
+    ranked = e.withColumn("order", F.sort_array(entries))
+    assigned = ranked.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.element_at("order", 1).getField("list_id").alias("list_id"),
+    )
+    probes = ranked.select(
+        "vec_id",
+        F.col("embedding").alias("ea"),
+        F.explode(
+            F.transform(F.slice("order", 1, n_probe), lambda s: s.getField("list_id"))
+        ).alias("list_id"),
+    )
+    cand = probes.join(assigned, "list_id").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    cand = cand.withColumn("na", norm_col("ea")).withColumn("nb", norm_col("eb"))
+    sim = dot_col("ea", "eb") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )
+
+
 def ivf_topk(
     emb: DataFrame, k: int = 5, n_lists: int = 16, n_probe: int = 4,
     iters: int = 4,

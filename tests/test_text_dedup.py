@@ -92,3 +92,66 @@ def test_ann_recall_vs_exact(spark):
     a = ann.groupby("vec_id")["neighbor_id"].apply(set)
     recalls = [len(e[v] & a.get(v, set())) / 5 for v in e.index]
     assert np.mean(recalls) > 0.5, np.mean(recalls)
+
+
+def test_ivf_fixed_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, k=5).toPandas()
+    ivf = similarity.ivf_topk_fixed(emb, k=5).toPandas()
+    e = exact.groupby("vec_id")["neighbor_id"].apply(set)
+    a = ivf.groupby("vec_id")["neighbor_id"].apply(set)
+    recalls = [len(e[v] & a.get(v, set())) / 5 for v in e.index]
+    assert np.mean(recalls) > 0.4, np.mean(recalls)
+
+
+def test_near_dup_lsh_subset_and_recall(spark):
+    """cosine_near_dup (LSH candidates + exact verify) must be a
+    subset of the all-pairs exact result, with the high-sim pairs
+    (where LSH collision probability is high) nearly all caught."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similarity.cosine_near_dup(emb, threshold=0.2).toPandas()
+    exact = similarity.cosine_near_dup_exact(emb, threshold=0.2).toPandas()
+    got_pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    exact_pairs = set(map(tuple, exact[["id_a", "id_b"]].values.tolist()))
+    assert got_pairs <= exact_pairs
+    hi = exact[exact["sim"] >= 0.6]
+    hi_pairs = set(map(tuple, hi[["id_a", "id_b"]].values.tolist()))
+    if hi_pairs:
+        caught = len(hi_pairs & got_pairs) / len(hi_pairs)
+        assert caught >= 0.9, caught
+
+
+def test_scalable_plans_have_no_quadratic_join(spark, docs):
+    """The candidate generators must plan as equijoins: no
+    CartesianProduct / BroadcastNestedLoop anywhere in the physical
+    plan (the VERDICT r1 anti-patterns)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for df in (
+        dedup.candidate_pairs(docs),
+        dedup.ngram_jaccard_pairs(docs, threshold=0.6),
+        similarity.cosine_near_dup(emb, threshold=0.2),
+        similarity.ann_topk(emb, k=5, probe_bits=1),
+        similarity.ivf_topk_fixed(emb, k=5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_candidate_pairs_bucket_equijoin_equals_theta(spark, docs):
+    """The bucket-equijoin candidate set must equal the reference
+    predicate (same lang, |len diff| <= LEN_BAND, id_a < id_b)."""
+    got = dedup.candidate_pairs(docs).toPandas()
+    pdf = docs.select("doc_id", "lang", "n_chars").toPandas()
+    expected = set()
+    by_lang = pdf.groupby("lang")
+    for _, g in by_lang:
+        ids = g["doc_id"].to_numpy()
+        lens = g["n_chars"].to_numpy()
+        for i in range(len(ids)):
+            for j in range(len(ids)):
+                if ids[i] < ids[j] and abs(int(lens[i]) - int(lens[j])) <= dedup.LEN_BAND:
+                    expected.add((int(ids[i]), int(ids[j])))
+    got_pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert got_pairs == expected
+    assert len(got) == len(got_pairs)  # no duplicate candidate rows
