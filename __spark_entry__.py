@@ -272,8 +272,8 @@ def q_interp_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_subtiles_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slippy subTiles per zone at zoom 15 (reference geom.subTiles
     geom.py:195-241; golden-tested vs the reference's own tile indices
-    in tests/test_kernels_tiling.py). Rows-only driver check: the
-    Web-Mercator ln()/asinh differs from DuckDB by 1 ULP."""
+    in tests/test_kernels_tiling.py). Oracle: golden constant table
+    from an independent driver-side implementation (geooracle)."""
     import pandas as pd
 
     from geokit_spark.kernels.tiling import sub_tiles
@@ -295,9 +295,9 @@ def q_subtiles_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extractAndClipFeatures: clip zones by a box window, areaShare +
-    attribute scaling (vector.py:738-947). Rows-only driver check
-    (polygon clipping is not SQL-expressible); numpy-oracle tested in
-    tests/test_streaming_clip.py."""
+    attribute scaling (vector.py:738-947). Oracle: golden constants
+    from an independent half-plane clipper (geooracle); also
+    numpy-oracle tested in tests/test_streaming_clip.py."""
     from geokit_spark.operators.clipops import extract_and_clip_zones
 
     return extract_and_clip_zones(spark, (6.05, 50.6, 6.25, 50.8))
@@ -305,12 +305,14 @@ def q_extract_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tile connected components of the categorical raster
-    (polygonize counts artifact, geom.py:525-702 / SURVEY §7). Rows-
-    only driver check; full-matrix oracle in tests/test_components.py."""
+    (polygonize counts artifact, geom.py:525-702 / SURVEY §7).
+    Oracle: golden constants from an independent block-level flood
+    fill (geooracle); full-matrix oracle in tests/test_components.py.
+    Fully distributed: per-tile labeling, seam-pair equijoin, iterative
+    min-label contraction — no pixel data reaches the driver."""
     from geokit_spark.operators.components import connected_components
 
-    pdf = connected_components(tilesrc.raster_table(spark, "clc"))
-    return spark.createDataFrame(pdf)
+    return connected_components(tilesrc.raster_table(spark, "clc"))
 
 
 def q_extract_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,9 +331,10 @@ def q_extract_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour statistics per level (reference
-    contours raster.py:2044-2137; counts/lengths parity per SURVEY §7).
-    Rows-only driver check; full-matrix numpy oracle in
-    tests/test_contours.py."""
+    contours raster.py:2044-2137; counts/lengths parity per SURVEY
+    §7). Lengths are exact integer quanta so the distributed sum is
+    partition-order independent; oracle = full-matrix golden
+    (geooracle) + hand cases in tests/test_contours.py."""
     from geokit_spark.operators.contour_op import contour_stats
 
     return contour_stats(
@@ -865,6 +868,30 @@ SELECT doc_id, ({total}) / CAST(9.0 AS DOUBLE) AS elev_avg3 FROM st
 """
 
 
+def _o_subtiles_zones() -> str:
+    from geokit_spark.oracle import geooracle
+
+    return geooracle.subtiles_sql(zoom=15)
+
+
+def _o_extract_clip() -> str:
+    from geokit_spark.oracle import geooracle
+
+    return geooracle.extract_clip_sql((6.05, 50.6, 6.25, 50.8))
+
+
+def _o_connected_components() -> str:
+    from geokit_spark.oracle import geooracle
+
+    return geooracle.components_sql()
+
+
+def _o_contours() -> str:
+    from geokit_spark.oracle import geooracle
+
+    return geooracle.contours_sql([400.0, 800.0, 1200.0])
+
+
 def _o_extract_multi() -> str:
     from geokit_spark.sources.tiles import PATCH_X0, PATCH_X1, PATCH_Y0, PATCH_Y1
 
@@ -1169,9 +1196,14 @@ def oracle_sql() -> dict[str, str]:
         "knn": _o_knn(),
         "count_features": _o_count_features(),
         "interp_average": _o_interp_average(),
-        # subtiles_zones / extract_clip / connected_components:
-        # rows-only (mercator 1-ULP / polygon clipping / CC not
-        # SQL-expressible); numpy-oracle pytest coverage instead
+        # subtiles / clip / components / contours are not
+        # SQL-expressible; their oracles are golden constant tables
+        # derived by independent driver-side implementations
+        # (oracle.geooracle) — fixture/raster-only, valid at any sf
+        "subtiles_zones": _o_subtiles_zones(),
+        "extract_clip": _o_extract_clip(),
+        "connected_components": _o_connected_components(),
+        "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),
         "box_predicates": _o_box_predicates(),
         "mutate_vector": _o_mutate_vector(),

@@ -87,3 +87,24 @@ def contour_stats_per_level(m: np.ndarray, levels) -> list[tuple[float, int, flo
         n, total, _ = contour_segments(m, float(lv))
         out.append((float(lv), n, total))
     return out
+
+
+LENGTH_Q = 1 << 20  # length quantization unit (pixels / 2^20)
+
+
+def contour_stats_per_level_q(m: np.ndarray, levels) -> list[tuple[float, int, int]]:
+    """[(level, n_segments, length_q)] with per-segment lengths
+    quantized to integer LENGTH_Q units BEFORE summing. Integer sums
+    are exact and order-independent, so the distributed per-tile
+    partial + final agg reproduces the full-matrix value bit-for-bit
+    at any partitioning (the float total_length sum would not)."""
+    out = []
+    for lv in levels:
+        _, _, arr = contour_segments(m, float(lv))
+        if len(arr) == 0:
+            out.append((float(lv), 0, 0))
+            continue
+        lengths = np.hypot(arr[:, 2] - arr[:, 0], arr[:, 3] - arr[:, 1])
+        q = np.floor(lengths * LENGTH_Q + 0.5).astype(np.int64)
+        out.append((float(lv), int(len(arr)), int(q.sum())))
+    return out

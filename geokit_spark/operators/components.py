@@ -6,19 +6,26 @@ cell-level output is the primary artifact).
 Distributed shape:
 
   tiles ──mapInPandas──► per-tile local labeling (vectorized min-label
-        propagation over same-value 4-neighbors) emitting
+        propagation over same-value 4- or 8-neighbors) emitting
         (a) per-label summaries (value, n_pixels) and
         (b) tile-edge strips (side, offset, label, value)
-  edge strips (tiny: 4 * T per tile) ──collect──► driver union-find
-        merges labels across adjacent tile seams
-  final: per-value component counts / sizes; sieve = drop components
-        below min_size (merge-into-largest-neighbor is noted as the
-        GDAL behavior difference — components here become noData).
+  seam pairs: DataFrame self-join of edge strips on global seam
+        coordinates (vectorized; 8-conn adds the ±1 offsets, which
+        also covers corner-to-corner tile diagonals)
+  seam merge: ITERATIVE min-label contraction join until fixpoint
+        (edges rewritten through each round's mapping → O(log) rounds)
+        — fully distributed; the per-value summary aggregation is a
+        plain groupBy. Nothing proportional to pixel count ever
+        reaches the driver.
 
-At 100 TB the driver union-find grows with the number of SEAM
-components, not pixels; for deeper scale the same merge runs as an
-iterative label-propagation join until fixpoint (noted, not needed at
-this raster size).
+Label packing: label = (tile_x << 36) | (tile_y << 12) | local with
+local < TILE_SIZE² ≤ 2^12 — collision-free for any raster up to
+2^26 × 2^24 tiles (the round-1 (tile_x*1000+tile_y) base collided at
+tile_y ≥ 1000); coordinates are validated in the labeling stage.
+
+sieve keeps a driver-side merge loop (its smallest-first
+merge-into-largest-neighbor order is inherently sequential); only the
+component-level summary/adjacency rows are collected, never pixels.
 """
 
 from __future__ import annotations
@@ -30,12 +37,25 @@ from pyspark.sql import functions as F
 
 from ..constants import TILE_SIZE
 
+_LOCAL_BITS = 12
+_TY_BITS = 24
+_TY_SHIFT = _LOCAL_BITS
+_TX_SHIFT = _LOCAL_BITS + _TY_BITS
+_MAX_TX = 1 << (62 - _TX_SHIFT)
+_MAX_TY = 1 << _TY_BITS
 
-def label_block(m: np.ndarray) -> np.ndarray:
-    """4-connectivity component labels for one value matrix.
+assert TILE_SIZE * TILE_SIZE <= (1 << _LOCAL_BITS)
+
+_LABEL_SCHEMA = (
+    "kind string, tile_x int, tile_y int, side string, off int, "
+    "label long, value double, n long, label_b long"
+)
+
+
+def label_block(m: np.ndarray, connectivity: int = 4) -> np.ndarray:
+    """Component labels for one value matrix (4- or 8-connectivity).
     Vectorized min-label propagation: every pixel starts as its own
     label; repeatedly take the min over same-value neighbors."""
-    t = m.shape[0]
     labels = np.arange(m.size, dtype=np.int64).reshape(m.shape)
     while True:
         new = labels.copy()
@@ -45,9 +65,286 @@ def label_block(m: np.ndarray) -> np.ndarray:
         same = m[:, 1:] == m[:, :-1]
         np.minimum(new[:, 1:], np.where(same, labels[:, :-1], new[:, 1:]), out=new[:, 1:])
         np.minimum(new[:, :-1], np.where(same, labels[:, 1:], new[:, :-1]), out=new[:, :-1])
+        if connectivity == 8:
+            same = m[1:, 1:] == m[:-1, :-1]
+            np.minimum(new[1:, 1:], np.where(same, labels[:-1, :-1], new[1:, 1:]), out=new[1:, 1:])
+            np.minimum(new[:-1, :-1], np.where(same, labels[1:, 1:], new[:-1, :-1]), out=new[:-1, :-1])
+            same = m[1:, :-1] == m[:-1, 1:]
+            np.minimum(new[1:, :-1], np.where(same, labels[:-1, 1:], new[1:, :-1]), out=new[1:, :-1])
+            np.minimum(new[:-1, 1:], np.where(same, labels[1:, :-1], new[:-1, 1:]), out=new[:-1, 1:])
         if np.array_equal(new, labels):
             return labels
         labels = new
+
+
+def _label_frames_df(
+    tiles: DataFrame, connectivity: int = 4, with_adjacency: bool = False
+) -> DataFrame:
+    """Distributed labeling pass. One mapInPandas over tiles emitting
+    unified rows: kind 's' per-component summaries, 'e' edge-strip
+    entries, 'a' within-tile component adjacency pairs (for sieve).
+    All frame construction is vectorized (no per-pixel Python loops).
+    The result is localCheckpoint-ed so summaries and edges can be
+    consumed by separate downstream plans without re-labeling."""
+    t = TILE_SIZE
+
+    def fn(batches):
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                if not (0 <= tx < _MAX_TX and 0 <= ty < _MAX_TY):
+                    raise ValueError(
+                        f"tile coords ({tx},{ty}) outside the label-packing "
+                        f"range [0,{_MAX_TX})x[0,{_MAX_TY})"
+                    )
+                m = np.asarray(r.data, dtype=np.float64).reshape(t, t)
+                lab = label_block(m, connectivity)
+                base = (np.int64(tx) << _TX_SHIFT) | (np.int64(ty) << _TY_SHIFT)
+                glab = lab + base
+                vals, first_idx, counts = np.unique(
+                    glab, return_index=True, return_counts=True
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "kind": "s", "tile_x": tx, "tile_y": ty,
+                            "side": "", "off": 0, "label": vals,
+                            "value": m.ravel()[first_idx],
+                            "n": counts.astype(np.int64), "label_b": 0,
+                        }
+                    )
+                )
+                offs = np.arange(t, dtype=np.int32)
+                for side, lv, vv in (
+                    ("l", glab[:, 0], m[:, 0]), ("r", glab[:, -1], m[:, -1]),
+                    ("t", glab[0, :], m[0, :]), ("b", glab[-1, :], m[-1, :]),
+                ):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "kind": "e", "tile_x": tx, "tile_y": ty,
+                                "side": side, "off": offs, "label": lv,
+                                "value": vv, "n": 0, "label_b": 0,
+                            }
+                        )
+                    )
+                if with_adjacency:
+                    pairs = set()
+                    for a, b in (
+                        (glab[:, :-1], glab[:, 1:]),
+                        (glab[:-1, :], glab[1:, :]),
+                    ):
+                        diff = a != b
+                        pairs.update(zip(a[diff].tolist(), b[diff].tolist()))
+                    if connectivity == 8:
+                        for a, b in (
+                            (glab[:-1, :-1], glab[1:, 1:]),
+                            (glab[:-1, 1:], glab[1:, :-1]),
+                        ):
+                            diff = a != b
+                            pairs.update(zip(a[diff].tolist(), b[diff].tolist()))
+                    if pairs:
+                        arr = np.asarray(sorted(pairs), dtype=np.int64)
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "kind": "a", "tile_x": tx, "tile_y": ty,
+                                    "side": "", "off": 0, "label": arr[:, 0],
+                                    "value": 0.0, "n": 0, "label_b": arr[:, 1],
+                                }
+                            )
+                        )
+            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                columns=["kind", "tile_x", "tile_y", "side", "off",
+                         "label", "value", "n", "label_b"]
+            )
+
+    return tiles.mapInPandas(fn, schema=_LABEL_SCHEMA).localCheckpoint()
+
+
+def _seam_pairs_df(edges: DataFrame, connectivity: int = 4) -> DataFrame:
+    """Cross-tile seam pairs (a, b) of same-value touching components,
+    via equijoins on GLOBAL seam coordinates. Vertical seams: r-strip
+    of tile col x meets l-strip of col x+1 at global rows
+    tile_y*T + off; 8-conn explodes the right side to rows ±1, which
+    also covers corner-to-corner diagonal tiles (different tile_y)."""
+    t = TILE_SIZE
+    d_offsets = [0, -1, 1] if connectivity == 8 else [0]
+
+    def one_axis(side_a: str, side_b: str) -> DataFrame:
+        # side 'r'/'l' strips run along global rows; 't'/'b' along cols
+        a = edges.filter(F.col("side") == side_a).select(
+            (F.col("tile_x") + (1 if side_a == "r" else 0)).alias("seam"),
+            (
+                (F.col("tile_y") if side_a in ("r", "l") else F.col("tile_x"))
+                * F.lit(t) + F.col("off")
+            ).alias("g"),
+            F.col("label").alias("a"),
+            F.col("value").alias("va"),
+        ) if side_a == "r" else edges.filter(F.col("side") == side_a).select(
+            (F.col("tile_y") + 1).alias("seam"),
+            (F.col("tile_x") * F.lit(t) + F.col("off")).alias("g"),
+            F.col("label").alias("a"),
+            F.col("value").alias("va"),
+        )
+        b = edges.filter(F.col("side") == side_b).select(
+            (F.col("tile_x") if side_b == "l" else F.col("tile_y")).alias("seam"),
+            (
+                (F.col("tile_y") if side_b == "l" else F.col("tile_x"))
+                * F.lit(t) + F.col("off")
+            ).alias("g"),
+            F.col("label").alias("b"),
+            F.col("value").alias("vb"),
+        )
+        a = a.withColumn("dg", F.explode(F.array(*[F.lit(d) for d in d_offsets])))
+        j = a.join(
+            b,
+            (a["seam"] == b["seam"]) & (b["g"] == a["g"] + a["dg"]),
+            "inner",
+        )
+        return j.filter(F.col("va") == F.col("vb")).select("a", "b")
+
+    vert = one_axis("r", "l")
+    horz = one_axis("b", "t")
+    return vert.unionByName(horz)
+
+
+def _resolve_roots(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
+    """(label, root): canonical representative per connected component
+    of the seam-pair graph. Iterative min-label contraction: each round
+    maps every current node to min(self, min neighbor) and rewrites the
+    edge set through the mapping — pointer-jumping-style convergence in
+    O(log component-diameter) rounds, all joins, no driver state."""
+    m = (
+        pairs.select(F.col("a").alias("label"))
+        .unionByName(pairs.select(F.col("b").alias("label")))
+        .distinct()
+        .withColumn("root", F.col("label"))
+    )
+    e = pairs.filter(F.col("a") != F.col("b")).localCheckpoint()
+    for _ in range(max_iters):
+        if e.isEmpty():
+            break
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        nm = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select(
+                F.col("a").alias("old"),
+                F.least(F.col("a"), F.col("mb")).alias("new"),
+            )
+            .filter(F.col("old") != F.col("new"))
+            .localCheckpoint()
+        )
+        m = (
+            m.join(nm, m["root"] == nm["old"], "left")
+            .select("label", F.coalesce("new", "root").alias("root"))
+            .localCheckpoint()
+        )
+        na = nm.select(F.col("old").alias("oa"), F.col("new").alias("na"))
+        nb = nm.select(F.col("old").alias("ob"), F.col("new").alias("nb"))
+        e = (
+            e.join(na, e["a"] == na["oa"], "left")
+            .join(nb, e["b"] == nb["ob"], "left")
+            .select(
+                F.coalesce("na", "a").alias("a"),
+                F.coalesce("nb", "b").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+    return m
+
+
+def component_table(tiles: DataFrame, connectivity: int = 4) -> DataFrame:
+    """(root, value, n) per global connected component — fully
+    distributed (labeling → seam join → iterative merge → groupBy)."""
+    lab = _label_frames_df(tiles, connectivity)
+    summ = lab.filter(F.col("kind") == "s").select("label", "value", "n")
+    edges = lab.filter(F.col("kind") == "e")
+    roots = _resolve_roots(_seam_pairs_df(edges, connectivity))
+    merged = summ.join(roots, "label", "left").select(
+        F.coalesce("root", "label").alias("root"), "value", "n"
+    )
+    return merged.groupBy("root", "value").agg(F.sum("n").alias("n"))
+
+
+def connected_components(tiles: DataFrame, connectivity: int = 4) -> DataFrame:
+    """(value, n_components, n_pixels, max_component) across the whole
+    raster, as a Spark DataFrame."""
+    comp = component_table(tiles, connectivity)
+    return (
+        comp.groupBy("value")
+        .agg(
+            F.count("*").alias("n_components"),
+            F.sum("n").alias("n_pixels"),
+            F.max("n").alias("max_component"),
+        )
+        .orderBy("value")
+    )
+
+
+def sieve_small_components(
+    tiles: DataFrame, min_size: int, connectivity: int = 4
+) -> pd.DataFrame:
+    """Sieve summary (drop mode): per value, pixels surviving the
+    min_size filter. See sieve_merge for the GDAL largest-neighbor
+    merge semantics."""
+    comp = component_table(tiles, connectivity).toPandas()
+    kept = comp[comp["n"] >= min_size]
+    return (
+        kept.groupby("value", as_index=False)
+        .agg(n_components=("root", "count"), n_pixels=("n", "sum"))
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+
+
+def _seam_pairs_pandas(edges: pd.DataFrame, connectivity: int) -> pd.DataFrame:
+    """All cross-seam touching pairs (any value) as a pandas frame
+    (a, b, va, vb) — vectorized merge, used by the driver-side sieve."""
+    t = TILE_SIZE
+    out = []
+    d_offsets = [0, -1, 1] if connectivity == 8 else [0]
+    r = edges[edges["side"] == "r"]
+    l = edges[edges["side"] == "l"]
+    b_ = edges[edges["side"] == "b"]
+    t_ = edges[edges["side"] == "t"]
+    for dg in d_offsets:
+        a = pd.DataFrame(
+            {
+                "seam": r["tile_x"] + 1,
+                "g": r["tile_y"] * t + r["off"] + dg,
+                "a": r["label"], "va": r["value"],
+            }
+        )
+        bdf = pd.DataFrame(
+            {
+                "seam": l["tile_x"], "g": l["tile_y"] * t + l["off"],
+                "b": l["label"], "vb": l["value"],
+            }
+        )
+        out.append(a.merge(bdf, on=["seam", "g"]))
+        a = pd.DataFrame(
+            {
+                "seam": b_["tile_y"] + 1,
+                "g": b_["tile_x"] * t + b_["off"] + dg,
+                "a": b_["label"], "va": b_["value"],
+            }
+        )
+        bdf = pd.DataFrame(
+            {
+                "seam": t_["tile_y"], "g": t_["tile_x"] * t + t_["off"],
+                "b": t_["label"], "vb": t_["value"],
+            }
+        )
+        out.append(a.merge(bdf, on=["seam", "g"]))
+    cols = ["a", "b", "va", "vb"]
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
 
 
 class _UnionFind:
@@ -68,137 +365,9 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
-def _tile_labels(
-    tiles: DataFrame, with_adjacency: bool = False
-) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
-    """Run the distributed labeling; returns (summaries, edges,
-    adjacency) pandas frames with globally-unique labels
-    (tile_id * T^2 + local). adjacency holds within-tile neighboring
-    label pairs (for sieve's largest-neighbor merge); cross-tile
-    adjacency comes from the edge strips."""
-    t = TILE_SIZE
-
-    def fn(batches):
-        for pdf in batches:
-            srows, erows, arows = [], [], []
-            for r in pdf.itertuples():
-                m = np.asarray(r.data, dtype=np.float64).reshape(t, t)
-                lab = label_block(m)
-                base = (int(r.tile_x) * 1000 + int(r.tile_y)) * t * t
-                glab = lab + base
-                vals, first_idx, counts = np.unique(
-                    glab, return_index=True, return_counts=True
-                )
-                mv = m.ravel()[first_idx]
-                for g, v, c in zip(vals, mv, counts):
-                    srows.append(
-                        {"kind": "s", "tile_x": r.tile_x, "tile_y": r.tile_y,
-                         "side": "", "off": 0, "label": int(g), "value": float(v),
-                         "n": int(c), "label_b": 0}
-                    )
-                for side, lv, vv in (
-                    ("l", glab[:, 0], m[:, 0]), ("r", glab[:, -1], m[:, -1]),
-                    ("t", glab[0, :], m[0, :]), ("b", glab[-1, :], m[-1, :]),
-                ):
-                    for off in range(t):
-                        erows.append(
-                            {"kind": "e", "tile_x": r.tile_x, "tile_y": r.tile_y,
-                             "side": side, "off": off, "label": int(lv[off]),
-                             "value": float(vv[off]), "n": 0, "label_b": 0}
-                        )
-                if with_adjacency:
-                    # component-level neighbor pairs (deduped in-tile)
-                    pairs = set()
-                    a, b = glab[:, :-1], glab[:, 1:]
-                    diff = a != b
-                    pairs.update(zip(a[diff].tolist(), b[diff].tolist()))
-                    a, b = glab[:-1, :], glab[1:, :]
-                    diff = a != b
-                    pairs.update(zip(a[diff].tolist(), b[diff].tolist()))
-                    for la, lb in pairs:
-                        arows.append(
-                            {"kind": "a", "tile_x": r.tile_x, "tile_y": r.tile_y,
-                             "side": "", "off": 0, "label": int(la),
-                             "value": 0.0, "n": 0, "label_b": int(lb)}
-                        )
-            yield pd.DataFrame(srows + erows + arows)
-
-    out = tiles.mapInPandas(
-        fn,
-        schema="kind string, tile_x int, tile_y int, side string, off int, "
-        "label long, value double, n long, label_b long",
-    ).toPandas()
-    return (
-        out[out.kind == "s"],
-        out[out.kind == "e"],
-        out[out.kind == "a"],
-    )
-
-
-def _seam_union(summaries: pd.DataFrame, edges: pd.DataFrame) -> _UnionFind:
-    """Union-find over global labels with cross-tile seam merges:
-    right edge of (x,y) meets left edge of (x+1,y); bottom meets top."""
-    uf = _UnionFind()
-    for g in summaries["label"]:
-        uf.find(int(g))
-    idx = {
-        (r.tile_x, r.tile_y, r.side, r.off): (int(r.label), r.value)
-        for r in edges.itertuples()
-    }
-    for r in edges.itertuples():
-        if r.side == "r":
-            other = idx.get((r.tile_x + 1, r.tile_y, "l", r.off))
-        elif r.side == "b":
-            other = idx.get((r.tile_x, r.tile_y + 1, "t", r.off))
-        else:
-            continue
-        if other is not None and other[1] == r.value:
-            uf.union(int(r.label), other[0])
-    return uf
-
-
-def _components(summaries: pd.DataFrame, uf: _UnionFind) -> pd.DataFrame:
-    roots = summaries["label"].map(lambda g: uf.find(int(g)))
-    return (
-        summaries.assign(root=roots)
-        .groupby(["root", "value"], as_index=False)["n"]
-        .sum()
-    )
-
-
-def connected_components(tiles: DataFrame) -> pd.DataFrame:
-    """(value, n_components, n_pixels, max_component) across the whole
-    raster. Distributed labeling + driver seam merge."""
-    summaries, edges, _ = _tile_labels(tiles)
-    comp = _components(summaries, _seam_union(summaries, edges))
-    return (
-        comp.groupby("value", as_index=False)
-        .agg(
-            n_components=("root", "count"),
-            n_pixels=("n", "sum"),
-            max_component=("n", "max"),
-        )
-        .sort_values("value")
-        .reset_index(drop=True)
-    )
-
-
-def sieve_small_components(tiles: DataFrame, min_size: int) -> pd.DataFrame:
-    """Sieve summary (drop mode): per value, pixels surviving the
-    min_size filter. See sieve_merge for the GDAL largest-neighbor
-    merge semantics."""
-    summaries, edges, _ = _tile_labels(tiles)
-    comp = _components(summaries, _seam_union(summaries, edges))
-    kept = comp[comp["n"] >= min_size]
-    return (
-        kept.groupby("value", as_index=False)
-        .agg(n_components=("root", "count"), n_pixels=("n", "sum"))
-        .sort_values("value")
-        .reset_index(drop=True)
-    )
-
-
-def sieve_merge(tiles: DataFrame, min_size: int) -> pd.DataFrame:
+def sieve_merge(
+    tiles: DataFrame, min_size: int, connectivity: int = 4
+) -> pd.DataFrame:
     """GDAL-style sieve (reference raster.sieve, raster.py:2426-2557):
     components smaller than min_size are merged into their LARGEST
     neighboring component (its value absorbs their pixels), processed
@@ -206,17 +375,38 @@ def sieve_merge(tiles: DataFrame, min_size: int) -> pd.DataFrame:
     dominant neighbor. Returns per-value pixel totals after merging —
     total pixel count is invariant.
 
-    Adjacency is component-level: within-tile neighbor pairs from the
-    labeling stage + cross-seam pairs from the edge strips; all
-    root-mapped before merging."""
-    summaries, edges, adj = _tile_labels(tiles, with_adjacency=True)
-    uf = _seam_union(summaries, edges)
-    comp = _components(summaries, uf)
+    Documented deviations from GDAL (COVERAGE.md): GDAL merges in scan
+    order, this merges smallest-first; GDAL's default connectedness is
+    8 — pass connectivity=8 for that behavior (the driver query pins
+    connectivity=4).
+
+    The merge loop is driver-side over COMPONENT-level rows (summary +
+    adjacency + seam pairs — proportional to component count, never to
+    pixels); the sequential smallest-first order is what the reference
+    semantics demand."""
+    lab = _label_frames_df(tiles, connectivity, with_adjacency=True)
+    pdf = lab.toPandas()
+    summaries = pdf[pdf.kind == "s"]
+    edges = pdf[pdf.kind == "e"]
+    adj = pdf[pdf.kind == "a"]
+
+    seam = _seam_pairs_pandas(edges, connectivity)
+    uf = _UnionFind()
+    for g in summaries["label"]:
+        uf.find(int(g))
+    same = seam[seam["va"] == seam["vb"]]
+    for a, b in zip(same["a"].tolist(), same["b"].tolist()):
+        uf.union(int(a), int(b))
+
+    roots = summaries["label"].map(lambda g: uf.find(int(g)))
+    comp = (
+        summaries.assign(root=roots)
+        .groupby(["root", "value"], as_index=False)["n"]
+        .sum()
+    )
     size = {int(r.root): int(r.n) for r in comp.itertuples()}
     value = {int(r.root): float(r.value) for r in comp.itertuples()}
 
-    # adjacency between roots (within-tile pairs + seam pairs of
-    # differing value — same-value seam pairs were unioned already)
     nbrs: dict[int, set[int]] = {r: set() for r in size}
 
     def add_pair(a: int, b: int):
@@ -227,19 +417,8 @@ def sieve_merge(tiles: DataFrame, min_size: int) -> pd.DataFrame:
 
     for r in adj.itertuples():
         add_pair(int(r.label), int(r.label_b))
-    idx = {
-        (r.tile_x, r.tile_y, r.side, r.off): int(r.label)
-        for r in edges.itertuples()
-    }
-    for r in edges.itertuples():
-        if r.side == "r":
-            other = idx.get((r.tile_x + 1, r.tile_y, "l", r.off))
-        elif r.side == "b":
-            other = idx.get((r.tile_x, r.tile_y + 1, "t", r.off))
-        else:
-            continue
-        if other is not None:
-            add_pair(int(r.label), other)
+    for a, b in zip(seam["a"].tolist(), seam["b"].tolist()):
+        add_pair(int(a), int(b))
 
     # merge smallest-first into the largest current neighbor
     merged_into: dict[int, int] = {}

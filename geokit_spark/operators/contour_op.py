@@ -16,12 +16,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import TILE_SIZE
-from ..kernels.contours import contour_stats_per_level
+from ..kernels.contours import LENGTH_Q, contour_stats_per_level_q
 from ..sources.tiles import NTX, NTY
 
 
 def contour_stats(tiles: DataFrame, levels: list[float]) -> DataFrame:
-    """(level, n_segments, total_length) across the raster."""
+    """(level, n_segments, total_length) across the raster.
+
+    Lengths are summed as per-segment integer LENGTH_Q quanta, so the
+    final totals are exact and independent of partitioning — that is
+    what lets the driver hash-compare this against the full-matrix
+    golden (oracle.geooracle.contours_sql)."""
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -57,15 +62,17 @@ def contour_stats(tiles: DataFrame, levels: list[float]) -> DataFrame:
             ys = slice(oy, min(oy + T, size_y))
             block[ys, xs] = m[: ys.stop - ys.start, : xs.stop - xs.start]
         rows = [
-            {"level": level, "n_segments": n, "total_length": ln}
-            for level, n, ln in contour_stats_per_level(block, lv)
+            {"level": level, "n_segments": n, "length_q": q}
+            for level, n, q in contour_stats_per_level_q(block, lv)
         ]
         return pd.DataFrame(rows)
 
     per = exploded.groupBy("tgt_x", "tgt_y").applyInPandas(
-        per_tile, schema="level double, n_segments long, total_length double"
+        per_tile, schema="level double, n_segments long, length_q long"
     )
     return per.groupBy("level").agg(
         F.sum("n_segments").alias("n_segments"),
-        F.sum("total_length").alias("total_length"),
+        (F.sum("length_q").cast("double") / F.lit(float(LENGTH_Q))).alias(
+            "total_length"
+        ),
     )

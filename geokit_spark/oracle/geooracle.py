@@ -1,0 +1,259 @@
+"""Golden-constant DuckDB oracles for operators whose semantics are
+not SQL-expressible (SURVEY §7 hard parts): slippy sub-tiling, polygon
+clipping, cross-tile connected components, contour statistics.
+
+These queries depend only on the literal fixture polygons and the
+closed-form synthetic rasters — never on the scale factor — so their
+expected outputs are constants. Each generator below derives those
+constants with an INDEPENDENTLY WRITTEN driver-side implementation
+(fresh clipping / PIP / flood-fill code, not the engine kernels) and
+emits them as a VALUES table; the driver then hash-compares the
+distributed engine result against it at any sf. contours is the one
+exception: its golden reuses kernels.contours on the full matrix (the
+kernel itself is pinned by hand-case pytest goldens), so the oracle
+verifies the tiling / halo-exchange / aggregation machinery.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..constants import RASTER_H, RASTER_W
+from .sqlgen import d
+
+
+# ---------------------------------------------------------------------------
+# fresh geometry helpers (independent of kernels.pip)
+
+
+def _ring(verts):
+    v = [(float(x), float(y)) for x, y in verts]
+    if len(v) > 1 and v[0] == v[-1]:
+        v = v[:-1]
+    return v
+
+
+def _shoelace(v) -> float:
+    if len(v) < 3:
+        return 0.0
+    s = 0.0
+    for i in range(len(v)):
+        x0, y0 = v[i]
+        x1, y1 = v[(i + 1) % len(v)]
+        s += x0 * y1 - x1 * y0
+    return abs(s) / 2.0
+
+
+def _halfplane_clip(v, a, b, c):
+    """Clip ring v to the half-plane a*x + b*y <= c."""
+    out = []
+    n = len(v)
+    for i in range(n):
+        (x0, y0), (x1, y1) = v[i], v[(i + 1) % n]
+        d0 = a * x0 + b * y0 - c
+        d1 = a * x1 + b * y1 - c
+        if d0 <= 0:
+            out.append((x0, y0))
+            if d1 > 0:
+                t = d0 / (d0 - d1)
+                out.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+        elif d1 <= 0:
+            t = d0 / (d0 - d1)
+            out.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+    return out
+
+
+def clip_box_fresh(verts, box):
+    """Polygon ∩ axis-aligned box via four half-plane clips."""
+    xmin, ymin, xmax, ymax = box
+    v = _ring(verts)
+    for a, b, c in (
+        (-1.0, 0.0, -xmin),  # x >= xmin
+        (1.0, 0.0, xmax),    # x <= xmax
+        (0.0, -1.0, -ymin),  # y >= ymin
+        (0.0, 1.0, ymax),    # y <= ymax
+    ):
+        if not v:
+            return []
+        v = _halfplane_clip(v, a, b, c)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# subtiles_zones golden
+
+
+def _deg2num_fresh(lat: float, lon: float, zoom: int):
+    n = 1 << zoom
+    xi = math.floor((lon + 180.0) / 360.0 * n)
+    yi = math.floor(
+        (1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2.0 * n
+    )
+    return int(xi), int(yi)
+
+
+def _merc_fresh(lon: float, lat: float):
+    from ..constants import EARTH_R
+
+    return (
+        EARTH_R * math.radians(lon),
+        EARTH_R * math.asinh(math.tan(math.radians(lat))),
+    )
+
+
+def subtiles_rows(zoom: int = 15) -> list[tuple[int, int]]:
+    """(zone_id, n_tiles): slippy tiles at `zoom` genuinely intersected
+    by each zone polygon (positive clip area in EPSG:3857)."""
+    from ..constants import EARTH_R
+    from ..fixtures import ZONES
+
+    origin = math.pi * EARTH_R
+    n = 1 << zoom
+    w = 2.0 * origin / n
+    rows = []
+    for z in ZONES:
+        verts = _ring(z["verts"])
+        lons = [v[0] for v in verts]
+        lats = [v[1] for v in verts]
+        tl = _deg2num_fresh(max(lats), min(lons), zoom)
+        br = _deg2num_fresh(min(lats), max(lons), zoom)
+        verts_3857 = [_merc_fresh(x, y) for x, y in verts]
+        count = 0
+        for xi in range(tl[0], br[0] + 1):
+            for yi in range(tl[1], br[1] + 1):
+                box = (
+                    -origin + xi * w,
+                    origin - (yi + 1) * w,
+                    -origin + (xi + 1) * w,
+                    origin - yi * w,
+                )
+                clipped = clip_box_fresh(verts_3857, box)
+                if len(clipped) >= 3 and _shoelace(clipped) > 0.0:
+                    count += 1
+        rows.append((int(z["zone_id"]), count))
+    return rows
+
+
+def subtiles_sql(zoom: int = 15) -> str:
+    vals = ",".join(f"({z},{c})" for z, c in subtiles_rows(zoom))
+    return f"""
+WITH golden(zone_id, n_tiles) AS (VALUES {vals})
+SELECT CAST(zone_id AS INT) AS zone_id, CAST(n_tiles AS INT) AS n_tiles
+FROM golden
+"""
+
+
+# ---------------------------------------------------------------------------
+# extract_clip golden
+
+
+def extract_clip_rows(clip_box, min_share: float = 0.001):
+    """(zone_id, area_share, year_scaled) via the fresh half-plane
+    clipper. area_share/year_scaled floats are computed here exactly
+    as the engine defines them (clip area / full area; year * share) —
+    per-row arithmetic, no distributed reduction, so the doubles are
+    stable constants."""
+    from ..fixtures import ZONES
+
+    rows = []
+    for z in ZONES:
+        verts = _ring(z["verts"])
+        full = _shoelace(verts)
+        clipped = clip_box_fresh(verts, clip_box)
+        a = _shoelace(clipped) if len(clipped) >= 3 else 0.0
+        share = a / full if full > 0 else 0.0
+        if share < min_share:
+            continue
+        rows.append((int(z["zone_id"]), share, z["year"] * share))
+    return rows
+
+
+def extract_clip_sql(clip_box, min_share: float = 0.001) -> str:
+    vals = ",".join(
+        f"({z},{d(s)},{d(y)})" for z, s, y in extract_clip_rows(clip_box, min_share)
+    )
+    return f"""
+WITH golden(zone_id, area_share, year_scaled) AS (VALUES {vals})
+SELECT CAST(zone_id AS INT) AS zone_id, area_share, year_scaled FROM golden
+"""
+
+
+# ---------------------------------------------------------------------------
+# connected_components golden (independent block-level flood fill)
+
+
+def components_rows():
+    """(value, n_components, n_pixels, max_component) for the clc
+    raster. The clc field is constant on 8x8 pixel blocks, so pixel
+    4-connectivity components are exactly block-grid components x 64
+    pixels — an independent route that never touches tiles or seams."""
+    from ..kernels.raster_fields import clc_value
+
+    bw, bh = RASTER_W // 8, RASTER_H // 8
+    bx, by = np.meshgrid(np.arange(bw), np.arange(bh), indexing="ij")
+    # block value: clc at the block's top-left pixel
+    val = clc_value(bx.ravel() * 8, by.ravel() * 8).reshape(bw, bh)
+    seen = np.zeros((bw, bh), dtype=bool)
+    comps: list[tuple[int, int]] = []  # (value, n_blocks)
+    for sx in range(bw):
+        for sy in range(bh):
+            if seen[sx, sy]:
+                continue
+            v = int(val[sx, sy])
+            stack = [(sx, sy)]
+            seen[sx, sy] = True
+            n = 0
+            while stack:
+                cx, cy = stack.pop()
+                n += 1
+                for nx, ny in ((cx - 1, cy), (cx + 1, cy), (cx, cy - 1), (cx, cy + 1)):
+                    if 0 <= nx < bw and 0 <= ny < bh and not seen[nx, ny] and int(val[nx, ny]) == v:
+                        seen[nx, ny] = True
+                        stack.append((nx, ny))
+            comps.append((v, n * 64))
+    agg: dict[int, list[int]] = {}
+    for v, npix in comps:
+        agg.setdefault(v, []).append(npix)
+    return [
+        (float(v), len(sizes), int(sum(sizes)), int(max(sizes)))
+        for v, sizes in sorted(agg.items())
+    ]
+
+
+def components_sql() -> str:
+    vals = ",".join(
+        f"({d(v)},{nc},{np_},{mx})" for v, nc, np_, mx in components_rows()
+    )
+    return f"""
+WITH golden(value, n_components, n_pixels, max_component) AS (VALUES {vals})
+SELECT value, CAST(n_components AS BIGINT) AS n_components,
+       CAST(n_pixels AS BIGINT) AS n_pixels,
+       CAST(max_component AS BIGINT) AS max_component
+FROM golden
+"""
+
+
+# ---------------------------------------------------------------------------
+# contours golden (full-matrix application of the pinned kernel)
+
+
+def contours_rows(levels):
+    from ..kernels.contours import contour_stats_per_level_q
+    from ..kernels.raster_fields import elev_value
+
+    ix, iy = np.meshgrid(np.arange(RASTER_W), np.arange(RASTER_H), indexing="xy")
+    m = elev_value(ix, iy).astype(np.float64)
+    return contour_stats_per_level_q(m, levels)
+
+
+def contours_sql(levels) -> str:
+    vals = ",".join(
+        f"({d(lv)},{n},{d(q / 1048576.0)})" for lv, n, q in contours_rows(levels)
+    )
+    return f"""
+WITH golden(level, n_segments, total_length) AS (VALUES {vals})
+SELECT level, CAST(n_segments AS BIGINT) AS n_segments, total_length
+FROM golden
+"""

@@ -55,12 +55,101 @@ def clc_tiles(spark):
 
 
 def test_connected_components_matches_full_matrix(spark, clc_tiles):
-    got = connected_components(clc_tiles)
+    got = connected_components(clc_tiles).toPandas()
     exp = _full_cc_oracle()
     assert got["value"].tolist() == exp["value"].tolist()
     assert got["n_components"].tolist() == exp["n_components"].tolist()
     assert got["n_pixels"].tolist() == exp["n_pixels"].tolist()
     assert got["max_component"].tolist() == exp["max_component"].tolist()
+
+
+def test_label_block_8conn_connects_diagonal():
+    m = np.array([[1, 2], [2, 1]], dtype=float)
+    lab = label_block(m, connectivity=8)
+    assert lab[0, 0] == lab[1, 1]
+    assert lab[0, 1] == lab[1, 0]
+    assert lab[0, 0] != lab[0, 1]
+
+
+def _full_cc_oracle_8():
+    ix, iy = np.meshgrid(np.arange(RASTER_W), np.arange(RASTER_H))
+    full = clc_value(ix, iy).astype(np.float64)
+    lab = label_block(full, connectivity=8)
+    roots, counts = np.unique(lab, return_counts=True)
+    vals = full.ravel()[roots]
+    import pandas as pd
+
+    df = pd.DataFrame({"value": vals, "n": counts})
+    return (
+        df.groupby("value", as_index=False)
+        .agg(n_components=("n", "count"), n_pixels=("n", "sum"),
+             max_component=("n", "max"))
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+
+
+def test_connected_components_8conn_matches_full_matrix(spark, clc_tiles):
+    got = connected_components(clc_tiles, connectivity=8).toPandas()
+    exp = _full_cc_oracle_8()
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["n_components"].tolist() == exp["n_components"].tolist()
+    assert got["n_pixels"].tolist() == exp["n_pixels"].tolist()
+    assert got["max_component"].tolist() == exp["max_component"].tolist()
+
+
+def test_label_packing_beyond_1000_tiles(spark):
+    """Regression for the round-1 (tile_x*1000 + tile_y) label-base
+    collision: tiles at coordinates beyond 1000 must (a) merge across
+    their own seams and (b) never merge with far-away tiles that share
+    local label values."""
+    import pandas as pd
+
+    from geokit_spark.constants import TILE_SIZE
+
+    t = TILE_SIZE
+    flat = np.full(t * t, 7.0)
+    rows = [
+        {"tile_x": 0, "tile_y": 1500, "data": flat, "nodata": -9999.0},
+        {"tile_x": 0, "tile_y": 1501, "data": flat, "nodata": -9999.0},
+        {"tile_x": 2500, "tile_y": 3, "data": flat, "nodata": -9999.0},
+        {"tile_x": 2501, "tile_y": 3, "data": flat, "nodata": -9999.0},
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    got = connected_components(tiles).toPandas()
+    # two disjoint 2-tile components of value 7
+    assert got["value"].tolist() == [7.0]
+    assert got["n_components"].iloc[0] == 2
+    assert got["n_pixels"].iloc[0] == 4 * t * t
+    assert got["max_component"].iloc[0] == 2 * t * t
+
+
+def test_sieve_merge_8conn_hand_case(spark):
+    """Diagonal-only neighbor: with connectivity=8 a small island must
+    be absorbed into its diagonal neighbor's component; with 4 it
+    cannot reach it."""
+    import pandas as pd
+
+    from geokit_spark.constants import TILE_SIZE
+    from geokit_spark.operators.components import sieve_merge
+
+    t = TILE_SIZE
+    m = np.full((t, t), 5.0)
+    m[0, 0] = 9.0
+    m[1, 1] = 9.0  # 2-px diagonal pair of 9s inside a sea of 5s
+    pdf = pd.DataFrame(
+        [{"tile_x": 0, "tile_y": 0, "data": m.ravel(), "nodata": -9999.0}]
+    )
+    tiles = spark.createDataFrame(pdf)
+    out8 = sieve_merge(tiles, min_size=3, connectivity=8).set_index("value")[
+        "n_pixels"
+    ]
+    assert 9.0 not in out8.index and out8[5.0] == t * t
+    out4 = sieve_merge(tiles, min_size=2, connectivity=4).set_index("value")[
+        "n_pixels"
+    ]
+    # under 4-conn the two 9s are separate size-1 components -> merged
+    assert 9.0 not in out4.index and out4[5.0] == t * t
 
 
 def test_sieve_merge_preserves_pixels(spark, clc_tiles):
@@ -69,7 +158,7 @@ def test_sieve_merge_preserves_pixels(spark, clc_tiles):
 
     merged = sieve_merge(clc_tiles, min_size=100)
     assert merged["n_pixels"].sum() == RASTER_W * RASTER_H  # invariant
-    full = connected_components(clc_tiles)
+    full = connected_components(clc_tiles).toPandas()
     base = full.set_index("value")["n_pixels"]
     m = merged.set_index("value")["n_pixels"]
     # values with only-small components lose pixels; big ones gain
@@ -97,7 +186,7 @@ def test_sieve_merge_hand_case(spark):
 
 
 def test_sieve_drops_small(spark, clc_tiles):
-    full = connected_components(clc_tiles)
+    full = connected_components(clc_tiles).toPandas()
     sieved = sieve_small_components(clc_tiles, min_size=100)
     m = full.merge(sieved, on="value", how="left", suffixes=("", "_s"))
     assert (m["n_components_s"].fillna(0) <= m["n_components"]).all()
