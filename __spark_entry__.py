@@ -113,6 +113,15 @@ def q_interp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interp_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bicubic (cubic-spline window-4) interpolation at points
+    (reference interpolateValues mode='cubic-spline',
+    raster.py:1241-1297)."""
+    return ev.interpolate_cubic(
+        _geo_docs(spark, sf_dir), tilesrc.raster_table(spark, "elev")
+    )
+
+
 def q_gradient_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Central-difference gradient at points (reference gradient,
     raster.py:640-753)."""
@@ -164,6 +173,24 @@ def q_warp_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geokit_spark.operators.warp import scale_down_tiles
 
     return scale_down_tiles(tilesrc.raster_table(spark, "elev"), 8)
+
+
+def q_warp_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp resampleAlg='near' onto an arbitrary 1.6x-coarser target
+    grid (reference warp, raster.py:2140-2418, alg list :2142-2157):
+    tile-regridding equijoin + vectorized numpy gather."""
+    from geokit_spark.operators.warp import warp_to_grid
+
+    return warp_to_grid(tilesrc.raster_table(spark, "elev"), alg="near")
+
+
+def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp resampleAlg='bilinear' onto the same target grid —
+    2x2-stencil interpolation at target pixel centers, stencil origin
+    clamped at source borders (raster.py:2142-2157)."""
+    from geokit_spark.operators.warp import warp_to_grid
+
+    return warp_to_grid(tilesrc.raster_table(spark, "elev"), alg="bilinear")
 
 
 def q_mosaic_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,6 +251,33 @@ def q_indicate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geokit_spark.operators.indicate import indicate_features
 
     return indicate_features(tilesrc.raster_table(spark, "elev"), "B")
+
+
+BUFFER_DIST = 0.012  # degrees, ~quarter of a zone-grid cell
+
+
+def q_indicate_features_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indicateFeatures with the geometry-buffer method: 'B' zones
+    grown by BUFFER_DIST before rasterize+mask (regionmask.py:
+    1409-1440; buffering via kernels.buffer.buffer_convex on the
+    broadcast polygon side)."""
+    from geokit_spark.operators.indicate import indicate_features
+
+    return indicate_features(
+        tilesrc.raster_table(spark, "elev"), "B", buffer_dist=BUFFER_DIST
+    )
+
+
+def q_indicate_values_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indicateValues with the buffer path: DSL classify, dilate the
+    indicator by a 2-px disc via the halo-exchange kernel, per-zone
+    fraction (regionmask.py:1106-1188 re-expressed as raster
+    dilation)."""
+    from geokit_spark.operators.indicate import indicate_values_buffered
+
+    return indicate_values_buffered(
+        tilesrc.raster_table(spark, "clc"), INDICATE_DSL, radius_px=2
+    )
 
 
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_zones_join": q_pip_zones_join,
         "extract_values": q_extract_values,
         "interp_bilinear": q_interp_bilinear,
+        "interp_cubic": q_interp_cubic,
         "gradient_points": q_gradient_points,
         "zonal_stats": q_zonal_stats,
         "rasterize_zones": q_rasterize_zones,
@@ -512,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indicate_values": q_indicate_values,
         "kernel_max3": q_kernel_max3,
         "warp_average": q_warp_average,
+        "warp_near": q_warp_near,
+        "warp_bilinear": q_warp_bilinear,
         "mosaic_combine": q_mosaic_combine,
         "knn": q_knn,
         "count_features": q_count_features,
@@ -533,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
+        "indicate_features_buffered": q_indicate_features_buffered,
+        "indicate_values_buffered": q_indicate_values_buffered,
         "lang_zone_cube": q_lang_zone_cube,
         "wkb_areas": q_wkb_areas,
         "location_dedup": q_location_dedup,
@@ -665,6 +724,46 @@ FROM v
 """
 
 
+def _sql_cubic(fm1: str, f0: str, f1: str, f2: str, u: str) -> str:
+    """Same Horner tree as operators.extract_values._cubic1d."""
+    return (
+        f"({f0} + CAST(0.5 AS DOUBLE) * {u} * ({f1} - {fm1} + {u} * "
+        f"(CAST(2.0 AS DOUBLE) * {fm1} - CAST(5.0 AS DOUBLE) * {f0} "
+        f"+ CAST(4.0 AS DOUBLE) * {f1} - {f2} + {u} * "
+        f"(CAST(3.0 AS DOUBLE) * ({f0} - {f1}) + {f2} - {fm1}))))"
+    )
+
+
+def _o_interp_cubic() -> str:
+    gx = f"(g.lon - {d(XMIN)}) / {d(PIX_DX)} - CAST(0.5 AS DOUBLE)"
+    gy = f"({d(YMAX)} - g.lat) / {d(PIX_DY)} - CAST(0.5 AS DOUBLE)"
+    taps = ",\n    ".join(
+        f"CAST({sqlgen.elev_expr(f'(ixb + {dx - 1})', f'(iyb + {dy - 1})')} AS DOUBLE) AS v{dx}{dy}"
+        for dy in range(4)
+        for dx in range(4)
+    )
+    rows = [
+        _sql_cubic(f"v0{y}", f"v1{y}", f"v2{y}", f"v3{y}", "fx")
+        for y in range(4)
+    ]
+    final = _sql_cubic(rows[0], rows[1], rows[2], rows[3], "fy")
+    return f"""
+WITH {sqlgen.geocode_cte()},
+st AS (
+  SELECT doc_id, gx, gy,
+    CAST(LEAST(GREATEST(FLOOR(gx), 1), {RASTER_W - 3}) AS BIGINT) AS ixb,
+    CAST(LEAST(GREATEST(FLOOR(gy), 1), {RASTER_H - 3}) AS BIGINT) AS iyb
+  FROM (SELECT g.doc_id, {gx} AS gx, {gy} AS gy FROM geo g)
+),
+v AS (
+  SELECT doc_id, gx - CAST(ixb AS DOUBLE) AS fx, gy - CAST(iyb AS DOUBLE) AS fy,
+    {taps}
+  FROM st
+)
+SELECT doc_id, {final} AS elev_cubic FROM v
+"""
+
+
 def _o_gradient_points() -> str:
     ix, iy = sqlgen.raster_cell_exprs("g.lon", "g.lat")
     return f"""
@@ -709,16 +808,40 @@ hits AS (
 
 
 def _o_zonal_stats() -> str:
+    from geokit_spark.operators.zonal import ZONAL_SHIFT
+
+    k = int(ZONAL_SHIFT)
     return f"""
-WITH {_zone_pixel_hits_sql('elev')}
-SELECT zone_id,
-  COUNT(*) AS n_pix,
-  CAST(SUM(v) AS DOUBLE) AS sum_v,
-  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v,
-  CAST(MIN(v) AS DOUBLE) AS min_v,
-  CAST(MAX(v) AS DOUBLE) AS max_v,
-  (CAST(SUM(v * v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) AS var_v
-FROM hits GROUP BY zone_id
+WITH {_zone_pixel_hits_sql('elev')},
+a AS (
+  SELECT zone_id,
+    COUNT(*) AS n_pix,
+    CAST(COUNT(*) AS DOUBLE) AS nd,
+    CAST(SUM(v) AS DOUBLE) AS sum_v,
+    CAST(SUM(v * v) AS DOUBLE) AS s2,
+    CAST(MIN(v) AS DOUBLE) AS min_v,
+    CAST(MAX(v) AS DOUBLE) AS max_v,
+    CAST(SUM(v - {k}) AS DOUBLE) AS c1,
+    CAST(SUM((v - {k}) * (v - {k})) AS DOUBLE) AS c2,
+    CAST(SUM((v - {k}) * (v - {k}) * (v - {k})) AS DOUBLE) AS c3,
+    CAST(SUM((v - {k}) * (v - {k}) * (v - {k}) * (v - {k})) AS DOUBLE) AS c4
+  FROM hits GROUP BY zone_id
+),
+b AS (SELECT *, c1 / nd AS mc FROM a),
+c AS (
+  SELECT *,
+    c2 / nd - mc * mc AS mu2,
+    c3 / nd - CAST(3.0 AS DOUBLE) * mc * (c2 / nd) + CAST(2.0 AS DOUBLE) * mc * mc * mc AS mu3,
+    c4 / nd - CAST(4.0 AS DOUBLE) * mc * (c3 / nd) + CAST(6.0 AS DOUBLE) * mc * mc * (c2 / nd) - CAST(3.0 AS DOUBLE) * mc * mc * mc * mc AS mu4
+  FROM b
+)
+SELECT zone_id, n_pix, sum_v,
+  sum_v / nd AS mean_v,
+  min_v, max_v,
+  (s2 - sum_v * sum_v / nd) / nd AS var_v,
+  mu3 / (mu2 * sqrt(mu2)) AS skew_v,
+  mu4 / (mu2 * mu2) - CAST(3.0 AS DOUBLE) AS kurt_v
+FROM c
 """
 
 
@@ -795,6 +918,66 @@ WITH {sqlgen.pixel_grid_cte()}
 SELECT CAST(ix // 8 AS INT) AS block_x, CAST(iy // 8 AS INT) AS block_y,
        CAST(SUM(elev) AS DOUBLE) / CAST(64.0 AS DOUBLE) AS value
 FROM pix GROUP BY 1, 2
+"""
+
+
+def _warp_target_cte() -> str:
+    from geokit_spark.operators.warp import WARP_DXT, WARP_DYT, WARP_H, WARP_W
+
+    return f"""
+tgt AS (
+  SELECT jx, jy,
+    {d(XMIN)} + (CAST(jx AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {d(WARP_DXT)} AS cx,
+    {d(YMAX)} - (CAST(jy AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {d(WARP_DYT)} AS cy
+  FROM (SELECT CAST(range AS BIGINT) AS jx FROM range({WARP_W})),
+       (SELECT CAST(range AS BIGINT) AS jy FROM range({WARP_H}))
+)"""
+
+
+def _o_warp_near() -> str:
+    return f"""
+WITH {_warp_target_cte()},
+st AS (
+  SELECT jx, jy,
+    CAST(LEAST(GREATEST(FLOOR((cx - {d(XMIN)}) / {d(PIX_DX)}), 0), {RASTER_W - 1}) AS BIGINT) AS ix,
+    CAST(LEAST(GREATEST(FLOOR(({d(YMAX)} - cy) / {d(PIX_DY)}), 0), {RASTER_H - 1}) AS BIGINT) AS iy
+  FROM tgt
+)
+SELECT CAST(jx AS INT) AS jx, CAST(jy AS INT) AS jy,
+       CAST({sqlgen.elev_expr('ix', 'iy')} AS DOUBLE) AS value
+FROM st
+"""
+
+
+def _o_warp_bilinear() -> str:
+    return f"""
+WITH {_warp_target_cte()},
+g AS (
+  SELECT jx, jy,
+    (cx - {d(XMIN)}) / {d(PIX_DX)} - CAST(0.5 AS DOUBLE) AS gx,
+    ({d(YMAX)} - cy) / {d(PIX_DY)} - CAST(0.5 AS DOUBLE) AS gy
+  FROM tgt
+),
+st AS (
+  SELECT jx, jy, gx, gy,
+    CAST(LEAST(GREATEST(FLOOR(gx), 0), {RASTER_W - 2}) AS BIGINT) AS ix0,
+    CAST(LEAST(GREATEST(FLOOR(gy), 0), {RASTER_H - 2}) AS BIGINT) AS iy0
+  FROM g
+),
+v AS (
+  SELECT jx, jy, gx - CAST(ix0 AS DOUBLE) AS fx, gy - CAST(iy0 AS DOUBLE) AS fy,
+    CAST({sqlgen.elev_expr('ix0', 'iy0')} AS DOUBLE) AS v00,
+    CAST({sqlgen.elev_expr('(ix0 + 1)', 'iy0')} AS DOUBLE) AS v10,
+    CAST({sqlgen.elev_expr('ix0', '(iy0 + 1)')} AS DOUBLE) AS v01,
+    CAST({sqlgen.elev_expr('(ix0 + 1)', '(iy0 + 1)')} AS DOUBLE) AS v11
+  FROM st
+)
+SELECT CAST(jx AS INT) AS jx, CAST(jy AS INT) AS jy,
+  v00 * (CAST(1.0 AS DOUBLE) - fx) * (CAST(1.0 AS DOUBLE) - fy)
+  + v10 * fx * (CAST(1.0 AS DOUBLE) - fy)
+  + v01 * (CAST(1.0 AS DOUBLE) - fx) * fy
+  + v11 * fx * fy AS value
+FROM v
 """
 
 
@@ -1127,6 +1310,102 @@ SELECT (SELECT COUNT(*) FROM rmask) AS n_region_pix,
 """
 
 
+def _o_indicate_features_buffered() -> str:
+    from geokit_spark.kernels.buffer import buffer_convex
+
+    cross_r = sqlgen.pip_crossings_expr("p.px", "p.py")
+    buffered = {
+        z["zone_id"]: buffer_convex(z["verts"], BUFFER_DIST)
+        for z in fixtures.ZONES
+        if z["designate"] == "B"
+    }
+    zed = fixtures.sql_id_edges_values(buffered)
+    boxes = []
+    for zid, verts in buffered.items():
+        b = fixtures.poly_bbox(verts)
+        boxes.append(
+            f"({zid},{d(b[0])},{d(b[1])},{d(b[2])},{d(b[3])})"
+        )
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+redges(x1, y1, x2, y2) AS (VALUES {fixtures.sql_region_edges_values()}),
+rmask AS (
+  SELECT p.ix, p.iy, p.px, p.py
+  FROM pix p CROSS JOIN redges
+  GROUP BY p.ix, p.iy, p.px, p.py
+  HAVING SUM({cross_r}) % 2 = 1
+),
+zedges(zone_id, x1, y1, x2, y2) AS (VALUES {zed}),
+zbox(zone_id, bxmin, bymin, bxmax, bymax) AS (VALUES {','.join(boxes)}),
+cov AS (
+  SELECT m.ix, m.iy
+  FROM rmask m JOIN zbox z
+    ON m.px >= z.bxmin AND m.px <= z.bxmax
+   AND m.py >= z.bymin AND m.py <= z.bymax
+  JOIN zedges e ON e.zone_id = z.zone_id
+  GROUP BY m.ix, m.iy, m.px, m.py, z.zone_id
+  HAVING SUM({sqlgen.pip_crossings_expr("m.px", "m.py", "e.x1", "e.y1", "e.x2", "e.y2")}) % 2 = 1
+),
+covu AS (SELECT ix, iy FROM cov GROUP BY ix, iy)
+SELECT (SELECT COUNT(*) FROM rmask) AS n_region_pix,
+       (SELECT COUNT(*) FROM covu) AS n_covered,
+       CAST((SELECT COUNT(*) FROM covu) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM rmask) AS DOUBLE) AS frac
+"""
+
+
+def _o_indicate_values_buffered() -> str:
+    from geokit_spark.operators.indicate import sql_classifier_expr
+
+    radius = 2
+    conds = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx * dx + dy * dy > radius * radius:
+                continue
+            nx = f"(ix + {dx})"
+            ny = f"(iy + {dy})"
+            inb = (
+                f"{nx} >= 0 AND {nx} < {RASTER_W} AND {ny} >= 0 AND {ny} < {RASTER_H}"
+            )
+            cls = sql_classifier_expr(
+                INDICATE_DSL, f"({sqlgen.clc_expr(nx, ny)})"
+            )
+            conds.append(f"({inb} AND ({cls}))")
+    dil = " OR ".join(conds)
+    cross = sqlgen.pip_crossings_expr("c.px", "c.py", "e.x1", "e.y1", "e.x2", "e.y2")
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+pixd AS (
+  SELECT ix, iy, px, py, CASE WHEN {dil} THEN 1 ELSE 0 END AS dil
+  FROM pix
+),
+zedges(zone_id, x1, y1, x2, y2) AS (VALUES {fixtures.sql_zone_edges_values()}),
+zbox(zone_id, bxmin, bymin, bxmax, bymax) AS (
+  SELECT zone_id, MIN(LEAST(x1, x2)), MIN(LEAST(y1, y2)),
+         MAX(GREATEST(x1, x2)), MAX(GREATEST(y1, y2))
+  FROM zedges GROUP BY zone_id
+),
+cand AS (
+  SELECT p.ix, p.iy, p.px, p.py, p.dil, z.zone_id
+  FROM pixd p JOIN zbox z
+    ON p.px >= z.bxmin AND p.px <= z.bxmax
+   AND p.py >= z.bymin AND p.py <= z.bymax
+),
+hits AS (
+  SELECT c.ix, c.iy, c.zone_id, ANY_VALUE(c.dil) AS dil
+  FROM cand c JOIN zedges e USING (zone_id)
+  GROUP BY c.ix, c.iy, c.zone_id, c.px, c.py
+  HAVING SUM({cross}) % 2 = 1
+)
+SELECT zone_id,
+  COUNT(*) AS n_pix,
+  CAST(SUM(dil) AS BIGINT) AS n_match,
+  CAST(SUM(dil) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac
+FROM hits GROUP BY zone_id
+"""
+
+
 def _o_embed_topk() -> str:
     from geokit_spark.oracle import textsql as ts
 
@@ -1185,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "extract_values": _o_extract_values(),
         "interp_bilinear": _o_interp_bilinear(),
+        "interp_cubic": _o_interp_cubic(),
         "gradient_points": _o_gradient_points(),
         "zonal_stats": _o_zonal_stats(),
         "rasterize_zones": _o_rasterize_zones(),
@@ -1192,6 +1472,8 @@ def oracle_sql() -> dict[str, str]:
         "indicate_values": _o_indicate_values(),
         "kernel_max3": _o_kernel_max3(),
         "warp_average": _o_warp_average(),
+        "warp_near": _o_warp_near(),
+        "warp_bilinear": _o_warp_bilinear(),
         "mosaic_combine": _o_mosaic_combine(),
         "knn": _o_knn(),
         "count_features": _o_count_features(),
@@ -1217,6 +1499,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(),
         "simhash_near": _o_simhash_near(),
         "indicate_features": _o_indicate_features(),
+        "indicate_features_buffered": _o_indicate_features_buffered(),
+        "indicate_values_buffered": _o_indicate_values_buffered(),
         "lang_zone_cube": _o_lang_zone_cube(),
         "wkb_areas": _o_wkb_areas(),
         "location_dedup": _o_location_dedup(),

@@ -194,6 +194,19 @@ def sql_edges_values(verts) -> str:
     return ",".join(rows)
 
 
+def sql_id_edges_values(polys) -> str:
+    """DuckDB VALUES literal: (poly_id, x1, y1, x2, y2) directed edges
+    for a {poly_id: verts} dict (general polygon sets, e.g. buffered
+    zones)."""
+    rows = []
+    for pid, v in polys.items():
+        for i in range(len(v)):
+            x1, y1 = v[i]
+            x2, y2 = v[(i + 1) % len(v)]
+            rows.append(f"({int(pid)},{_dl(x1)},{_dl(y1)},{_dl(x2)},{_dl(y2)})")
+    return ",".join(rows)
+
+
 def sql_region_edges_values() -> str:
     rows = []
     v = REGION_VERTS

@@ -1,0 +1,102 @@
+"""Polygon buffering without GDAL/Shapely (reference geometry Buffer,
+used by indicateFeatures' buffer methods regionmask.py:1409-1440 and
+indicateValues' buffer path regionmask.py:1106-1188).
+
+Positive buffer of a CONVEX polygon = Minkowski sum with a disc:
+offset every edge outward by the distance and join consecutive offset
+edges with a circular arc around each vertex, approximated by
+``arc_segments`` chords (GDAL's Buffer quadrant segments analog).
+Negative buffer (shrink) of a convex polygon = intersection of the
+inward-offset half-planes. The engine's polygon side (zones) is
+convex by construction; general concave buffering remains a documented
+gap (SURVEY §7)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _signed_area(vx: np.ndarray, vy: np.ndarray) -> float:
+    return float(np.sum(vx * np.roll(vy, -1) - np.roll(vx, -1) * vy) / 2.0)
+
+
+def _ccw_ring(verts):
+    vx = np.asarray([v[0] for v in verts], dtype=np.float64)
+    vy = np.asarray([v[1] for v in verts], dtype=np.float64)
+    if len(vx) > 1 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]
+    if _signed_area(vx, vy) < 0:
+        vx, vy = vx[::-1], vy[::-1]
+    return vx, vy
+
+
+def buffer_convex(verts, dist: float, arc_segments: int = 8):
+    """Buffer a convex polygon by `dist` (positive grows, negative
+    shrinks). Returns a vertex list (CCW). arc_segments bounds the
+    chord count per vertex arc on the grow path."""
+    if dist == 0:
+        return [(float(x), float(y)) for x, y in verts]
+    vx, vy = _ccw_ring(verts)
+    n = len(vx)
+    if dist < 0:
+        return _shrink_convex(vx, vy, -dist)
+
+    out = []
+    for i in range(n):
+        p = np.array([vx[i], vy[i]])
+        d_in = p - np.array([vx[i - 1], vy[i - 1]])
+        d_out = np.array([vx[(i + 1) % n], vy[(i + 1) % n]]) - p
+        # outward normal of a CCW edge = right-hand normal (dy, -dx)
+        n_in = np.array([d_in[1], -d_in[0]]) / np.hypot(*d_in)
+        n_out = np.array([d_out[1], -d_out[0]]) / np.hypot(*d_out)
+        a0 = math.atan2(n_in[1], n_in[0])
+        a1 = math.atan2(n_out[1], n_out[0])
+        sweep = a1 - a0
+        while sweep < 0:  # convex CCW: outward normals rotate CCW
+            sweep += 2.0 * math.pi
+        k = max(1, int(math.ceil(sweep / (math.pi / 2) * arc_segments)))
+        for j in range(k + 1):
+            a = a0 + sweep * j / k
+            out.append((float(p[0] + dist * math.cos(a)),
+                        float(p[1] + dist * math.sin(a))))
+    # drop consecutive duplicates
+    dedup = [out[0]]
+    for q in out[1:]:
+        if q != dedup[-1]:
+            dedup.append(q)
+    if len(dedup) > 1 and dedup[0] == dedup[-1]:
+        dedup.pop()
+    return dedup
+
+
+def _shrink_convex(vx: np.ndarray, vy: np.ndarray, dist: float):
+    """Intersect the inward-offset half-planes of a convex CCW ring.
+    Returns [] when the polygon collapses."""
+    n = len(vx)
+    poly = list(zip(vx.tolist(), vy.tolist()))
+    for i in range(n):
+        ex, ey = vx[(i + 1) % n] - vx[i], vy[(i + 1) % n] - vy[i]
+        ln = math.hypot(ex, ey)
+        nx_, ny_ = ey / ln, -ex / ln  # outward normal
+        # half-plane: (q - (p - dist*n)) . n <= 0  ->  q.n <= p.n - dist
+        c = vx[i] * nx_ + vy[i] * ny_ - dist
+        nxt = []
+        m = len(poly)
+        for j in range(m):
+            (x0, y0), (x1, y1) = poly[j], poly[(j + 1) % m]
+            d0 = x0 * nx_ + y0 * ny_ - c
+            d1 = x1 * nx_ + y1 * ny_ - c
+            if d0 <= 0:
+                nxt.append((x0, y0))
+                if d1 > 0:
+                    t = d0 / (d0 - d1)
+                    nxt.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+            elif d1 <= 0:
+                t = d0 / (d0 - d1)
+                nxt.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+        poly = nxt
+        if len(poly) < 3:
+            return []
+    return poly

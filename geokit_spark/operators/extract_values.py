@@ -12,8 +12,11 @@ the per-point pivot (a groupBy on doc_id, map-side combinable).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..constants import (
     PIX_DX,
@@ -125,6 +128,112 @@ def interpolate_bilinear(points: DataFrame, tiles: DataFrame) -> DataFrame:
         + F.col("v_11") * F.col("fx") * F.col("fy")
     )
     return out.select("doc_id", interp.alias("elev_bilinear"))
+
+
+def _cubic1d(fm1, f0, f1, f2, u):
+    """Catmull-Rom cubic (Keys a=-0.5) in Horner form — the SAME
+    expression tree as oracle.sqlgen emits, so both engines round
+    identically."""
+    half = F.lit(0.5)
+    return f0 + half * u * (
+        f1 - fm1
+        + u * (
+            F.lit(2.0) * fm1 - F.lit(5.0) * f0 + F.lit(4.0) * f1 - f2
+            + u * (F.lit(3.0) * (f0 - f1) + f2 - fm1)
+        )
+    )
+
+
+def interpolate_cubic(points: DataFrame, tiles: DataFrame) -> DataFrame:
+    """Bicubic (cubic-spline window-4) interpolation at each point
+    (reference interpolateValues mode='cubic-spline',
+    raster.py:1241-1297): 4x4 stencil, row-wise cubic then column-wise
+    cubic. The stencil base is clamped to [1, W-3] so all 16 taps stay
+    in bounds (fractions then exceed [0,1) at the border band —
+    deterministic extrapolation mirrored by the oracle)."""
+    gx = (F.col("lon") - F.lit(XMIN)) / F.lit(PIX_DX) - F.lit(0.5)
+    gy = (F.lit(YMAX) - F.col("lat")) / F.lit(PIX_DY) - F.lit(0.5)
+    ixb = F.least(F.greatest(F.floor(gx), F.lit(1)), F.lit(RASTER_W - 3)).cast("long")
+    iyb = F.least(F.greatest(F.floor(gy), F.lit(1)), F.lit(RASTER_H - 3)).cast("long")
+    pts = (
+        points.withColumn("fx", gx - ixb)
+        .withColumn("fy", gy - iyb)
+        .withColumn("ixb", ixb)
+        .withColumn("iyb", iyb)
+    )
+    corners = {
+        f"{dx + 1}{dy + 1}": (F.col("ixb") + dx, F.col("iyb") + dy)
+        for dy in (-1, 0, 1, 2)
+        for dx in (-1, 0, 1, 2)
+    }
+    vals = _stencil_join(pts.select("doc_id", "fx", "fy", "ixb", "iyb"), tiles, corners)
+    out = pts.select("doc_id", "fx", "fy").join(vals, "doc_id")
+    rows = [
+        _cubic1d(
+            F.col(f"v_0{dy + 1}"), F.col(f"v_1{dy + 1}"),
+            F.col(f"v_2{dy + 1}"), F.col(f"v_3{dy + 1}"), F.col("fx"),
+        )
+        for dy in (-1, 0, 1, 2)
+    ]
+    interp = _cubic1d(rows[0], rows[1], rows[2], rows[3], F.col("fy"))
+    return out.select("doc_id", interp.alias("elev_cubic"))
+
+
+def interpolate_func(
+    points: DataFrame, tiles: DataFrame, func, window: int = 1,
+    out_name: str = "value",
+) -> DataFrame:
+    """interpolateValues mode='func' (reference raster.py:1176-1199,
+    1287-1294): a user function (window_matrix, xoff, yoff) -> scalar
+    applied at each point over its (2*window+1)^2 pixel neighborhood
+    (clamped at borders). The window is gathered JVM-side via the same
+    stencil join as the closed-form modes; only the user function runs
+    in an Arrow-batched pandas UDF — the engine's UDF surface, not the
+    hot path."""
+    ix, iy = pixel_index_cols(F.col("lon"), F.col("lat"))
+    pts = points.withColumn("ix", ix).withColumn("iy", iy)
+    corners = {}
+    side = 2 * window + 1
+    for dy in range(-window, window + 1):
+        for dx in range(-window, window + 1):
+            cx = F.least(F.greatest(F.col("ix") + dx, F.lit(0)), F.lit(RASTER_W - 1))
+            cy = F.least(F.greatest(F.col("iy") + dy, F.lit(0)), F.lit(RASTER_H - 1))
+            corners[f"{dx + window}_{dy + window}"] = (cx, cy)
+    vals = _stencil_join(pts.select("doc_id", "ix", "iy"), tiles, corners)
+    win = F.array(
+        *[
+            F.col(f"v_{dx}_{dy}")
+            for dy in range(side)
+            for dx in range(side)
+        ]
+    )
+    # fractional offsets of the point inside its pixel (reference
+    # passes xOff/yOff to the user func)
+    gx = (F.col("lon") - F.lit(XMIN)) / F.lit(PIX_DX)
+    gy = (F.lit(YMAX) - F.col("lat")) / F.lit(PIX_DY)
+    offs = pts.select(
+        "doc_id",
+        (gx - F.floor(gx)).alias("xoff"),
+        (gy - F.floor(gy)).alias("yoff"),
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def apply_func(w: pd.Series, xo: pd.Series, yo: pd.Series) -> pd.Series:
+        out = np.empty(len(w))
+        xon = xo.to_numpy(np.float64)
+        yon = yo.to_numpy(np.float64)
+        for i, arr in enumerate(w):
+            out[i] = func(
+                np.asarray(arr, dtype=np.float64).reshape(side, side),
+                xon[i], yon[i],
+            )
+        return pd.Series(out)
+
+    joined = vals.join(offs, "doc_id")
+    return joined.select(
+        "doc_id",
+        apply_func(win, F.col("xoff"), F.col("yoff")).alias(out_name),
+    )
 
 
 def extract_values_multi(

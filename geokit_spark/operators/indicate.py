@@ -84,30 +84,41 @@ def sql_classifier_expr(value: str, col: str) -> str:
 
 
 def indicate_features(
-    tiles: DataFrame, designate: str, region_verts=None
+    tiles: DataFrame, designate: str, region_verts=None,
+    buffer_dist: float = 0.0, zones=None,
 ) -> DataFrame:
     """indicateFeatures (regionmask.py:1293-1583): filter the zones by
-    an attribute `where` (designate class), rasterize them onto the
-    region grid, apply the region mask — output the covered fraction:
+    an attribute `where` (designate class), optionally BUFFER each
+    selected geometry (the reference's buffer-geom method,
+    regionmask.py:1409-1440), rasterize them onto the region grid,
+    apply the region mask — output the covered fraction:
     (n_region_pix, n_covered, frac).
 
     Physical shape: one mapInPandas over tiles testing pixel centers
-    against (a) the broadcast region polygon and (b) the filtered zone
-    polygons; exact integer partials -> final single-row agg."""
+    against (a) the broadcast region polygon and (b) the filtered
+    (buffered) zone polygons; exact integer partials -> final
+    single-row agg. Buffering happens driver-side on the broadcast
+    polygon side (kernels.buffer), never per pixel."""
     import pandas as pd
 
     from .. import fixtures
+    from ..kernels.buffer import buffer_convex
     from ..kernels.pip import points_in_poly
     from ..kernels.raster_fields import pixel_center
     from ..sources.tiles import tile_pixel_indices
     from .zonal import _tile_bbox
 
     region = region_verts if region_verts is not None else fixtures.REGION_VERTS
-    zsel = [
-        (z["verts"], fixtures.poly_bbox(z["verts"]))
-        for z in fixtures.ZONES
-        if z["designate"] == designate
-    ]
+    zsel = []
+    for z in (zones or fixtures.ZONES):
+        if z["designate"] != designate:
+            continue
+        verts = z["verts"]
+        if buffer_dist != 0.0:
+            verts = buffer_convex(verts, buffer_dist)
+            if not verts:
+                continue
+        zsel.append((verts, fixtures.poly_bbox(verts)))
 
     def fn(batches):
         for pdf in batches:
@@ -155,6 +166,68 @@ def indicate_values(tiles: DataFrame, value: str, zones=None) -> DataFrame:
         return classify(data).astype(np.float64)
 
     p = zonal_partials(tiles, zones=zones, transform=transform)
+    agg = p.groupBy("zone_id").agg(
+        F.sum("n").alias("n_pix"), F.sum("s").alias("_match")
+    )
+    return agg.select(
+        "zone_id",
+        "n_pix",
+        F.col("_match").cast("long").alias("n_match"),
+        (F.col("_match") / F.col("n_pix").cast("double")).alias("frac"),
+    )
+
+
+def classify_tiles(tiles: DataFrame, value: str) -> DataFrame:
+    """DSL classification as a 0/1 indicator tile table (the classify
+    stage of the reference pipeline, regionmask.py:1006-1062)."""
+    import pandas as pd
+
+    classify = compile_classifier(value)
+
+    def fn(batches):
+        for pdf in batches:
+            out = pdf[["tile_x", "tile_y"]].copy()
+            out["data"] = pdf["data"].map(
+                lambda a: classify(np.asarray(a, dtype=np.float64)).astype(
+                    np.float64
+                )
+            )
+            yield out
+
+    return tiles.mapInPandas(
+        fn, schema="tile_x int, tile_y int, data array<double>"
+    )
+
+
+def disc_dilate_kernel(radius: int):
+    """(T,T,k,k) window -> (T,T) max over the Euclidean disc — the
+    raster analog of the reference's indicateValues buffer path
+    (polygonize -> Buffer -> re-rasterize, regionmask.py:1106-1188):
+    a pixel indicates if ANY matching pixel lies within `radius`."""
+    k = 2 * radius + 1
+    dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    mask = (dx * dx + dy * dy) <= radius * radius
+
+    def red(w: np.ndarray) -> np.ndarray:
+        return w[:, :, mask].max(axis=2)
+
+    return red
+
+
+def indicate_values_buffered(
+    tiles: DataFrame, value: str, radius_px: int, zones=None
+) -> DataFrame:
+    """indicateValues with the buffer option: classify -> dilate the
+    indicator by radius_px (disc) via the halo-exchange kernel ->
+    per-zone fraction (zone_id, n_pix, n_match, frac)."""
+    from .kernel import kernel_filter_tiles
+
+    ind = classify_tiles(tiles, value)
+    dil = kernel_filter_tiles(
+        ind, kernel=disc_dilate_kernel(radius_px), size=radius_px,
+        edge_value=0.0,
+    )
+    p = zonal_partials(dil, zones=zones)
     agg = p.groupBy("zone_id").agg(
         F.sum("n").alias("n_pix"), F.sum("s").alias("_match")
     )

@@ -40,10 +40,12 @@ def kernel_filter_tiles(
     size: int = 1,
     edge_value: float = 0.0,
 ) -> DataFrame:
-    """Apply a (2*size+1)^2 window reduce ('max'|'min'|'mean'|'sum')
-    per pixel. Out-of-raster pixels contribute edge_value (reference
-    KernelProcessor edgeValue padding, util.py:318-324)."""
-    red = {
+    """Apply a (2*size+1)^2 window reduce ('max'|'min'|'mean'|'sum', or
+    any callable (T,T,k,k)->(T,T) — the reference's arbitrary
+    KernelProcessor hook, util.py:259-341) per pixel. Out-of-raster
+    pixels contribute edge_value (reference KernelProcessor edgeValue
+    padding, util.py:318-324)."""
+    red = kernel if callable(kernel) else {
         "max": lambda w: w.max(axis=(2, 3)),
         "min": lambda w: w.min(axis=(2, 3)),
         "mean": lambda w: w.mean(axis=(2, 3)),

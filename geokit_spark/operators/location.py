@@ -10,25 +10,65 @@ partitioning hint like RegionMask.subRegions)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bisect(points: DataFrame, axis: str = "lon") -> DataFrame:
-    """(doc_id, side): side 0 = first half by rank on `axis`
-    (tie-broken by doc_id — exact-rank median, no interpolation)."""
-    w = Window.orderBy(F.col(axis), F.col("doc_id"))
+def bisect(points: DataFrame, axis: str = "lon", _checkpoint: bool = True) -> DataFrame:
+    """(doc_id, side): side 0 = first half by exact rank on
+    (`axis`, doc_id) — exact-rank median, no interpolation.
+
+    Distributed rank (no global single-partition Window, the round-1
+    anti-pattern): ONE range shuffle orders partitions by the sort key,
+    rows are sorted within partitions, and the global rank is the
+    within-partition position plus the cumulative size of lower
+    partitions (P driver-side integers — bounded by the partition
+    count, never by rows). The range-partitioned DataFrame is
+    localCheckpoint-ed so the size pass and the rank pass see the
+    identical partitioning."""
+    spark = points.sparkSession
     n = points.count()
     half = n // 2
-    return (
-        points.withColumn("rnk", F.row_number().over(w))
-        .select(
-            "doc_id",
-            F.when(F.col("rnk") <= F.lit(half), F.lit(0))
-            .otherwise(F.lit(1))
-            .alias("side"),
-        )
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rp = (
+        points.select("doc_id", axis)
+        .repartitionByRange(p, F.col(axis), F.col("doc_id"))
+        .sortWithinPartitions(F.col(axis), F.col("doc_id"))
     )
+    if _checkpoint:  # pinned partitioning; False only for plan tests
+        rp = rp.localCheckpoint()
+    sizes = (
+        rp.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    by_pid = {int(r["pid"]): int(r["count"]) for r in sizes}
+    offsets = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = bc.value.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            rnk = base + seen + np.arange(1, len(pdf) + 1, dtype=np.int64)
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "side": np.where(rnk <= half, 0, 1).astype(np.int32),
+                }
+            )
+
+    return rp.mapInPandas(fn, schema="doc_id long, side int")
 
 
 def split_kmeans(

@@ -7,6 +7,13 @@
 * warp 'average' to an arbitrary coarser grid == scale_down followed
   by regrouping — the regrid-aggregate path of reference warp
   (raster.py:2140-2418, 'average' resampleAlg).
+* warp_to_grid — 'near' / 'bilinear' resampling onto an ARBITRARY
+  target grid (reference warp resampleAlg list raster.py:2142-2157):
+  the tile-regridding join of SURVEY §2.6 — each target tile equijoins
+  the bounded set of source tiles it reads from, then a vectorized
+  numpy gather/interpolation per target tile. The source side shuffles
+  only the overlapped tiles; nothing is broadcast, so the pattern
+  holds when the source raster is 100 TB.
 * mosaic_last_wins — combineSimilarRasters semantics: later source
   wins on non-noData pixels (combineSimilarRasters.py:179-188),
   as a JVM zip_with fold over priority-ordered tile tables.
@@ -14,12 +21,22 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..constants import TILE_SIZE
+from ..constants import (
+    PIX_DX,
+    PIX_DY,
+    RASTER_H,
+    RASTER_W,
+    TILE_SIZE,
+    XMIN,
+    YMAX,
+)
 
 
 def scale_down_tiles(tiles: DataFrame, k: int) -> DataFrame:
@@ -78,6 +95,130 @@ def scale_up_tiles(tiles: DataFrame, k: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return tiles.mapInPandas(fn, schema="tile_x int, tile_y int, data array<double>")
+
+
+# default driver-query target grid: full source extent regridded at a
+# non-integer 1.6x coarser resolution (exercises true regridding, not
+# the aligned block fast path)
+WARP_W = 320
+WARP_H = 320
+WARP_DXT = PIX_DX * 1.6
+WARP_DYT = PIX_DY * 1.6
+
+
+def warp_to_grid(
+    tiles: DataFrame,
+    ox: float = XMIN,
+    oy: float = YMAX,
+    dxt: float = WARP_DXT,
+    dyt: float = WARP_DYT,
+    w: int = WARP_W,
+    h: int = WARP_H,
+    alg: str = "near",
+) -> DataFrame:
+    """Resample the source tile table onto the target grid
+    (origin (ox, oy-at-top), pixel size (dxt, dyt), w x h pixels).
+    alg 'near' gathers the enclosing source pixel; 'bilinear'
+    interpolates the 2x2 stencil at the target pixel center (stencil
+    origin clamped at source borders, like interpolate_bilinear).
+    Returns (jx, jy, value) target-pixel rows.
+
+    Physical shape: target-tile skeleton (spark.range) exploded to the
+    source tile keys each target tile reads → equijoin with the source
+    tile table → groupBy(target tile) → one vectorized numpy resample
+    per target tile. Source-tile fan-out per target tile is bounded by
+    ceil(T*dxt/PIX_DX/T)+1 — constant, so the join scales linearly."""
+    t = TILE_SIZE
+    ntx = math.ceil(w / t)
+    nty = math.ceil(h / t)
+    spark = tiles.sparkSession
+    ntx_src = RASTER_W // t
+    nty_src = RASTER_H // t
+
+    skel = spark.range(ntx * nty).select(
+        (F.col("id") % ntx).cast("int").alias("ttx"),
+        (F.col("id") / ntx).cast("int").alias("tty"),
+    )
+    # source tile range each target tile needs (1-px margin for the
+    # bilinear stencil), computed driver-free as column arithmetic
+    margin = 1.0
+    x_lo = (F.col("ttx") * t * dxt - margin * PIX_DX) / (t * PIX_DX)
+    x_hi = ((F.col("ttx") + 1) * t * dxt + margin * PIX_DX) / (t * PIX_DX)
+    y_lo = (F.col("tty") * t * dyt - margin * PIX_DY) / (t * PIX_DY)
+    y_hi = ((F.col("tty") + 1) * t * dyt + margin * PIX_DY) / (t * PIX_DY)
+    sx0 = F.greatest(F.floor(x_lo).cast("int"), F.lit(0))
+    sx1 = F.least(F.floor(x_hi).cast("int"), F.lit(ntx_src - 1))
+    sy0 = F.greatest(F.floor(y_lo).cast("int"), F.lit(0))
+    sy1 = F.least(F.floor(y_hi).cast("int"), F.lit(nty_src - 1))
+    keys = (
+        skel.withColumn("tile_x", F.explode(F.sequence(sx0, sx1)))
+        .withColumn("tile_y", F.explode(F.sequence(sy0, sy1)))
+    )
+    joined = keys.join(tiles, ["tile_x", "tile_y"], "inner")
+
+    oxl, oyl, dxl, dyl = float(ox), float(oy), float(dxt), float(dyt)
+
+    def per_target(pdf: pd.DataFrame) -> pd.DataFrame:
+        ttx = int(pdf["ttx"].iloc[0])
+        tty = int(pdf["tty"].iloc[0])
+        sxs = pdf["tile_x"].to_numpy()
+        sys_ = pdf["tile_y"].to_numpy()
+        mx0, my0 = int(sxs.min()), int(sys_.min())
+        pw = (int(sxs.max()) - mx0 + 1) * t
+        ph = (int(sys_.max()) - my0 + 1) * t
+        patch = np.full((ph, pw), np.nan)
+        for r in pdf.itertuples():
+            patch[
+                (r.tile_y - my0) * t : (r.tile_y - my0 + 1) * t,
+                (r.tile_x - mx0) * t : (r.tile_x - mx0 + 1) * t,
+            ] = np.asarray(r.data, dtype=np.float64).reshape(t, t)
+
+        jx = np.arange(ttx * t, min((ttx + 1) * t, w), dtype=np.int64)
+        jy = np.arange(tty * t, min((tty + 1) * t, h), dtype=np.int64)
+        gjx, gjy = np.meshgrid(jx, jy)
+        # target pixel centers — same expression tree as the SQL oracle
+        cx = oxl + (gjx.astype(np.float64) + 0.5) * dxl
+        cy = oyl - (gjy.astype(np.float64) + 0.5) * dyl
+        if alg == "near":
+            ix = np.minimum(
+                np.maximum(np.floor((cx - XMIN) / PIX_DX), 0.0), RASTER_W - 1
+            ).astype(np.int64)
+            iy = np.minimum(
+                np.maximum(np.floor((YMAX - cy) / PIX_DY), 0.0), RASTER_H - 1
+            ).astype(np.int64)
+            val = patch[iy - my0 * t, ix - mx0 * t]
+        elif alg == "bilinear":
+            gx = (cx - XMIN) / PIX_DX - 0.5
+            gy = (YMAX - cy) / PIX_DY - 0.5
+            ix0 = np.minimum(np.maximum(np.floor(gx), 0.0), RASTER_W - 2).astype(np.int64)
+            iy0 = np.minimum(np.maximum(np.floor(gy), 0.0), RASTER_H - 2).astype(np.int64)
+            fx = gx - ix0
+            fy = gy - iy0
+            px = ix0 - mx0 * t
+            py = iy0 - my0 * t
+            v00 = patch[py, px]
+            v10 = patch[py, px + 1]
+            v01 = patch[py + 1, px]
+            v11 = patch[py + 1, px + 1]
+            val = (
+                v00 * (1.0 - fx) * (1.0 - fy)
+                + v10 * fx * (1.0 - fy)
+                + v01 * (1.0 - fx) * fy
+                + v11 * fx * fy
+            )
+        else:
+            raise ValueError(f"unsupported warp alg {alg!r}")
+        return pd.DataFrame(
+            {
+                "jx": gjx.ravel().astype("int32"),
+                "jy": gjy.ravel().astype("int32"),
+                "value": val.ravel(),
+            }
+        )
+
+    return joined.groupBy("ttx", "tty").applyInPandas(
+        per_target, schema="jx int, jy int, value double"
+    )
 
 
 def mosaic_last_wins(layers: list[DataFrame], nodata: float = -9999.0) -> DataFrame:

@@ -78,6 +78,13 @@ def test_zonal_stats_matches_numpy(spark, elev_tiles):
         assert row["sum_v"] == v.sum()
         assert row["min_v"] == v.min() and row["max_v"] == v.max()
         assert np.isclose(row["var_v"], v.var())
+        # skew/kurt: biased central moments (scipy.describe defaults)
+        mu = v.mean()
+        m2 = ((v - mu) ** 2).mean()
+        m3 = ((v - mu) ** 3).mean()
+        m4 = ((v - mu) ** 4).mean()
+        assert np.isclose(row["skew_v"], m3 / m2**1.5, rtol=1e-9)
+        assert np.isclose(row["kurt_v"], m4 / m2**2 - 3.0, rtol=1e-9)
 
 
 def test_rasterize_last_wins(spark, elev_tiles):

@@ -62,6 +62,20 @@ def test_bisect_halves(spark, docs):
     assert lo.max() <= hi.min()
 
 
+def test_bisect_has_no_single_partition_exchange(spark, docs):
+    """The distributed rank must never funnel the dataset through one
+    partition (round-1 anti-pattern: global no-partition Window)."""
+    pts = with_geocode(docs.select("doc_id"))
+    plan = (
+        bisect(pts, "lon", _checkpoint=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
+
+
 def test_split_kmeans_clusters(spark, docs):
     pts = with_geocode(docs.select("doc_id"))
     got = split_kmeans(pts, k=2, iters=4).toPandas()
