@@ -193,6 +193,33 @@ def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warp_to_grid(tilesrc.raster_table(spark, "elev"), alg="bilinear")
 
 
+def q_warp_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp resampleAlg='cubic' (Catmull-Rom 4x4) onto the target
+    grid (raster.py:2142-2157)."""
+    from geokit_spark.operators.warp import warp_to_grid
+
+    return warp_to_grid(tilesrc.raster_table(spark, "elev"), alg="cubic")
+
+
+def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp resampleAlg='cubicspline' (cubic B-spline reconstruction)
+    onto the target grid (raster.py:2142-2157)."""
+    from geokit_spark.operators.warp import warp_to_grid
+
+    return warp_to_grid(
+        tilesrc.raster_table(spark, "elev"), alg="cubicspline"
+    )
+
+
+def q_warp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregating warp resampleAlgs — average/min/max/med/q1/q3/
+    sum/mode in one pass (raster.py:2142-2157): posexplode + single
+    JVM hash aggregation, each source pixel binned by its center."""
+    from geokit_spark.operators.warp import warp_aggregate
+
+    return warp_aggregate(tilesrc.raster_table(spark, "elev"))
+
+
 def q_mosaic_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """combineSimilarRasters: patch layer wins on non-noData pixels
     (combineSimilarRasters.py:179-188). Output: per-tile sums."""
@@ -569,6 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_average": q_warp_average,
         "warp_near": q_warp_near,
         "warp_bilinear": q_warp_bilinear,
+        "warp_cubic": q_warp_cubic,
+        "warp_cubicspline": q_warp_cubicspline,
+        "warp_stats": q_warp_stats,
         "mosaic_combine": q_mosaic_combine,
         "knn": q_knn,
         "count_features": q_count_features,
@@ -978,6 +1008,120 @@ SELECT CAST(jx AS INT) AS jx, CAST(jy AS INT) AS jy,
   + v01 * (CAST(1.0 AS DOUBLE) - fx) * fy
   + v11 * fx * fy AS value
 FROM v
+"""
+
+
+def _sql_catmull_w(s: str) -> str:
+    """Catmull-Rom weight — identical Horner tree to warp._catmull_w."""
+    ax = f"ABS({s})"
+    inner = (
+        f"(({d(1.5)} * {ax} - {d(2.5)}) * {ax}) * {ax} + {d(1.0)}"
+    )
+    outer = (
+        f"(({d(-0.5)} * {ax} + {d(2.5)}) * {ax} - {d(4.0)}) * {ax} + {d(2.0)}"
+    )
+    return (
+        f"CASE WHEN {ax} <= {d(1.0)} THEN {inner} "
+        f"WHEN {ax} < {d(2.0)} THEN {outer} ELSE {d(0.0)} END"
+    )
+
+
+def _sql_bspline_w(s: str) -> str:
+    """Cubic B-spline weight — identical tree to warp._bspline_w."""
+    ax = f"ABS({s})"
+    inner = (
+        f"({d(4.0)} - {d(6.0)} * ({ax} * {ax}) "
+        f"+ {d(3.0)} * (({ax} * {ax}) * {ax})) / {d(6.0)}"
+    )
+    t2 = f"({d(2.0)} - {ax})"
+    outer = f"(({t2} * {t2}) * {t2}) / {d(6.0)}"
+    return (
+        f"CASE WHEN {ax} <= {d(1.0)} THEN {inner} "
+        f"WHEN {ax} < {d(2.0)} THEN {outer} ELSE {d(0.0)} END"
+    )
+
+
+def _o_warp_stencil4(kind: str) -> str:
+    """Shared oracle for warp cubic / cubicspline: 4x4 stencil at the
+    target pixel center, weights per _sql_catmull_w/_sql_bspline_w,
+    accumulation tree mirroring warp_to_grid.per_target exactly
+    (rows left-assoc over kx, then left-assoc over ky)."""
+    wfn = _sql_catmull_w if kind == "cubic" else _sql_bspline_w
+    taps = ",\n    ".join(
+        f"CAST({sqlgen.elev_expr(f'(ixb + {dx - 1})', f'(iyb + {dy - 1})')} AS DOUBLE) AS v{dx}{dy}"
+        for dy in range(4)
+        for dx in range(4)
+    )
+    ws = ",\n    ".join(
+        [f"{wfn(f'(fx - {d(float(k - 1))})')} AS wx{k}" for k in range(4)]
+        + [f"{wfn(f'(fy - {d(float(k - 1))})')} AS wy{k}" for k in range(4)]
+    )
+    rows = [
+        "(" + " + ".join(f"wx{kx} * v{kx}{ky}" for kx in range(4)) + ")"
+        for ky in range(4)
+    ]
+    final = " + ".join(f"wy{ky} * {rows[ky]}" for ky in range(4))
+    return f"""
+WITH {_warp_target_cte()},
+g AS (
+  SELECT jx, jy,
+    (cx - {d(XMIN)}) / {d(PIX_DX)} - CAST(0.5 AS DOUBLE) AS gx,
+    ({d(YMAX)} - cy) / {d(PIX_DY)} - CAST(0.5 AS DOUBLE) AS gy
+  FROM tgt
+),
+st AS (
+  SELECT jx, jy, gx, gy,
+    CAST(LEAST(GREATEST(FLOOR(gx), 1), {RASTER_W - 3}) AS BIGINT) AS ixb,
+    CAST(LEAST(GREATEST(FLOOR(gy), 1), {RASTER_H - 3}) AS BIGINT) AS iyb
+  FROM g
+),
+v AS (
+  SELECT jx, jy, gx - CAST(ixb AS DOUBLE) AS fx, gy - CAST(iyb AS DOUBLE) AS fy,
+    {taps}
+  FROM st
+),
+wv AS (
+  SELECT *,
+    {ws}
+  FROM v
+)
+SELECT CAST(jx AS INT) AS jx, CAST(jy AS INT) AS jy,
+  {final} AS value
+FROM wv
+"""
+
+
+def _o_warp_stats() -> str:
+    from geokit_spark.operators.warp import WARP_DXT, WARP_DYT, WARP_H, WARP_W
+
+    jx = f"CAST(FLOOR((px - {d(XMIN)}) / {d(WARP_DXT)}) AS INT)"
+    jy = f"CAST(FLOOR(({d(YMAX)} - py) / {d(WARP_DYT)}) AS INT)"
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+b AS (
+  SELECT jx, jy, value FROM (
+    SELECT {jx} AS jx, {jy} AS jy, CAST(elev AS DOUBLE) AS value FROM pix
+  ) WHERE jx >= 0 AND jx < {WARP_W} AND jy >= 0 AND jy < {WARP_H}
+),
+s AS (
+  SELECT jx, jy, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(value) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_v,
+    MIN(value) AS min_v, MAX(value) AS max_v,
+    quantile_cont(value, 0.5) AS med_v,
+    quantile_cont(value, 0.25) AS q1_v,
+    quantile_cont(value, 0.75) AS q3_v,
+    CAST(SUM(value) AS DOUBLE) AS sum_v
+  FROM b GROUP BY jx, jy
+),
+c AS (SELECT jx, jy, value, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+m AS (SELECT jx, jy, MAX(cnt) AS mc FROM c GROUP BY 1, 2),
+md AS (
+  SELECT c.jx, c.jy, MIN(c.value) AS mode_v
+  FROM c JOIN m ON c.jx = m.jx AND c.jy = m.jy AND c.cnt = m.mc
+  GROUP BY 1, 2
+)
+SELECT s.jx, s.jy, n, avg_v, min_v, max_v, med_v, q1_v, q3_v, sum_v, mode_v
+FROM s JOIN md ON s.jx = md.jx AND s.jy = md.jy
 """
 
 
@@ -1474,6 +1618,9 @@ def oracle_sql() -> dict[str, str]:
         "warp_average": _o_warp_average(),
         "warp_near": _o_warp_near(),
         "warp_bilinear": _o_warp_bilinear(),
+        "warp_cubic": _o_warp_stencil4("cubic"),
+        "warp_cubicspline": _o_warp_stencil4("cubicspline"),
+        "warp_stats": _o_warp_stats(),
         "mosaic_combine": _o_mosaic_combine(),
         "knn": _o_knn(),
         "count_features": _o_count_features(),

@@ -106,6 +106,39 @@ WARP_DXT = PIX_DX * 1.6
 WARP_DYT = PIX_DY * 1.6
 
 
+def _catmull_w(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom (a=-0.5) kernel weight — Horner form mirrored
+    literally by the SQL oracle (only +,-,*,abs)."""
+    ax = np.abs(x)
+    inner = ((1.5 * ax - 2.5) * ax) * ax + 1.0
+    outer = ((-0.5 * ax + 2.5) * ax - 4.0) * ax + 2.0
+    return np.where(ax <= 1.0, inner, np.where(ax < 2.0, outer, 0.0))
+
+
+def _bspline_w(x: np.ndarray) -> np.ndarray:
+    """Cubic B-spline reconstruction kernel (GDAL 'cubicspline') —
+    Horner form mirrored by the SQL oracle."""
+    ax = np.abs(x)
+    inner = (4.0 - 6.0 * (ax * ax) + 3.0 * ((ax * ax) * ax)) / 6.0
+    t2 = 2.0 - ax
+    outer = (t2 * t2 * t2) / 6.0
+    return np.where(ax <= 1.0, inner, np.where(ax < 2.0, outer, 0.0))
+
+
+def _lanczos_w(x: np.ndarray) -> np.ndarray:
+    """Lanczos a=3 windowed sinc (sin-based — verified by pytest
+    goldens, not the SQL oracle: libm sin differs across engines)."""
+    ax = np.abs(x)
+    px = np.pi * x
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.where(
+            ax < 1e-12,
+            1.0,
+            3.0 * np.sin(px) * np.sin(px / 3.0) / (px * px),
+        )
+    return np.where(ax < 3.0, w, 0.0)
+
+
 def warp_to_grid(
     tiles: DataFrame,
     ox: float = XMIN,
@@ -118,10 +151,15 @@ def warp_to_grid(
 ) -> DataFrame:
     """Resample the source tile table onto the target grid
     (origin (ox, oy-at-top), pixel size (dxt, dyt), w x h pixels).
-    alg 'near' gathers the enclosing source pixel; 'bilinear'
-    interpolates the 2x2 stencil at the target pixel center (stencil
-    origin clamped at source borders, like interpolate_bilinear).
-    Returns (jx, jy, value) target-pixel rows.
+    Stencil algs of the reference warp resampleAlg list
+    (raster.py:2142-2157):
+      'near'        enclosing source pixel
+      'bilinear'    2x2 stencil at the target pixel center
+      'cubic'       4x4 Catmull-Rom (same kernel as interpolate_cubic)
+      'cubicspline' 4x4 cubic B-spline reconstruction (smoothing)
+      'lanczos'     6x6 windowed-sinc, a=3, weight-normalized
+    Stencil origins are clamped at source borders. Returns
+    (jx, jy, value) target-pixel rows.
 
     Physical shape: target-tile skeleton (spark.range) exploded to the
     source tile keys each target tile reads → equijoin with the source
@@ -139,9 +177,13 @@ def warp_to_grid(
         (F.col("id") % ntx).cast("int").alias("ttx"),
         (F.col("id") / ntx).cast("int").alias("tty"),
     )
-    # source tile range each target tile needs (1-px margin for the
-    # bilinear stencil), computed driver-free as column arithmetic
-    margin = 1.0
+    # source tile range each target tile needs (per-alg stencil
+    # margin in source px), computed driver-free as column arithmetic
+    margins = {"near": 1.0, "bilinear": 1.0, "cubic": 2.0,
+               "cubicspline": 2.0, "lanczos": 3.0}
+    if alg not in margins:
+        raise ValueError(f"unsupported warp alg {alg!r}")
+    margin = margins[alg]
     x_lo = (F.col("ttx") * t * dxt - margin * PIX_DX) / (t * PIX_DX)
     x_hi = ((F.col("ttx") + 1) * t * dxt + margin * PIX_DX) / (t * PIX_DX)
     y_lo = (F.col("tty") * t * dyt - margin * PIX_DY) / (t * PIX_DY)
@@ -206,6 +248,44 @@ def warp_to_grid(
                 + v01 * (1.0 - fx) * fy
                 + v11 * fx * fy
             )
+        elif alg in ("cubic", "cubicspline", "lanczos"):
+            half = 1 if alg != "lanczos" else 2
+            ntaps = 2 * half + 2
+            gx = (cx - XMIN) / PIX_DX - 0.5
+            gy = (YMAX - cy) / PIX_DY - 0.5
+            ixb = np.minimum(
+                np.maximum(np.floor(gx), half), RASTER_W - half - 2
+            ).astype(np.int64)
+            iyb = np.minimum(
+                np.maximum(np.floor(gy), half), RASTER_H - half - 2
+            ).astype(np.int64)
+            fx = gx - ixb
+            fy = gy - iyb
+            if alg == "cubic":
+                wxs = [_catmull_w(fx - (k - half)) for k in range(ntaps)]
+                wys = [_catmull_w(fy - (k - half)) for k in range(ntaps)]
+            elif alg == "cubicspline":
+                wxs = [_bspline_w(fx - (k - half)) for k in range(ntaps)]
+                wys = [_bspline_w(fy - (k - half)) for k in range(ntaps)]
+            else:
+                wxs = [_lanczos_w(fx - (k - half)) for k in range(ntaps)]
+                wys = [_lanczos_w(fy - (k - half)) for k in range(ntaps)]
+            num = np.zeros_like(fx)
+            for ky in range(ntaps):
+                row = np.zeros_like(fx)
+                for kx in range(ntaps):
+                    v = patch[
+                        iyb + (ky - half) - my0 * t,
+                        ixb + (kx - half) - mx0 * t,
+                    ]
+                    row = row + wxs[kx] * v
+                num = num + wys[ky] * row
+            if alg == "lanczos":  # GDAL normalizes the truncated sinc
+                sx = sum(wxs)
+                sy = sum(wys)
+                val = num / (sx * sy)
+            else:
+                val = num
         else:
             raise ValueError(f"unsupported warp alg {alg!r}")
         return pd.DataFrame(
@@ -219,6 +299,70 @@ def warp_to_grid(
     return joined.groupBy("ttx", "tty").applyInPandas(
         per_target, schema="jx int, jy int, value double"
     )
+
+
+def warp_aggregate(
+    tiles: DataFrame,
+    ox: float = XMIN,
+    oy: float = YMAX,
+    dxt: float = WARP_DXT,
+    dyt: float = WARP_DYT,
+    w: int = WARP_W,
+    h: int = WARP_H,
+) -> DataFrame:
+    """The aggregating resampleAlgs of reference warp
+    (raster.py:2142-2157): average / min / max / med / q1 / q3 / sum /
+    mode in ONE pass onto an arbitrary coarser target grid. Each
+    source pixel belongs to exactly one target pixel (the one whose
+    footprint contains its center — a deviation from GDAL's
+    area-weighted 'average' documented in COVERAGE.md), so the whole
+    operator is posexplode → JVM column arithmetic → ONE hash
+    aggregation with map-side partials. No Python in the hot path;
+    mode is a second agg on the same key (AQE coalesces), tie-broken
+    to the smallest value so the result is deterministic.
+
+    Returns (jx, jy, n, avg_v, min_v, max_v, med_v, q1_v, q3_v, sum_v,
+    mode_v)."""
+    t = TILE_SIZE
+    px = tiles.select(
+        "tile_x", "tile_y", F.posexplode("data").alias("pos", "value")
+    ).select(
+        (F.col("tile_x") * t + F.col("pos") % t).alias("ix"),
+        (F.col("tile_y") * t + (F.col("pos") / t).cast("int")).alias("iy"),
+        "value",
+    )
+    sx = XMIN + (F.col("ix").cast("double") + F.lit(0.5)) * F.lit(PIX_DX)
+    sy = YMAX - (F.col("iy").cast("double") + F.lit(0.5)) * F.lit(PIX_DY)
+    binned = px.select(
+        F.floor((sx - F.lit(float(ox))) / F.lit(float(dxt))).cast("int").alias("jx"),
+        F.floor((F.lit(float(oy)) - sy) / F.lit(float(dyt))).cast("int").alias("jy"),
+        "value",
+    ).where(
+        (F.col("jx") >= 0) & (F.col("jx") < w)
+        & (F.col("jy") >= 0) & (F.col("jy") < h)
+    )
+    stats = binned.groupBy("jx", "jy").agg(
+        F.count("value").alias("n"),
+        (F.sum("value") / F.count("value").cast("double")).alias("avg_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.expr("percentile(value, 0.5D)").alias("med_v"),
+        F.expr("percentile(value, 0.25D)").alias("q1_v"),
+        F.expr("percentile(value, 0.75D)").alias("q3_v"),
+        F.sum("value").alias("sum_v"),
+    )
+    mode = (
+        binned.groupBy("jx", "jy", "value")
+        .count()
+        .groupBy("jx", "jy")
+        .agg(
+            F.max(
+                F.struct(F.col("count"), (-F.col("value")).alias("nv"))
+            ).alias("top")
+        )
+        .select("jx", "jy", (-F.col("top.nv")).alias("mode_v"))
+    )
+    return stats.join(mode, ["jx", "jy"], "inner")
 
 
 def mosaic_last_wins(layers: list[DataFrame], nodata: float = -9999.0) -> DataFrame:
