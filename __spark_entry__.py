@@ -22,7 +22,7 @@ from geokit_spark.operators import (
     spatial_join,
     zonal,
 )
-from geokit_spark.oracle import sqlgen
+from geokit_spark.oracle import geooracle, sqlgen
 from geokit_spark.oracle.sqlgen import d
 from geokit_spark.sources import tiles as tilesrc
 
@@ -230,6 +230,36 @@ def q_mosaic_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     elev = tilesrc.raster_table(spark, "elev")
     patch = patch_raster_table(spark)
     return tile_sums(mosaic_last_wins([elev, patch]))
+
+
+def q_srs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General SRS support (reference srs.py loadSRS/xyTransform +
+    the EPSG:3035 LAEA default, regionmask.py:80-82): zone centroids
+    transformed 4326 -> EPSG:3035 (ellipsoidal LAEA, GRS80) and
+    4326 -> EPSG:3857 inside one Arrow-batched pandas UDF; outputs
+    floor-quantized to 0.1 mm (the cross-libm-stable resolution).
+    Oracle: an independently written scalar LAEA (oracle.geooracle)."""
+    from geokit_spark.functions.geo import transform_cols
+    from geokit_spark.operators.mutate import zones_feature_df
+
+    z = zones_feature_df(spark).select(
+        "zone_id",
+        ((F.col("xs")[0] + F.col("xs")[1] + F.col("xs")[2] + F.col("xs")[3])
+         / F.lit(4.0)).alias("cx"),
+        ((F.col("ys")[0] + F.col("ys")[1] + F.col("ys")[2] + F.col("ys")[3])
+         / F.lit(4.0)).alias("cy"),
+    )
+    z = transform_cols(z, 4326, 3035, x="cx", y="cy", out_x="e", out_y="n")
+    z = transform_cols(z, "EPSG:4326", "EPSG:3857", x="cx", y="cy",
+                       out_x="mx", out_y="my")
+    q = F.lit(10000.0)
+    return z.select(
+        "zone_id",
+        F.floor(F.col("e") * q).alias("e3035_q"),
+        F.floor(F.col("n") * q).alias("n3035_q"),
+        F.floor(F.col("mx") * q).alias("x3857_q"),
+        F.floor(F.col("my") * q).alias("y3857_q"),
+    )
 
 
 def q_wkb_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indicate_values_buffered": q_indicate_values_buffered,
         "lang_zone_cube": q_lang_zone_cube,
         "wkb_areas": q_wkb_areas,
+        "srs_transform": q_srs_transform,
         "location_dedup": q_location_dedup,
         "embed_topk": q_embed_topk,
         "ann_topk": q_ann_topk,
@@ -1650,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "indicate_values_buffered": _o_indicate_values_buffered(),
         "lang_zone_cube": _o_lang_zone_cube(),
         "wkb_areas": _o_wkb_areas(),
+        "srs_transform": geooracle.srs_transform_sql(fixtures.ZONES),
         "location_dedup": _o_location_dedup(),
         "embed_topk": _o_embed_topk(),
         "ann_topk": _o_ann_topk(),

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,3 +105,38 @@ def slippy_cols(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
         (F.lit(1.0) - F.asinh(F.tan(lat_rad)) / F.lit(math.pi)) / F.lit(2.0) * n
     )
     return xi.cast("int"), yi.cast("int")
+
+
+def transform_cols(
+    df: DataFrame,
+    from_srs,
+    to_srs,
+    x: str = "lon",
+    y: str = "lat",
+    out_x: str = "x",
+    out_y: str = "y",
+) -> DataFrame:
+    """srs.xyTransform as a DataFrame op (reference srs.py xyTransform):
+    appends (out_x, out_y) = transform((x, y), from_srs -> to_srs).
+    One Arrow-batched pandas UDF over the closed-form numpy kernels in
+    kernels.srs — embarrassingly parallel, no shuffle, scales with the
+    scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels.srs import load_srs, xy_transform
+
+    fs, ts = load_srs(from_srs), load_srs(to_srs)
+
+    @pandas_udf("struct<x: double, y: double>")
+    def tf(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        ox, oy = xy_transform(
+            xs.to_numpy(dtype="float64"), ys.to_numpy(dtype="float64"), fs, ts
+        )
+        return pd.DataFrame({"x": ox, "y": oy})
+
+    return (
+        df.withColumn("_t", tf(F.col(x), F.col(y)))
+        .withColumn(out_x, F.col("_t.x"))
+        .withColumn(out_y, F.col("_t.y"))
+        .drop("_t")
+    )

@@ -41,3 +41,35 @@ def wkb_areas(spark: SparkSession) -> DataFrame:
     return zones_wkb_df(spark).select(
         "zone_id", _wkb_area_udf(F.col("geom")).alias("area")
     )
+
+
+def transform_geoms(
+    df: DataFrame, from_srs, to_srs, col: str = "geom",
+    out: str = "geom_t",
+) -> DataFrame:
+    """geom.transform over a WKB column (reference geom.py transform /
+    srs routing): parse each polygon's ring, transform every vertex
+    with the closed-form kernels.srs math, re-serialize WKB. Arrow-
+    batched, per-row numpy — no shuffle; the geometry column stays an
+    opaque binary payload for Catalyst (metadata columns prune it)."""
+    from ..kernels.srs import load_srs, xy_transform
+    from ..kernels.wkb import parse_wkb, point_wkb, polygon_wkb
+
+    fs, ts = load_srs(from_srs), load_srs(to_srs)
+
+    @F.pandas_udf(T.BinaryType())
+    def tf(geoms: pd.Series) -> pd.Series:
+        out_ = []
+        for buf in geoms:
+            kind, data = parse_wkb(bytes(buf))
+            if kind == "point":
+                tx, ty = xy_transform(data[0], data[1], fs, ts)
+                out_.append(point_wkb(float(tx), float(ty)))
+            else:
+                tx, ty = xy_transform(data[:, 0], data[:, 1], fs, ts)
+                out_.append(
+                    polygon_wkb(list(zip(tx.tolist(), ty.tolist())))
+                )
+        return pd.Series(out_)
+
+    return df.withColumn(out, tf(F.col(col)))

@@ -257,3 +257,89 @@ WITH golden(level, n_segments, total_length) AS (VALUES {vals})
 SELECT level, CAST(n_segments AS BIGINT) AS n_segments, total_length
 FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# fresh scalar ellipsoidal LAEA (EPSG method 1027, GN7-2 oblique case)
+# — independent of kernels.srs (math-module scalars, no numpy)
+
+_A = 6378137.0
+_F_ = 1.0 / 298.257222101
+_E2 = _F_ * (2.0 - _F_)
+_E = math.sqrt(_E2)
+
+
+def _q_scalar(phi: float) -> float:
+    s = math.sin(phi)
+    return (1.0 - _E2) * (
+        s / (1.0 - _E2 * s * s)
+        - (1.0 / (2.0 * _E)) * math.log((1.0 - _E * s) / (1.0 + _E * s))
+    )
+
+
+def laea_forward_fresh(lon: float, lat: float,
+                       lat0: float = 52.0, lon0: float = 10.0,
+                       fe: float = 4321000.0, fn: float = 3210000.0):
+    qp = _q_scalar(math.pi / 2.0)
+    phi0 = math.radians(lat0)
+    beta0 = math.asin(_q_scalar(phi0) / qp)
+    rq = _A * math.sqrt(qp / 2.0)
+    dd = _A * (
+        math.cos(phi0) / math.sqrt(1.0 - _E2 * math.sin(phi0) ** 2)
+    ) / (rq * math.cos(beta0))
+    beta = math.asin(_q_scalar(math.radians(lat)) / qp)
+    lam = math.radians(lon - lon0)
+    b = rq * math.sqrt(
+        2.0
+        / (
+            1.0
+            + math.sin(beta0) * math.sin(beta)
+            + math.cos(beta0) * math.cos(beta) * math.cos(lam)
+        )
+    )
+    e = fe + b * dd * math.cos(beta) * math.sin(lam)
+    n = fn + (b / dd) * (
+        math.cos(beta0) * math.sin(beta)
+        - math.sin(beta0) * math.cos(beta) * math.cos(lam)
+    )
+    return e, n
+
+
+def srs_transform_rows(zones) -> list[tuple]:
+    """Golden rows (zone_id, e3035_q, n3035_q, x3857_q, y3857_q),
+    coordinates floor-quantized to 0.1 mm (x1e4) — absorbs the <=2 ULP
+    libm-vs-numpy drift while staying deterministic."""
+    out = []
+    for z in zones:
+        xs = [float(v[0]) for v in z["verts"]]
+        ys = [float(v[1]) for v in z["verts"]]
+        cx = (((xs[0] + xs[1]) + xs[2]) + xs[3]) / 4.0
+        cy = (((ys[0] + ys[1]) + ys[2]) + ys[3]) / 4.0
+        e, n = laea_forward_fresh(cx, cy)
+        mx, my = _merc_fresh(cx, cy)
+        out.append(
+            (
+                z["zone_id"],
+                math.floor(e * 10000.0),
+                math.floor(n * 10000.0),
+                math.floor(mx * 10000.0),
+                math.floor(my * 10000.0),
+            )
+        )
+    return out
+
+
+def srs_transform_sql(zones) -> str:
+    rows = ",".join(
+        f"({zid},{e},{n},{x},{y})"
+        for zid, e, n, x, y in srs_transform_rows(zones)
+    )
+    return f"""
+WITH golden(zone_id, e3035_q, n3035_q, x3857_q, y3857_q) AS (VALUES {rows})
+SELECT CAST(zone_id AS INT) AS zone_id,
+       CAST(e3035_q AS BIGINT) AS e3035_q,
+       CAST(n3035_q AS BIGINT) AS n3035_q,
+       CAST(x3857_q AS BIGINT) AS x3857_q,
+       CAST(y3857_q AS BIGINT) AS y3857_q
+FROM golden
+"""

@@ -1,0 +1,106 @@
+"""SRS kernels + DataFrame transforms (reference srs.py parity).
+
+Pinned by the published EPSG Guidance Note 7-2 worked example for the
+ellipsoidal LAEA oblique aspect (ETRS89-LAEA): 50N 5E ->
+E 3962799.45, N 2999718.85.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geokit_spark import fixtures
+from geokit_spark.kernels.srs import (
+    EPSG3035, EPSG3857, EPSG4326, SRS, centered_laea, laea_forward,
+    laea_inverse, load_srs, xy_transform,
+)
+
+
+def test_epsg_worked_example():
+    e, n = laea_forward(5.0, 50.0, EPSG3035)
+    assert abs(float(e) - 3962799.45) < 0.01
+    assert abs(float(n) - 2999718.85) < 0.01
+
+
+def test_laea_roundtrip_grid():
+    lons, lats = np.meshgrid(np.linspace(-10, 30, 21), np.linspace(35, 70, 15))
+    e, n = laea_forward(lons, lats)
+    lo, la = laea_inverse(e, n)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-7  # series truncation ~1e-8 deg
+
+
+def test_centered_laea_is_zero_at_center():
+    srs = centered_laea(6.1, 50.8)
+    e, n = laea_forward(6.1, 50.8, srs)
+    assert abs(float(e)) < 1e-6 and abs(float(n)) < 1e-6
+    # equal-area: a small square keeps its area under recentering
+    for ring_srs in (srs, EPSG3035):
+        vx = np.array([6.0, 6.2, 6.2, 6.0])
+        vy = np.array([50.7, 50.7, 50.9, 50.9])
+        ex, ny = laea_forward(vx, vy, ring_srs)
+        area = 0.5 * abs(
+            np.dot(ex, np.roll(ny, -1)) - np.dot(ny, np.roll(ex, -1))
+        )
+        assert area == pytest.approx(3.13e8, rel=0.01)  # ~313 km^2
+
+
+def test_load_srs_sources():
+    assert load_srs(4326) is EPSG4326
+    assert load_srs("EPSG:3857") is EPSG3857
+    assert load_srs("latlon") is EPSG4326
+    assert load_srs("europe_m") is EPSG3035
+    assert load_srs(EPSG3035) is EPSG3035
+    assert load_srs(None) is None
+    with pytest.raises(ValueError):
+        load_srs(32632)
+    with pytest.raises(ValueError):
+        load_srs("not-a-srs")
+    with pytest.raises(TypeError):
+        load_srs(3.5)
+
+
+def test_xy_transform_routes_via_4326():
+    x, y = xy_transform(5.0, 50.0, 4326, 3857)
+    lon, lat = xy_transform(x, y, 3857, 4326)
+    assert float(lon) == pytest.approx(5.0, abs=1e-12)
+    assert float(lat) == pytest.approx(50.0, abs=1e-12)
+    e, n = xy_transform(x, y, 3857, 3035)
+    e2, n2 = laea_forward(5.0, 50.0)
+    assert float(e) == pytest.approx(float(e2), abs=1e-6)
+    assert float(n) == pytest.approx(float(n2), abs=1e-6)
+
+
+def test_transform_cols_matches_kernel(spark):
+    from geokit_spark.functions.geo import transform_cols
+    from geokit_spark.operators.mutate import zones_feature_df
+
+    z = zones_feature_df(spark).select(
+        "zone_id",
+        ((F.col("xs")[0] + F.col("xs")[1] + F.col("xs")[2] + F.col("xs")[3])
+         / 4.0).alias("cx"),
+        ((F.col("ys")[0] + F.col("ys")[1] + F.col("ys")[2] + F.col("ys")[3])
+         / 4.0).alias("cy"),
+    )
+    out = transform_cols(z, 4326, 3035, x="cx", y="cy").toPandas()
+    e, n = laea_forward(out["cx"].to_numpy(), out["cy"].to_numpy())
+    assert np.allclose(out["x"].to_numpy(), e, atol=1e-9)
+    assert np.allclose(out["y"].to_numpy(), n, atol=1e-9)
+
+
+def test_transform_geoms_wkb_polygon(spark):
+    from geokit_spark.kernels.wkb import parse_wkb, polygon_wkb
+    from geokit_spark.operators.wkbops import transform_geoms
+
+    verts = fixtures.ZONES[0]["verts"]
+    df = spark.createDataFrame(
+        [(0, bytearray(polygon_wkb(verts)))], "zone_id int, geom binary"
+    )
+    out = transform_geoms(df, 4326, 3035).toPandas()
+    kind, ring = parse_wkb(bytes(out["geom_t"].iloc[0]))
+    assert kind == "polygon"
+    vx = np.array([v[0] for v in verts])
+    vy = np.array([v[1] for v in verts])
+    e, n = laea_forward(vx, vy)
+    assert np.allclose(ring[:-1, 0], e, atol=1e-9)
+    assert np.allclose(ring[:-1, 1], n, atol=1e-9)
