@@ -232,6 +232,25 @@ def q_mosaic_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_sums(mosaic_last_wins([elev, patch]))
 
 
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polygonizeMatrix with POLYGON OUTPUT (geom.py:525-702): banded
+    raster floor(elev/200) -> per-component traced rings (outer +
+    holes). Oracle: independent full-matrix flood fill + Euler-
+    characteristic ring counts (geooracle.polygonize_rows); the WKB
+    geometry itself is pinned by tests/test_polygonize.py. area_px is
+    the tracer's signed shoelace sum — must equal n exactly."""
+    from geokit_spark.operators.components import polygonize
+
+    tiles = tilesrc.raster_table(spark, "elev").select(
+        "tile_x", "tile_y",
+        F.transform("data", lambda x: F.floor(x / F.lit(200.0))
+                    .cast("double")).alias("data"),
+    )
+    return polygonize(tiles).select(
+        "value", "n", "nh", "nv", "area_px", "n_rings"
+    )
+
+
 def q_srs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General SRS support (reference srs.py loadSRS/xyTransform +
     the EPSG:3035 LAEA default, regionmask.py:80-82): zone centroids
@@ -655,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_zone_cube": q_lang_zone_cube,
         "wkb_areas": q_wkb_areas,
         "srs_transform": q_srs_transform,
+        "polygonize": q_polygonize,
         "location_dedup": q_location_dedup,
         "embed_topk": q_embed_topk,
         "ann_topk": q_ann_topk,
@@ -1682,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_zone_cube": _o_lang_zone_cube(),
         "wkb_areas": _o_wkb_areas(),
         "srs_transform": geooracle.srs_transform_sql(fixtures.ZONES),
+        "polygonize": geooracle.polygonize_sql(),
         "location_dedup": _o_location_dedup(),
         "embed_topk": _o_embed_topk(),
         "ann_topk": _o_ann_topk(),

@@ -73,3 +73,19 @@ def polygon_wkb_area(buf: bytes) -> float:
     for t in x * y2 - x2 * y:  # fixed order: left-assoc accumulation
         s = s + t
     return abs(s / 2.0)
+
+
+def polygon_wkb_rings(rings) -> bytes:
+    """Multi-ring polygon (outer ring first, then holes). Each ring is
+    an (n, 2) array-like; rings are closed automatically. Produced by
+    operators.components.polygonize; note parse_wkb keeps its strict
+    single-ring contract for the area kernels."""
+    assert rings
+    parts = [struct.pack("<BII", _LE, WKB_POLYGON, len(rings))]
+    for ring in rings:
+        pts = [(float(x), float(y)) for x, y in ring]
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        parts.append(struct.pack("<I", len(pts)))
+        parts.append(np.asarray(pts, dtype="<f8").tobytes())
+    return b"".join(parts)

@@ -452,3 +452,283 @@ def sieve_merge(
             sorted(out.items()), columns=["value", "n_pixels"]
         ).reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# polygonize: component cell sets -> polygon geometries
+# (reference geom.polygonizeMatrix / polygonizeMask, geom.py:525-702)
+
+
+def _interior_boundary_edges(tiles: DataFrame, connectivity: int) -> DataFrame:
+    """Directed unit boundary edges STRICTLY INSIDE each tile, in
+    global pixel coords (cell-clockwise in y-down screen orientation,
+    so component interior is on the walker's right). Tile-border sides
+    are resolved separately by the strip anti-join. Vectorized numpy
+    per tile — one row per boundary edge, O(perimeter) output."""
+    t = TILE_SIZE
+
+    def fn(batches):
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                m = np.asarray(r.data, dtype=np.float64).reshape(t, t)
+                lab = label_block(m, connectivity)
+                base = (np.int64(tx) << _TX_SHIFT) | (np.int64(ty) << _TY_SHIFT)
+                glab = lab + base
+                gx0, gy0 = tx * t, ty * t
+                rows = []
+                # vertical boundary between horizontally-adjacent cells
+                yy, xx = np.nonzero(m[:, 1:] != m[:, :-1])
+                lx, ly = gx0 + xx, gy0 + yy
+                # left cell's RIGHT edge: (x+1, y) -> (x+1, y+1)
+                rows.append((glab[yy, xx], lx + 1, ly, lx + 1, ly + 1))
+                # right cell's LEFT edge: (x+1, y+1) -> (x+1, y)
+                rows.append((glab[yy, xx + 1], lx + 1, ly + 1, lx + 1, ly))
+                # horizontal boundary between vertically-adjacent cells
+                yy, xx = np.nonzero(m[1:, :] != m[:-1, :])
+                lx, ly = gx0 + xx, gy0 + yy
+                # upper cell's BOTTOM edge: (x+1, y+1) -> (x, y+1)
+                rows.append((glab[yy, xx], lx + 1, ly + 1, lx, ly + 1))
+                # lower cell's TOP edge: (x, y+1) -> (x+1, y+1)
+                rows.append((glab[yy + 1, xx], lx, ly + 1, lx + 1, ly + 1))
+                for lb, x1, y1, x2, y2 in rows:
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "label": lb.astype(np.int64),
+                                "x1": x1.astype(np.int64),
+                                "y1": y1.astype(np.int64),
+                                "x2": x2.astype(np.int64),
+                                "y2": y2.astype(np.int64),
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    columns=["label", "x1", "y1", "x2", "y2"]
+                ).astype(np.int64)
+            )
+
+    return tiles.mapInPandas(
+        fn, schema="label long, x1 long, y1 long, x2 long, y2 long"
+    )
+
+
+def _border_boundary_edges(lab: DataFrame) -> DataFrame:
+    """Boundary edges on TILE BORDERS: a strip cell's outward edge is a
+    boundary edge unless the facing cell in the adjacent tile has the
+    same value (those components were merged by the seam join). Pure
+    JVM: strip-vs-strip left anti-join on the global seam coordinate +
+    value, then column arithmetic for the edge geometry."""
+    t = TILE_SIZE
+    e = lab.filter(F.col("kind") == "e")
+
+    def facing(side: str):
+        """(match_key) rows of the strip FACING `side` strips."""
+        other = {"l": "r", "r": "l", "t": "b", "b": "t"}[side]
+        o = e.filter(F.col("side") == other)
+        if side in ("l", "r"):
+            seam = F.col("tile_x") + (1 if other == "r" else 0)
+            g = F.col("tile_y") * t + F.col("off")
+        else:
+            seam = F.col("tile_y") + (1 if other == "b" else 0)
+            g = F.col("tile_x") * t + F.col("off")
+        return o.select(
+            seam.alias("mseam"), g.alias("mg"), F.col("value").alias("mv")
+        )
+
+    out = []
+    for side in ("l", "r", "t", "b"):
+        s = e.filter(F.col("side") == side)
+        if side in ("l", "r"):
+            seam = F.col("tile_x") + (1 if side == "r" else 0)
+            g = F.col("tile_y") * t + F.col("off")
+        else:
+            seam = F.col("tile_y") + (1 if side == "b" else 0)
+            g = F.col("tile_x") * t + F.col("off")
+        s = s.withColumn("seam", seam).withColumn("g", g)
+        m = facing(side)
+        unmatched = s.join(
+            m,
+            (s["seam"] == m["mseam"]) & (s["g"] == m["mg"])
+            & (s["value"] == m["mv"]),
+            "left_anti",
+        )
+        gx = (
+            F.col("tile_x") * t
+            + (F.col("off") if side in ("t", "b") else
+               F.lit(0) if side == "l" else F.lit(t - 1))
+        ).cast("long")
+        gy = (
+            F.col("tile_y") * t
+            + (F.col("off") if side in ("l", "r") else
+               F.lit(0) if side == "t" else F.lit(t - 1))
+        ).cast("long")
+        if side == "l":    # (x, y+1) -> (x, y)
+            sel = [gx, gy + 1, gx, gy]
+        elif side == "r":  # (x+1, y) -> (x+1, y+1)
+            sel = [gx + 1, gy, gx + 1, gy + 1]
+        elif side == "t":  # (x, y) -> (x+1, y)
+            sel = [gx, gy, gx + 1, gy]
+        else:              # (x+1, y+1) -> (x, y+1)
+            sel = [gx + 1, gy + 1, gx, gy + 1]
+        out.append(
+            unmatched.select(
+                F.col("label"),
+                sel[0].alias("x1"), sel[1].alias("y1"),
+                sel[2].alias("x2"), sel[3].alias("y2"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _trace_rings(edges: pd.DataFrame):
+    """Assemble directed unit edges into closed rings. At ambiguous
+    (pinch) vertices — four boundary edges meeting where two holes (or
+    a hole and the outside) touch diagonally — the walker takes the
+    most-LEFT turn relative to its incoming direction: with interior
+    kept on the walker's right, the left turn stays on the boundary of
+    the SAME complement region, so pinched holes come out as separate
+    simple rings (matching the Euler-characteristic hole count).
+    Returns (rings, nh, nv): rings as lists of (x, y) pixel-corner
+    tuples (unclosed), nh/nv = horizontal/vertical unit-edge counts."""
+    x1 = edges["x1"].to_numpy(np.int64)
+    y1 = edges["y1"].to_numpy(np.int64)
+    x2 = edges["x2"].to_numpy(np.int64)
+    y2 = edges["y2"].to_numpy(np.int64)
+    nh = int((y1 == y2).sum())
+    nv = int((x1 == x2).sum())
+    order = np.lexsort((x1, y1))
+    starts: dict[int, list[int]] = {}
+    for i in order.tolist():
+        starts.setdefault((int(x1[i]) << 32) | int(y1[i]), []).append(i)
+    used = np.zeros(len(edges), dtype=bool)
+    rings = []
+    for s0 in order.tolist():
+        if used[s0]:
+            continue
+        ring = [(int(x1[s0]), int(y1[s0]))]
+        used[s0] = True
+        cur = s0
+        start_key = (int(x1[s0]) << 32) | int(y1[s0])
+        while True:
+            vx, vy = int(x2[cur]), int(y2[cur])
+            key = (vx << 32) | vy
+            if key == start_key:
+                break
+            ring.append((vx, vy))
+            dx, dy = vx - int(x1[cur]), vy - int(y1[cur])
+            cands = [i for i in starts.get(key, ()) if not used[i]]
+            if not cands:
+                raise ValueError("open boundary chain (corrupt edges)")
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                # turn priority: left, straight, right (y-down coords)
+                prio = {(dy, -dx): 0, (dx, dy): 1, (-dy, dx): 2}
+                nxt = min(
+                    cands,
+                    key=lambda i: prio.get(
+                        (int(x2[i]) - int(x1[i]), int(y2[i]) - int(y1[i])), 3
+                    ),
+                )
+            used[nxt] = True
+            cur = nxt
+        rings.append(ring)
+    return rings, nh, nv
+
+
+def polygonize(tiles: DataFrame, pixel_geo=None) -> DataFrame:
+    """polygonizeMatrix producing POLYGON GEOMETRIES (reference
+    geom.py:525-702; GDALPolygonize default 4-connectedness): one row
+    per connected component with its WKB polygon (outer ring + holes),
+    exact pixel-space invariants and geo-space area/perimeter.
+
+    pixel_geo: optional (x0, y0, dx, dy) mapping pixel corner (px, py)
+    -> geo (x0 + px*dx, y0 - py*dy); defaults to the fixture raster
+    grid (constants XMIN/YMAX/PIX_DX/PIX_DY).
+
+    Distributed shape: boundary edges are emitted per tile (interior
+    diffs, vectorized) and per seam (strip anti-join, pure JVM) —
+    O(total perimeter) rows, never O(pixels); ring assembly is one
+    applyInPandas task per component (bounded by that component's own
+    perimeter). Output columns:
+      root, value, n (pixels), n_rings, nh, nv (unit edge counts),
+      area_px (signed shoelace sum == n, the built-in tracer check),
+      area, perimeter (geo units), wkb (multi-ring polygon).
+    """
+    from ..constants import PIX_DX, PIX_DY, XMIN, YMAX
+    from ..kernels.wkb import polygon_wkb_rings
+
+    if pixel_geo is None:
+        pixel_geo = (XMIN, YMAX, PIX_DX, PIX_DY)
+    gx0, gy0, gdx, gdy = (float(v) for v in pixel_geo)
+
+    connectivity = 4  # GDAL polygonize semantics
+    lab = _label_frames_df(tiles, connectivity)
+    roots = _resolve_roots(_seam_pairs_df(lab.filter(F.col("kind") == "e"),
+                                          connectivity))
+    summ = lab.filter(F.col("kind") == "s").select("label", "value", "n")
+    comp = (
+        summ.join(roots, "label", "left")
+        .select(F.coalesce("root", "label").alias("root"), "value", "n")
+        .groupBy("root", "value")
+        .agg(F.sum("n").alias("n"))
+    )
+    edges = _interior_boundary_edges(tiles, connectivity).unionByName(
+        _border_boundary_edges(lab)
+    )
+    edges = (
+        edges.join(roots, "label", "left")
+        .select(
+            F.coalesce("root", "label").alias("root"),
+            "x1", "y1", "x2", "y2",
+        )
+    )
+
+    def trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        root = int(pdf["root"].iloc[0])
+        rings, nh, nv = _trace_rings(pdf)
+        signed = []
+        geo_rings = []
+        for ring in rings:
+            arr = np.asarray(ring, dtype=np.float64)
+            x, y = arr[:, 0], arr[:, 1]
+            s2 = np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)
+            signed.append(s2 / 2.0)
+            geo_rings.append(
+                np.column_stack((gx0 + arr[:, 0] * gdx,
+                                 gy0 - arr[:, 1] * gdy))
+            )
+        area_px = float(sum(signed))
+        # outer ring first (largest |signed| area)
+        order = sorted(range(len(rings)), key=lambda i: -abs(signed[i]))
+        wkb = polygon_wkb_rings([geo_rings[i] for i in order])
+        area = abs(area_px) * (gdx * gdy)
+        perim = nh * gdx + nv * gdy
+        return pd.DataFrame(
+            {
+                "root": [root], "n_rings": [len(rings)],
+                "nh": [nh], "nv": [nv], "area_px": [area_px],
+                "area": [area], "perimeter": [perim],
+                "wkb": [wkb],
+            }
+        )
+
+    traced = edges.groupBy("root").applyInPandas(
+        trace,
+        schema=(
+            "root long, n_rings int, nh long, nv long, area_px double, "
+            "area double, perimeter double, wkb binary"
+        ),
+    )
+    return comp.join(traced, "root", "inner").select(
+        "root", "value", "n", "n_rings", "nh", "nv",
+        "area_px", "area", "perimeter", "wkb",
+    )

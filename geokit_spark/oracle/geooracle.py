@@ -343,3 +343,100 @@ SELECT CAST(zone_id AS INT) AS zone_id,
        CAST(y3857_q AS BIGINT) AS y3857_q
 FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# polygonize golden: independent flood fill + edge counting + Euler
+# characteristic for ring counts (never touches tiles/seams/tracing)
+
+
+def polygonize_rows():
+    """(value, n, nh, nv, area_px, n_rings) per 4-connected component
+    of the banded raster v = floor(elev/200). nh/nv = horizontal/
+    vertical unit boundary edges; n_rings = 1 + holes with holes from
+    the Euler characteristic h = 1 - V + E - F of the cell complex."""
+    from ..kernels.raster_fields import elev_value
+
+    iy, ix = np.meshgrid(
+        np.arange(RASTER_H, dtype=np.int64),
+        np.arange(RASTER_W, dtype=np.int64),
+        indexing="ij",
+    )
+    v = np.floor(elev_value(ix, iy).astype(np.float64) / 200.0)
+    h_, w_ = v.shape
+    lab = -np.ones((h_, w_), dtype=np.int64)
+    nxt = 0
+    for sy in range(h_):
+        for sx in range(w_):
+            if lab[sy, sx] >= 0:
+                continue
+            val = v[sy, sx]
+            stack = [(sy, sx)]
+            lab[sy, sx] = nxt
+            while stack:
+                cy, cx = stack.pop()
+                for ny, nx in ((cy - 1, cx), (cy + 1, cx),
+                               (cy, cx - 1), (cy, cx + 1)):
+                    if (0 <= ny < h_ and 0 <= nx < w_
+                            and lab[ny, nx] < 0 and v[ny, nx] == val):
+                        lab[ny, nx] = nxt
+                        stack.append((ny, nx))
+            nxt += 1
+
+    flat = lab.ravel()
+    n = np.bincount(flat, minlength=nxt)
+    first = np.full(nxt, -1, dtype=np.int64)
+    first[flat[::-1]] = np.arange(flat.size - 1, -1, -1)
+    vals = v.ravel()[first]
+
+    # horizontal boundary edges (between vertically-adjacent cells +
+    # raster top/bottom borders)
+    nh = np.zeros(nxt, dtype=np.int64)
+    diff = lab[1:, :] != lab[:-1, :]
+    nh += np.bincount(lab[:-1, :][diff], minlength=nxt)
+    nh += np.bincount(lab[1:, :][diff], minlength=nxt)
+    nh += np.bincount(lab[0, :], minlength=nxt)
+    nh += np.bincount(lab[-1, :], minlength=nxt)
+    nv = np.zeros(nxt, dtype=np.int64)
+    diff = lab[:, 1:] != lab[:, :-1]
+    nv += np.bincount(lab[:, :-1][diff], minlength=nxt)
+    nv += np.bincount(lab[:, 1:][diff], minlength=nxt)
+    nv += np.bincount(lab[:, 0], minlength=nxt)
+    nv += np.bincount(lab[:, -1], minlength=nxt)
+
+    # Euler: F=n; E = 4n - shared; V = distinct corners per component
+    shared = np.zeros(nxt, dtype=np.int64)
+    same = lab[1:, :] == lab[:-1, :]
+    shared += np.bincount(lab[:-1, :][same], minlength=nxt)
+    same = lab[:, 1:] == lab[:, :-1]
+    shared += np.bincount(lab[:, :-1][same], minlength=nxt)
+    e_cnt = 4 * n - shared
+    corners = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            key = ((ix + dx) << 32) | (iy + dy)
+            corners.append(
+                np.stack([flat, key.ravel()], axis=1)
+            )
+    allc = np.concatenate(corners)
+    uniq = np.unique(allc, axis=0)
+    v_cnt = np.bincount(uniq[:, 0], minlength=nxt)
+    holes = 1 - v_cnt + e_cnt - n
+    return [
+        (float(vals[i]), int(n[i]), int(nh[i]), int(nv[i]),
+         float(n[i]), int(1 + holes[i]))
+        for i in range(nxt)
+    ]
+
+
+def polygonize_sql() -> str:
+    rows = ",".join(
+        f"({d(v)},{n},{nh},{nv},{d(apx)},{nr})"
+        for v, n, nh, nv, apx, nr in polygonize_rows()
+    )
+    return f"""
+WITH golden(value, n, nh, nv, area_px, n_rings) AS (VALUES {rows})
+SELECT value, CAST(n AS BIGINT) AS n, CAST(nh AS BIGINT) AS nh,
+       CAST(nv AS BIGINT) AS nv, area_px, CAST(n_rings AS INT) AS n_rings
+FROM golden
+"""
