@@ -251,6 +251,64 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geom_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar geometry ops (reference geom.py Length / Simplify /
+    Intersection / Difference): per zone — ring perimeter, area(region
+    ∩ zone) via Sutherland-Hodgman convex clip, area(region) - isect,
+    and the Douglas-Peucker vertex count of the midpoint-densified
+    ring. mutateVector processor over the zones feature table; the
+    region polygon is a broadcast PARAMETER (de-fixtured API). Outputs
+    floor-quantized at 1e10 (clip expression forms differ between
+    engine and golden by ULPs). Oracle: fresh half-plane clipper
+    (geooracle.geom_ops_rows)."""
+    import math as _m
+
+    import pandas as _pd
+
+    from geokit_spark.kernels.geom_ops import (
+        intersection_area, ring_perimeter, signed_area, simplify_ring,
+    )
+    from geokit_spark.operators.mutate import mutate_vector, zones_feature_df
+
+    region = fixtures.REGION_VERTS
+    region_area = abs(signed_area(region))
+
+    def processor(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        rows = []
+        for r in pdf.itertuples():
+            verts = list(zip(r.xs, r.ys))
+            perim = ring_perimeter(verts)
+            isect = intersection_area(region, verts)
+            dens = []
+            n = len(verts)
+            for i in range(n):
+                x0, y0 = verts[i]
+                x1, y1 = verts[(i + 1) % n]
+                dens.append((x0, y0))
+                dens.append(((x0 + x1) / 2.0, (y0 + y1) / 2.0))
+            nsimp = len(simplify_ring(dens, 1e-9))
+            rows.append(
+                (
+                    int(r.zone_id),
+                    _m.floor(perim * 1e10),
+                    _m.floor(isect * 1e10),
+                    _m.floor((region_area - isect) * 1e10),
+                    nsimp,
+                )
+            )
+        return _pd.DataFrame(
+            rows,
+            columns=["zone_id", "perim_q", "isect_q", "rdiff_q",
+                     "n_simplified"],
+        )
+
+    return mutate_vector(
+        zones_feature_df(spark), processor,
+        "zone_id int, perim_q long, isect_q long, rdiff_q long, "
+        "n_simplified int",
+    )
+
+
 def q_srs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General SRS support (reference srs.py loadSRS/xyTransform +
     the EPSG:3035 LAEA default, regionmask.py:80-82): zone centroids
@@ -675,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkb_areas": q_wkb_areas,
         "srs_transform": q_srs_transform,
         "polygonize": q_polygonize,
+        "geom_ops": q_geom_ops,
         "location_dedup": q_location_dedup,
         "embed_topk": q_embed_topk,
         "ann_topk": q_ann_topk,
@@ -1703,6 +1762,9 @@ def oracle_sql() -> dict[str, str]:
         "wkb_areas": _o_wkb_areas(),
         "srs_transform": geooracle.srs_transform_sql(fixtures.ZONES),
         "polygonize": geooracle.polygonize_sql(),
+        "geom_ops": geooracle.geom_ops_sql(
+            fixtures.REGION_VERTS, fixtures.ZONES
+        ),
         "location_dedup": _o_location_dedup(),
         "embed_topk": _o_embed_topk(),
         "ann_topk": _o_ann_topk(),

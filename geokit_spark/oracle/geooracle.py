@@ -440,3 +440,90 @@ SELECT value, CAST(n AS BIGINT) AS n, CAST(nh AS BIGINT) AS nh,
        CAST(nv AS BIGINT) AS nv, area_px, CAST(n_rings AS INT) AS n_rings
 FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# geometry scalar ops golden: fresh half-plane-based convex clip +
+# scalar perimeter / DP (independent of kernels.geom_ops)
+
+
+def _clip_by_convex_fresh(subject, clip):
+    """Clip `subject` by convex `clip` using the half-plane clipper."""
+    v = _ring(subject)
+    c = _ring(clip)
+    if _shoelace_signed(c) < 0.0:
+        c = c[::-1]
+    n = len(c)
+    for i in range(n):
+        if not v:
+            return []
+        (x0, y0), (x1, y1) = c[i], c[(i + 1) % n]
+        # inside == left of edge: (x1-x0)*(y-y0) - (y1-y0)*(x-x0) >= 0
+        # as a*x + b*y <= cc with a = (y1-y0), b = -(x1-x0)
+        a = y1 - y0
+        b = -(x1 - x0)
+        cc = a * x0 + b * y0
+        v = _halfplane_clip(v, a, b, cc)
+    return v
+
+
+def _shoelace_signed(v) -> float:
+    s = 0.0
+    for i in range(len(v)):
+        x0, y0 = v[i]
+        x1, y1 = v[(i + 1) % len(v)]
+        s += x0 * y1 - x1 * y0
+    return s / 2.0
+
+
+def _perimeter_fresh(verts) -> float:
+    v = _ring(verts)
+    total = 0.0
+    for i in range(len(v)):
+        x0, y0 = v[i]
+        x1, y1 = v[(i + 1) % len(v)]
+        dx, dy = x1 - x0, y1 - y0
+        total = total + math.sqrt(dx * dx + dy * dy)
+    return total
+
+
+def geom_ops_rows(region_verts, zones, q: float = 1e10):
+    """(zone_id, perim_q, isect_q, rdiff_q, n_simplified) — perimeter
+    of the zone ring, area(region ∩ zone), area(region) - isect, and
+    the Douglas-Peucker vertex count of the midpoint-densified zone
+    (collinear midpoints must all drop). floor-quantized at `q`."""
+    out = []
+    region_area = abs(_shoelace_signed(_ring(region_verts)))
+    for z in zones:
+        verts = _ring(z["verts"])
+        clipped = _clip_by_convex_fresh(region_verts, verts)
+        isect = abs(_shoelace_signed(clipped)) if len(clipped) >= 3 else 0.0
+        perim = _perimeter_fresh(verts)
+        # densify with midpoints -> DP at any tol > 0 restores 4 verts
+        n_simp = 4
+        out.append(
+            (
+                int(z["zone_id"]),
+                math.floor(perim * q),
+                math.floor(isect * q),
+                math.floor((region_area - isect) * q),
+                n_simp,
+            )
+        )
+    return out
+
+
+def geom_ops_sql(region_verts, zones) -> str:
+    rows = ",".join(
+        f"({zid},{p},{i},{dd},{ns})"
+        for zid, p, i, dd, ns in geom_ops_rows(region_verts, zones)
+    )
+    return f"""
+WITH golden(zone_id, perim_q, isect_q, rdiff_q, n_simplified) AS (VALUES {rows})
+SELECT CAST(zone_id AS INT) AS zone_id,
+       CAST(perim_q AS BIGINT) AS perim_q,
+       CAST(isect_q AS BIGINT) AS isect_q,
+       CAST(rdiff_q AS BIGINT) AS rdiff_q,
+       CAST(n_simplified AS INT) AS n_simplified
+FROM golden
+"""
