@@ -86,18 +86,23 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         results[name] = (best, rows)
 
     cx, cy = cell_cols(F.col("lon"), F.col("lat"))
+    # pip joins are all-JVM since round 2 (codegen crossing test) and
+    # ~3x faster — they need the light multiplier to stay compute-bound
+    # at 32 cores (the regime note below)
     timed(
         "pip_region_semi_join",
-        lambda: spatial_join.docs_in_region(spark, pages.select("doc_id")).count(),
-        n_docs,
+        lambda: spatial_join.docs_in_region(
+            spark, pages_light.select("doc_id")
+        ).count(),
+        n_light,
     )
     timed(
         "pip_zones_join",
-        lambda: spatial_join.docs_join_zones(spark, pages.select("doc_id"))
+        lambda: spatial_join.docs_join_zones(spark, pages_light.select("doc_id"))
         .groupBy("zone_id")
         .count()
         .collect(),
-        n_docs,
+        n_light,
     )
     timed(
         "knn_ring",

@@ -140,3 +140,55 @@ def transform_cols(
         .withColumn(out_y, F.col("_t.y"))
         .drop("_t")
     )
+
+
+def pip_literal_col(lon: Column, lat: Column, verts) -> Column:
+    """Even-odd ray-casting PIP against a CONSTANT polygon as a pure
+    JVM column (whole-stage codegen; zero Python): the crossing test
+    of kernels.pip.points_in_poly unrolled per edge. verts: open or
+    closed ring of (x, y)."""
+    v = [(float(x), float(y)) for x, y in verts]
+    if len(v) > 1 and v[0] == v[-1]:
+        v = v[:-1]
+    n = len(v)
+    total = F.lit(0)
+    for i in range(n):
+        x1, y1 = v[i]
+        x2, y2 = v[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses the upward ray
+        straddle = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        xcross = (
+            F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        )
+        total = total + F.when(straddle & (lon < xcross), 1).otherwise(0)
+    return total % 2 == 1
+
+
+def pip_array_col(
+    lon: Column, lat: Column, xs: Column, ys: Column, max_verts: int
+) -> Column:
+    """Even-odd PIP where each row carries its own polygon as vertex
+    ARRAY columns (open rings, length <= max_verts) — the crossing
+    test UNROLLED to max_verts whole-stage-codegen edge terms (a
+    higher-order aggregate would leave codegen and run ~2x slower
+    than the pandas UDF it replaces). Edges past the ring length
+    contribute 0 via the i < n guard; F.get's null on short arrays
+    makes the when() condition false rather than erroring under ANSI.
+    Same per-edge expression tree as kernels.pip."""
+    n = F.size(xs)
+    total = F.lit(0)
+    for i in range(max_verts):
+        x1 = F.get(xs, F.lit(i))
+        y1 = F.get(ys, F.lit(i))
+        j = (F.lit(i) + 1) % n
+        x2 = F.get(xs, j)
+        y2 = F.get(ys, j)
+        cross = (
+            (F.lit(i) < n)
+            & (y1 != y2)
+            & ((y1 > lat) != (y2 > lat))
+            & (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)
+        )
+        total = total + F.when(cross, 1).otherwise(0)
+    return total % 2 == 1

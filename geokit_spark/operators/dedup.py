@@ -17,6 +17,8 @@ a plain equijoin on band keys, so at 100 TB it shuffles only
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -57,10 +59,12 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFram
     stride arithmetic, per-doc mins via np.minimum.reduceat. ~50x the
     throughput of per-element JVM lambdas on long docs (distinctness
     is irrelevant under min, so no per-doc unique pass)."""
-    CHUNK = 4096  # docs per inner chunk: bounds transient buffers to
-    # ~50 MB/worker (a whole 64k Arrow batch allocates ~1 GB of utf-32
-    # + code temporaries per worker — allocator/bandwidth thrash when
-    # many workers run concurrently)
+    # docs per inner chunk: sized so the shingle-code slice (int32) +
+    # hash buffer (int64) stay L2-RESIDENT per worker across the 16
+    # hash passes — the passes then re-read from cache instead of DRAM,
+    # which is what lets 32 concurrent workers scale on shared memory
+    # bandwidth (measured: L3-sized chunks cap the 8->32 speedup).
+    CHUNK = int(os.environ.get("GEOKIT_MH_CHUNK", "512"))
 
     def _chunk(texts: list[str]) -> np.ndarray:
         lens = np.array([len(t) for t in texts], dtype=np.int64)
@@ -87,15 +91,85 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFram
             mins[i] = np.minimum.reduceat(h, sh_starts)
         return mins.T
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def mh(texts: pd.Series) -> pd.Series:
-        lst = texts.tolist()
-        if not lst:
-            return pd.Series([], dtype=object)
-        outs = [_chunk(lst[i : i + CHUNK]) for i in range(0, len(lst), CHUNK)]
-        return pd.Series(list(np.concatenate(outs, axis=0)))
+    def _chunk_bytes(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        """Same signatures straight from the Arrow UTF-8 buffer
+        (ASCII-only batches: utf-8 byte == codepoint). One vectorized
+        scatter builds the NUL-padded byte stream; shingle codes stay
+        int32 (< 2^23) so the hot hash loop moves half the bytes."""
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        nd = len(lens)
+        total = int(lens.sum())
+        padded = np.zeros(total + 2 * nd, dtype=np.uint8)
+        tgt = np.arange(total, dtype=np.int64) + 2 * np.repeat(
+            np.arange(nd, dtype=np.int64), lens
+        )
+        padded[tgt] = data[offs[0] : offs[-1]]
+        b = padded.astype(np.int32)
+        codes = b[:-2] * 65536 + b[1:-1] * 256 + b[2:]
+        seg_lens = lens + 2
+        starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+        n_sh = np.maximum(lens - 2, 1)
+        sh_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+        idx = np.repeat(starts, n_sh) + (
+            np.arange(int(n_sh.sum())) - np.repeat(sh_starts, n_sh)
+        )
+        seg = codes[idx]
+        h = np.empty(len(seg), dtype=np.int64)
+        mins = np.empty((NUM_HASHES, nd), dtype=np.int64)
+        for i in range(NUM_HASHES):
+            np.multiply(seg, MH_A[i], out=h)
+            h += MH_B[i]
+            np.remainder(h, MH_PRIME, out=h)
+            mins[i] = np.minimum.reduceat(h, sh_starts)
+        return mins.T
 
-    return docs.select("doc_id", mh(F.col(text_col)).alias("sig"))
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            tarr = batch.column(1)
+            doc_id = batch.column(0)
+            if tarr.null_count == 0:
+                off_buf, data_buf = tarr.buffers()[1], tarr.buffers()[2]
+                offs = np.frombuffer(off_buf, np.int32)[
+                    tarr.offset : tarr.offset + n + 1
+                ].astype(np.int64)
+                data = np.frombuffer(data_buf, np.uint8)
+                ascii_ok = (
+                    offs[-1] == offs[0]
+                    or int(data[offs[0] : offs[-1]].max()) < 128
+                )
+            else:
+                ascii_ok = False
+            if ascii_ok:
+                outs = [
+                    _chunk_bytes(data, offs[i : i + CHUNK + 1])
+                    for i in range(0, n, CHUNK)
+                ]
+            else:  # non-ASCII / nulls: codepoint-exact python path
+                lst = tarr.to_pylist()
+                outs = [
+                    _chunk([x or "" for x in lst[i : i + CHUNK]])
+                    for i in range(0, n, CHUNK)
+                ]
+            mins = np.concatenate(outs, axis=0)
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, NUM_HASHES * (n + 1), NUM_HASHES,
+                              dtype=np.int32)
+                ),
+                pa.array(mins.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, sig], ["doc_id", "sig"]
+            )
+
+    return docs.select("doc_id", F.col(text_col)).mapInArrow(
+        fn, schema="doc_id long, sig array<long>"
+    )
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:

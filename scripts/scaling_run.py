@@ -142,6 +142,19 @@ def main():
         f"Raw local[32]: `{json.dumps(r32)}`",
         "",
     ]
+    # 20M-doc row at the driver bench's own scale (local[32], defaults)
+    # so per-round BENCH_r{N}.json deltas compare like against like
+    r20 = run_bench(32, 20_000_000)
+    lines += [
+        "## Driver-bench reference row (20M docs, local[32] — the "
+        "per-round bench.py configuration)",
+        "",
+        "Compare BENCH_r{N}.json against THIS row, not the 100M rows "
+        "above (smaller stages are partially scheduler-bound).",
+        "",
+        f"Raw 20M local[32]: `{json.dumps(r20)}`",
+        "",
+    ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines))
