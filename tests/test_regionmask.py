@@ -1,0 +1,81 @@
+"""RegionMask wrapper: every method must equal the direct operator
+call (the wrapper adds no execution path of its own)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geokit_spark import fixtures
+from geokit_spark.regionmask import RegionMask
+from geokit_spark.sources import tiles as tilesrc
+
+
+@pytest.fixture(scope="module")
+def elev_tiles(spark):
+    return tilesrc.raster_table(spark, "elev").cache()
+
+
+@pytest.fixture(scope="module")
+def clc_tiles(spark):
+    return tilesrc.raster_table(spark, "clc").cache()
+
+
+@pytest.fixture(scope="module")
+def rm(spark):
+    return RegionMask.fixture_region(spark)
+
+
+def test_mask_stats_matches_operator(spark, rm, elev_tiles):
+    from geokit_spark.operators.zonal import region_mask_stats
+
+    a = rm.mask_stats(elev_tiles).collect()[0]
+    b = region_mask_stats(elev_tiles).collect()[0]
+    assert a["n_pix"] == b["n_pix"] and a["area"] == b["area"]
+
+
+def test_raster_stats_single_region(spark, rm, elev_tiles):
+    row = rm.raster_stats(elev_tiles).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_pix"] > 0 and r["min_v"] >= 100.0
+    assert r["min_v"] <= r["mean_v"] <= r["max_v"]
+
+
+def test_indicate_values(spark, rm, clc_tiles):
+    out = rm.indicate_values(clc_tiles, "[10-20]").collect()
+    assert len(out) == 1
+    assert 0.0 < out[0]["frac"] < 1.0
+
+
+def test_filter_points_matches_join(spark, rm):
+    from geokit_spark.functions.geo import with_geocode
+    from geokit_spark.operators.spatial_join import docs_in_region
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = rm.filter_points(with_geocode(docs)).count()
+    b = docs_in_region(spark, docs).count()
+    assert a == b
+
+
+def test_srs_aware_construction(spark):
+    """Vertices given in EPSG:3857 produce the same region as 4326."""
+    from geokit_spark.kernels.srs import merc_forward
+
+    v = fixtures.REGION_VERTS
+    mx, my = merc_forward([p[0] for p in v], [p[1] for p in v])
+    rm_m = RegionMask(spark, list(zip(mx.tolist(), my.tolist())), srs=3857)
+    rm_d = RegionMask.fixture_region(spark)
+    assert np.allclose(
+        np.asarray(rm_m.verts), np.asarray(rm_d.verts), atol=1e-9
+    )
+
+
+def test_wkb_and_buffer_and_tiles(spark, rm):
+    from geokit_spark.kernels.wkb import polygon_wkb
+
+    rm2 = RegionMask.from_wkb(spark, polygon_wkb(rm.verts))
+    assert rm2.verts == rm.verts
+    grown = rm.buffer(0.01)
+    assert grown.area_4326() > rm.area_4326()
+    t = rm.sub_tiles(9)
+    assert len(t) >= 1 and all(len(x) == 3 for x in t)
