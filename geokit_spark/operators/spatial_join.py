@@ -49,6 +49,14 @@ REFINE = 8
 FINE_N = JOIN_GRID_N * REFINE
 
 
+# Above this ring size the unrolled JVM crossing test blows the
+# whole-stage-codegen budget when fused into the broadcast join
+# (measured on this box: 4-vertex zones codegen fine and run 2.8x
+# faster than the UDF; a 24-vertex region falls out of codegen and
+# runs 3x slower) — larger rings take the Arrow-UDF boundary band.
+_JVM_PIP_MAX_VERTS = 12
+
+
 def _open(verts):
     """Open ring (drop a closing duplicate vertex)."""
     v = [(float(x), float(y)) for x, y in verts]
@@ -127,18 +135,29 @@ def points_in_polygon(spark: SparkSession, pts: DataFrame, verts) -> DataFrame:
     cell_df = spark.createDataFrame(_polygon_cells_pdf(verts))
     keyed = pts.withColumn("cell_id", join_cell_id(F.col("lon"), F.col("lat")))
     joined = keyed.join(F.broadcast(cell_df), "cell_id", "inner")
-    # ONE scan + broadcast join + codegen filter: interior cells pass
-    # unconditionally; boundary cells evaluate the exact crossing test
-    # as an UNROLLED JVM expression (identical rule to kernels.pip).
-    # No Python worker and no union re-scan in the hot path — round-1's
-    # normalized-0.73/0.61 scaling misses were both.
-    return joined.filter(
-        (F.col("cell_class") == IN)
-        | (
-            (F.col("cell_class") == BOUNDARY)
-            & pip_literal_col(F.col("lon"), F.col("lat"), verts)
-        )
-    ).drop("cell_class")
+    if len(_open(verts)) <= _JVM_PIP_MAX_VERTS:
+        # ONE scan + broadcast join + codegen filter: interior cells
+        # pass unconditionally; boundary cells evaluate the exact
+        # crossing test as an UNROLLED JVM expression (identical rule
+        # to kernels.pip). No Python and no union re-scan.
+        return joined.filter(
+            (F.col("cell_class") == IN)
+            | (
+                (F.col("cell_class") == BOUNDARY)
+                & pip_literal_col(F.col("lon"), F.col("lat"), verts)
+            )
+        ).drop("cell_class")
+    # Complex rings: the unrolled condition exceeds what whole-stage
+    # codegen will compile (measured: a 24-vertex condition pushed into
+    # the join falls back to interpreted eval, 3x slower than the UDF
+    # it replaced) — keep the join codegen-clean and run the exact test
+    # as an Arrow-batched UDF on the BOUNDARY BAND ONLY (the union form
+    # re-scans, but a UDF inside the OR would run on every row).
+    interior = joined.filter(F.col("cell_class") == IN)
+    boundary = joined.filter(F.col("cell_class") == BOUNDARY).filter(
+        pip_udf(verts)(F.col("lon"), F.col("lat"))
+    )
+    return interior.unionByName(boundary).drop("cell_class")
 
 
 def docs_in_region(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -217,6 +236,41 @@ def _fine_cell_col():
     return fx * F.lit(FINE_N) + fy
 
 
+def _points_join_polygons_udf(
+    spark: SparkSession, pts: DataFrame, polys: dict, refine: bool
+) -> DataFrame:
+    """Complex-ring fallback: the round-1 union shape — interior cells
+    JVM-side, the boundary band through pip_multi_udf (Arrow)."""
+    cand = spark.createDataFrame(_poly_candidates_pdf(polys))
+    keyed = pts.withColumn("cell_id", join_cell_id(F.col("lon"), F.col("lat")))
+    pairs = keyed.join(F.broadcast(cand), "cell_id", "inner")
+    interior = pairs.filter(F.col("cell_class") == IN).drop("cell_class")
+    exact_udf = pip_multi_udf(polys)
+    if not refine:
+        boundary = (
+            pairs.filter(F.col("cell_class") == BOUNDARY)
+            .drop("cell_class")
+            .filter(exact_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
+        )
+        return interior.unionByName(boundary)
+    fine_map = spark.createDataFrame(_poly_fine_pdf(polys))
+    bnd = (
+        pairs.filter(F.col("cell_class") == BOUNDARY)
+        .drop("cell_class")
+        .withColumn("fine_id", _fine_cell_col())
+        .join(F.broadcast(fine_map), ["fine_id", "zone_id"], "left")
+    )
+    fine_in = bnd.filter(F.col("fine_class") == IN).drop(
+        "fine_id", "fine_class"
+    )
+    exact = (
+        bnd.filter(F.col("fine_class") == BOUNDARY)
+        .filter(exact_udf(F.col("lon"), F.col("lat"), F.col("zone_id")))
+        .drop("fine_id", "fine_class")
+    )
+    return interior.unionByName(fine_in).unionByName(exact)
+
+
 def points_join_polygons(
     spark: SparkSession, pts: DataFrame, polys: dict, refine: bool = False
 ) -> DataFrame:
@@ -242,8 +296,13 @@ def points_join_polygons(
     # whole-stage-codegen JVM expression — no Python worker and no
     # second join in the boundary band (round-1's normalized-0.61
     # scaling miss was that band's pandas-UDF throughput)
-    cpdf = _poly_candidates_pdf(polys).copy()
     opened = {int(pid): _open(v) for pid, v in polys.items()}
+    max_verts = max(len(v) for v in opened.values())
+    if max_verts > _JVM_PIP_MAX_VERTS:
+        # complex rings blow the codegen budget (see points_in_polygon)
+        # — Arrow-UDF boundary band instead of the unrolled expression
+        return _points_join_polygons_udf(spark, pts, polys, refine)
+    cpdf = _poly_candidates_pdf(polys).copy()
     is_b = cpdf["cell_class"].to_numpy() == BOUNDARY
     zid = cpdf["zone_id"].to_numpy()
     cpdf["_pxs"] = [
@@ -261,7 +320,7 @@ def points_join_polygons(
     interior = pairs.filter(F.col("cell_class") == IN).drop(*drop_aux)
     exact_jvm = pip_array_col(
         F.col("lon"), F.col("lat"), F.col("_pxs"), F.col("_pys"),
-        max_verts=max(len(v) for v in opened.values()),
+        max_verts=max_verts,
     )
 
     if not refine:

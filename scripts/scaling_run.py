@@ -110,11 +110,12 @@ def main():
         "the cluster-relevant number.",
         "",
         "**Regime note**: per-stage times must be compute-bound to "
-        "measure scaling; this table uses 100M docs (light all-JVM "
-        "stages at 4x that). The driver's per-round bench.py runs the "
-        "same pipeline at 20M docs for speed — its docs/s are "
-        "comparable (throughput saturates above ~20M) but its wall "
-        "times are partially scheduler-bound.",
+        "measure scaling; this table uses 100M docs, with the all-JVM "
+        "stages (tiling, extract, knn, and — since the round-2 codegen "
+        "PIP — both pip joins) at 4x that. The driver's per-round "
+        "bench.py runs the same pipeline at 20M docs for speed; "
+        "compare it against the dedicated 20M reference row below, "
+        "not this table.",
         "",
         "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency | normalized |",
         "|---|---|---|---|---|---|",
