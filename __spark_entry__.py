@@ -211,6 +211,17 @@ def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp with the cutline option (reference raster.py:2226-2238):
+    'near' resample onto the target grid, then target pixels whose
+    centers fall outside the region polygon are set to noData — the
+    crossing test runs as a JVM expression over (jx, jy) rows."""
+    from geokit_spark.operators.warp import warp_cutline, warp_to_grid
+
+    w = warp_to_grid(tilesrc.raster_table(spark, "elev"), alg="near")
+    return warp_cutline(w, fixtures.REGION_VERTS)
+
+
 def q_warp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The aggregating warp resampleAlgs — average/min/max/med/q1/q3/
     sum/mode in one pass (raster.py:2142-2157): posexplode + single
@@ -704,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_near": q_warp_near,
         "warp_bilinear": q_warp_bilinear,
         "warp_cubic": q_warp_cubic,
+        "warp_cutline": q_warp_cutline,
         "warp_cubicspline": q_warp_cubicspline,
         "warp_stats": q_warp_stats,
         "mosaic_combine": q_mosaic_combine,
@@ -1198,6 +1210,29 @@ wv AS (
 SELECT CAST(jx AS INT) AS jx, CAST(jy AS INT) AS jy,
   {final} AS value
 FROM wv
+"""
+
+
+def _o_warp_cutline() -> str:
+    cross = sqlgen.pip_crossings_expr("t.cx", "t.cy")
+    return f"""
+WITH {_warp_target_cte()},
+edges(x1, y1, x2, y2) AS (VALUES {fixtures.sql_region_edges_values()}),
+ins AS (
+  SELECT t.jx, t.jy, (SUM({cross}) % 2 = 1) AS inside
+  FROM tgt t CROSS JOIN edges
+  GROUP BY t.jx, t.jy
+),
+st AS (
+  SELECT jx, jy,
+    CAST(LEAST(GREATEST(FLOOR((cx - {d(XMIN)}) / {d(PIX_DX)}), 0), {RASTER_W - 1}) AS BIGINT) AS ix,
+    CAST(LEAST(GREATEST(FLOOR(({d(YMAX)} - cy) / {d(PIX_DY)}), 0), {RASTER_H - 1}) AS BIGINT) AS iy
+  FROM tgt
+)
+SELECT CAST(st.jx AS INT) AS jx, CAST(st.jy AS INT) AS jy,
+  CASE WHEN ins.inside THEN CAST({sqlgen.elev_expr('st.ix', 'st.iy')} AS DOUBLE)
+       ELSE CAST('-9999.0' AS DOUBLE) END AS value
+FROM st JOIN ins ON st.jx = ins.jx AND st.jy = ins.jy
 """
 
 
@@ -1729,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_near": _o_warp_near(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_stencil4("cubic"),
+        "warp_cutline": _o_warp_cutline(),
         "warp_cubicspline": _o_warp_stencil4("cubicspline"),
         "warp_stats": _o_warp_stats(),
         "mosaic_combine": _o_mosaic_combine(),

@@ -301,6 +301,33 @@ def warp_to_grid(
     )
 
 
+def warp_cutline(
+    warped: DataFrame,
+    cutline_verts,
+    ox: float = XMIN,
+    oy: float = YMAX,
+    dxt: float = WARP_DXT,
+    dyt: float = WARP_DYT,
+    nodata: float = -9999.0,
+) -> DataFrame:
+    """GDAL warp's `cutline` option (reference raster.py:2226-2238):
+    target pixels whose centers fall outside the cutline polygon are
+    set to noData. Pure JVM: the ray-casting crossing test on the
+    target pixel center as a codegen expression over the warped
+    (jx, jy, value) rows — composes with any warp_to_grid /
+    warp_aggregate output. cropToCutline == a subsequent
+    filter(value != nodata) or jx/jy range filter."""
+    from ..functions.geo import pip_literal_col
+
+    cx = F.lit(float(ox)) + (F.col("jx").cast("double") + F.lit(0.5)) * F.lit(float(dxt))
+    cy = F.lit(float(oy)) - (F.col("jy").cast("double") + F.lit(0.5)) * F.lit(float(dyt))
+    inside = pip_literal_col(cx, cy, cutline_verts)
+    return warped.withColumn(
+        "value",
+        F.when(inside, F.col("value")).otherwise(F.lit(float(nodata))),
+    )
+
+
 def warp_aggregate(
     tiles: DataFrame,
     ox: float = XMIN,
@@ -365,11 +392,20 @@ def warp_aggregate(
     return stats.join(mode, ["jx", "jy"], "inner")
 
 
-def mosaic_last_wins(layers: list[DataFrame], nodata: float = -9999.0) -> DataFrame:
+def mosaic_last_wins(
+    layers: list[DataFrame], nodata: float = -9999.0, combiner=None
+) -> DataFrame:
     """Merge same-grid tile tables; for each pixel the LAST layer's
     non-noData value wins (reference combineSimilarRasters merge rule,
     combineSimilarRasters.py:179-188). Pure JVM: full-outer joins on
-    the tile key + zip_with coalesce fold."""
+    the tile key + zip_with coalesce fold.
+
+    combiner: optional (acc: Column, nxt: Column) -> Column hook — the
+    reference's combiningFunc parameter (combineSimilarRasters.py:
+    38-58). It is applied per pixel inside the JVM zip_with lambda
+    (so it must be built from pyspark.sql.functions Column ops, the
+    engine's UDF-surface contract for raster combiners); default is
+    the last-non-noData rule."""
     assert layers
     out = layers[0].select("tile_x", "tile_y", F.col("data").alias("acc"))
     t2 = TILE_SIZE * TILE_SIZE
@@ -386,7 +422,10 @@ def mosaic_last_wins(layers: list[DataFrame], nodata: float = -9999.0) -> DataFr
                 F.zip_with(
                     "acc_f",
                     "nxt_f",
-                    lambda a, b: F.when(b != F.lit(nodata), b).otherwise(a),
+                    combiner
+                    if combiner is not None
+                    else lambda a, b: F.when(b != F.lit(nodata), b)
+                    .otherwise(a),
                 ).alias("acc"),
             )
         )

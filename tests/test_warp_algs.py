@@ -128,3 +128,41 @@ def test_stencil_plan_has_bounded_fanout(spark, elev_tiles):
     plan = df._sc is not None and df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_warp_cutline(spark, elev_tiles):
+    from geokit_spark import fixtures
+    from geokit_spark.kernels.pip import points_in_poly
+    from geokit_spark.operators.warp import warp_cutline
+
+    w = warp_to_grid(elev_tiles, alg="near")
+    out = warp_cutline(w, fixtures.REGION_VERTS).toPandas()
+    cx = XMIN + (out["jx"].to_numpy() + 0.5) * WARP_DXT
+    cy = YMAX - (out["jy"].to_numpy() + 0.5) * WARP_DYT
+    inside = points_in_poly(cx, cy, fixtures.REGION_VERTS)
+    vals = out["value"].to_numpy()
+    assert (vals[~inside] == -9999.0).all()
+    assert (vals[inside] != -9999.0).all()
+    assert 0 < inside.sum() < len(out)
+
+
+def test_mosaic_custom_combiner(spark, elev_tiles):
+    from pyspark.sql import functions as F
+
+    from geokit_spark.operators.warp import mosaic_last_wins
+
+    a = elev_tiles
+    b = elev_tiles.select(
+        "tile_x", "tile_y",
+        F.transform("data", lambda x: x + F.lit(10.0)).alias("data"),
+    )
+    # combiningFunc hook: per-pixel max instead of last-wins
+    out = mosaic_last_wins([a, b], combiner=lambda x, y: F.greatest(x, y))
+    s = out.select(
+        F.sum(F.aggregate("data", F.lit(0.0), lambda acc, v: acc + v))
+    ).collect()[0][0]
+    s_a = a.select(
+        F.sum(F.aggregate("data", F.lit(0.0), lambda acc, v: acc + v))
+    ).collect()[0][0]
+    # max(v, v+10) == v+10 everywhere
+    assert s == s_a + 10.0 * RASTER_W * RASTER_H
