@@ -625,6 +625,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.6)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components of the MinHash-LSH pair
+    graph via the engine's iterative min-label contraction — the keep-
+    one-canonical end stage of the dedup pipeline. Oracle: the same
+    pair chain + a recursive-CTE transitive closure in DuckDB."""
+    from geokit_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.6)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit simhash sketch."""
     from geokit_spark.operators.dedup import simhash_docs
@@ -736,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
@@ -1478,6 +1489,45 @@ FROM withsh WHERE {ts.jaccard_expr()} >= CAST(0.6 AS DOUBLE)
 """
 
 
+def _o_dedup_clusters() -> str:
+    from geokit_spark.oracle import textsql as ts
+
+    mh = ",\n    ".join(ts.minhash_cols())
+    return f"""
+WITH RECURSIVE {ts.shingles_cte()},
+sig AS (SELECT doc_id, s, {mh} FROM sh),
+bands AS ({ts.band_keys_union('sig')}),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+withsh AS (
+  SELECT c.id_a, c.id_b, sa.s AS sh_a, sb.s AS sh_b
+  FROM cpairs c JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b FROM withsh
+  WHERE {ts.jaccard_expr()} >= CAST(0.6 AS DOUBLE)
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(n, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.n
+),
+comp AS (SELECT n, MIN(r) AS root FROM reach GROUP BY n)
+SELECT CAST(root AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n) AS BIGINT) AS canonical_doc_id
+FROM comp GROUP BY root
+"""
+
+
 def _o_simhash() -> str:
     from geokit_spark.oracle import textsql as ts
 
@@ -1789,6 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _o_dedup_exact(),
         "ngram_jaccard": _o_ngram_jaccard(),
         "minhash_lsh": _o_minhash_lsh(),
+        "dedup_clusters": _o_dedup_clusters(),
         "simhash": _o_simhash(),
         "simhash_near": _o_simhash_near(),
         "indicate_features": _o_indicate_features(),

@@ -345,3 +345,30 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the
+    MinHash-LSH pair graph, the end stage of a dedup pipeline (keep
+    one canonical doc per cluster, drop the rest). Reuses the raster
+    engine's iterative min-label contraction (components._resolve_roots
+    — O(log diameter) join rounds, no driver state), so clustering
+    scales exactly like the seam merge. Returns (cluster_id, n_docs,
+    canonical_doc_id) for clusters of size >= 2; cluster_id ==
+    canonical == min doc_id in the cluster."""
+    from .components import _resolve_roots
+
+    pairs = minhash_lsh_pairs(docs, threshold).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    roots = _resolve_roots(pairs)
+    return (
+        roots.groupBy("root")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("label").alias("canonical_doc_id"),
+        )
+        .select(
+            F.col("root").alias("cluster_id"), "n_docs", "canonical_doc_id"
+        )
+    )

@@ -155,3 +155,35 @@ def test_candidate_pairs_bucket_equijoin_equals_theta(spark, docs):
     got_pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
     assert got_pairs == expected
     assert len(got) == len(got_pairs)  # no duplicate candidate rows
+
+
+def test_dedup_clusters_partition_pairs(spark, docs):
+    from geokit_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.6).toPandas()
+    clusters = dedup_clusters(docs, threshold=0.6).toPandas()
+    # every doc appearing in a pair belongs to exactly one cluster
+    members = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert clusters["n_docs"].sum() == len(members)
+    # cluster_id is the canonical (min) member
+    assert (clusters["cluster_id"] == clusters["canonical_doc_id"]).all()
+    assert (clusters["n_docs"] >= 2).all()
+    # both endpoints of every pair resolve to the same cluster
+    import pandas as pd
+
+    uf = {}
+
+    def find(x):
+        while uf.setdefault(x, x) != x:
+            x = uf[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            uf[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for m in members:
+        expected.setdefault(find(int(m)), set()).add(int(m))
+    got = {int(r.cluster_id): int(r.n_docs) for r in clusters.itertuples()}
+    assert got == {k: len(v) for k, v in expected.items()}
