@@ -37,6 +37,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
 def q_geocode_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geocode + cell indexing — pure JVM arithmetic, no UDF.
     (reference: srs.tileIndexAt srs.py:225-247 / rasterCellNo
@@ -625,6 +629,38 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.6)
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (LCG hash of
+    doc_id, not rand() — reproducible across retries/resumes); 'zh' is
+    absent from the fraction map and therefore dropped, matching
+    sampleBy semantics."""
+    from geokit_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_FRACTIONS
+    ).select("doc_id", "lang")
+
+
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (posexplode + one hash agg with
+    map-side partials — the IVF/k-means centroid-update shape);
+    floor-quantized at 1e4 (float sum order differs across engines)."""
+    from geokit_spark.operators.sampling import embedding_centroids
+
+    return embedding_centroids(_emb(spark, sf_dir))
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form (lower + whitespace collapse + trim) with
+    md5 fingerprint — the normalize-then-exact-dedup key."""
+    from geokit_spark.operators.sampling import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components of the MinHash-LSH pair
     graph via the engine's iterative min-label contraction — the keep-
@@ -747,6 +783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "embed_centroids": q_embed_centroids,
+        "normalize_text": q_normalize_text,
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
@@ -1489,6 +1528,50 @@ FROM withsh WHERE {ts.jaccard_expr()} >= CAST(0.6 AS DOUBLE)
 """
 
 
+def _o_stratified_sample() -> str:
+    from geokit_spark.operators.sampling import (
+        SAMPLE_A, SAMPLE_B, SAMPLE_MOD, SAMPLE_PRIME,
+    )
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(round(f * SAMPLE_MOD))}"
+        for k, f in sorted(SAMPLE_FRACTIONS.items())
+    )
+    h = (
+        f"(((doc_id % {SAMPLE_PRIME}) * {SAMPLE_A} + {SAMPLE_B})"
+        f" % {SAMPLE_MOD})"
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {h} < (CASE lang {cases} ELSE 0 END)
+"""
+
+
+def _o_embed_centroids() -> str:
+    from geokit_spark.operators.similarity import EMB_DIM
+
+    return f"""
+SELECT label,
+       CAST(r.range AS INT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(FLOOR(SUM(CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE))
+            / CAST(COUNT(*) AS DOUBLE)
+            * CAST('10000.0' AS DOUBLE)) AS BIGINT) AS mean_q
+FROM embeddings, range({EMB_DIM}) r
+GROUP BY label, pos
+"""
+
+
+def _o_normalize_text() -> str:
+    return r"""
+SELECT doc_id,
+       CAST(LENGTH(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g')))) AS INT)
+         AS n_norm,
+       MD5(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_md5
+FROM documents
+"""
+
+
 def _o_dedup_clusters() -> str:
     from geokit_spark.oracle import textsql as ts
 
@@ -1840,6 +1923,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _o_ngram_jaccard(),
         "minhash_lsh": _o_minhash_lsh(),
         "dedup_clusters": _o_dedup_clusters(),
+        "stratified_sample": _o_stratified_sample(),
+        "embed_centroids": _o_embed_centroids(),
+        "normalize_text": _o_normalize_text(),
         "simhash": _o_simhash(),
         "simhash_near": _o_simhash_near(),
         "indicate_features": _o_indicate_features(),
