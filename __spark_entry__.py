@@ -590,6 +590,16 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_meta(_docs(spark, sf_dir))
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling + aspect-preserving resize plumbing: one blob
+    row explodes to its sampled frames (mapInPandas, numpy repeat —
+    the real distributed shape; pixel work is the deterministic fake,
+    codecs not shipped)."""
+    from geokit_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_docs(spark, sf_dir))
+
+
 def q_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LocationSet median bisect (reference location.py:485-535):
     rank-median split on lon."""
@@ -786,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "embed_centroids": q_embed_centroids,
         "normalize_text": q_normalize_text,
+        "multimodal_frames": q_multimodal_frames,
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
@@ -1459,6 +1470,12 @@ def _o_multimodal_meta() -> str:
     return sql_multimodal_meta()
 
 
+def _o_multimodal_frames() -> str:
+    from geokit_spark.operators.multimodal import sql_sample_frames
+
+    return sql_sample_frames()
+
+
 def _o_bisect() -> str:
     return f"""
 WITH {sqlgen.geocode_cte()},
@@ -1917,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "mutate_vector": _o_mutate_vector(),
         "union_area_cells": _o_union_area_cells(),
         "multimodal_meta": _o_multimodal_meta(),
+        "multimodal_frames": _o_multimodal_frames(),
         "bisect": _o_bisect(),
         "text_features": _o_text_features(),
         "dedup_exact": _o_dedup_exact(),
