@@ -590,6 +590,20 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_meta(_docs(spark, sf_dir))
 
 
+def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour POLYLINES (geometry output of reference contours,
+    raster.py:2044-2137): distributed per-tile marching squares ->
+    per-level component linking; one row per polyline with exact
+    segment/point counts, closed flag, quantized length. Oracle:
+    full-matrix segments + an independently written BFS linker
+    (geooracle.contour_lines_rows); WKB geometry pinned by pytest."""
+    from geokit_spark.operators.contour_op import contour_polylines
+
+    return contour_polylines(
+        tilesrc.raster_table(spark, "elev"), [400.0, 800.0, 1200.0]
+    ).select("level", "n_segs", "n_points", "closed", "length")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling + aspect-preserving resize plumbing: one blob
     row explodes to its sampled frames (mapInPandas, numpy repeat —
@@ -797,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_centroids": q_embed_centroids,
         "normalize_text": q_normalize_text,
         "multimodal_frames": q_multimodal_frames,
+        "contour_lines": q_contour_lines,
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
@@ -1935,6 +1950,9 @@ def oracle_sql() -> dict[str, str]:
         "union_area_cells": _o_union_area_cells(),
         "multimodal_meta": _o_multimodal_meta(),
         "multimodal_frames": _o_multimodal_frames(),
+        "contour_lines": geooracle.contour_lines_sql(
+            [400.0, 800.0, 1200.0]
+        ),
         "bisect": _o_bisect(),
         "text_features": _o_text_features(),
         "dedup_exact": _o_dedup_exact(),

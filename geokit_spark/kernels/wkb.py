@@ -89,3 +89,19 @@ def polygon_wkb_rings(rings) -> bytes:
         parts.append(struct.pack("<I", len(pts)))
         parts.append(np.asarray(pts, dtype="<f8").tobytes())
     return b"".join(parts)
+
+
+WKB_LINESTRING = 2
+WKB_MULTILINESTRING = 5
+
+
+def linestring_wkb(pts) -> bytes:
+    p = [(float(x), float(y)) for x, y in pts]
+    head = struct.pack("<BII", _LE, WKB_LINESTRING, len(p))
+    return head + np.asarray(p, dtype="<f8").tobytes()
+
+
+def multilinestring_wkb(lines) -> bytes:
+    parts = [struct.pack("<BII", _LE, WKB_MULTILINESTRING, len(lines))]
+    parts += [linestring_wkb(line) for line in lines]
+    return b"".join(parts)

@@ -527,3 +527,77 @@ SELECT CAST(zone_id AS INT) AS zone_id,
        CAST(n_simplified AS INT) AS n_simplified
 FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# contour polylines golden: full-matrix segments (pinned kernel) +
+# an independently written BFS linker (the engine links with
+# union-find over distributed per-tile segments)
+
+
+def contour_lines_rows(levels):
+    from ..kernels.contours import LENGTH_Q, contour_segments
+    from ..kernels.raster_fields import elev_value
+
+    ix, iy = np.meshgrid(
+        np.arange(RASTER_W), np.arange(RASTER_H), indexing="xy"
+    )
+    m = elev_value(ix, iy).astype(np.float64)
+    out = []
+    for lv in levels:
+        _, _, arr = contour_segments(m, float(lv))
+        if len(arr) == 0:
+            continue
+        lengths = np.hypot(arr[:, 2] - arr[:, 0], arr[:, 3] - arr[:, 1])
+        lq = np.floor(lengths * LENGTH_Q + 0.5).astype(np.int64)
+        # adjacency: endpoint -> segment ids
+        adj: dict[tuple, list[int]] = {}
+        for i, (x0, y0, x1, y1) in enumerate(arr):
+            adj.setdefault((x0, y0), []).append(i)
+            adj.setdefault((x1, y1), []).append(i)
+        seen = [False] * len(arr)
+        for i in range(len(arr)):
+            if seen[i]:
+                continue
+            queue = [i]
+            seen[i] = True
+            members = []
+            while queue:
+                j = queue.pop()
+                members.append(j)
+                x0, y0, x1, y1 = arr[j]
+                for pt in ((x0, y0), (x1, y1)):
+                    for k in adj[pt]:
+                        if not seen[k]:
+                            seen[k] = True
+                            queue.append(k)
+            pts: dict[tuple, int] = {}
+            for j in members:
+                x0, y0, x1, y1 = arr[j]
+                for pt in ((x0, y0), (x1, y1)):
+                    pts[pt] = pts.get(pt, 0) + 1
+            closed = all(d % 2 == 0 for d in pts.values())
+            out.append(
+                (
+                    float(lv),
+                    len(members),
+                    len(pts),
+                    bool(closed),
+                    float(int(lq[[*members]].sum())) / float(LENGTH_Q),
+                )
+            )
+    return out
+
+
+def contour_lines_sql(levels) -> str:
+    vals = ",".join(
+        f"({d(lv)},{ns},{np_},{str(cl).upper()},{d(ln)})"
+        for lv, ns, np_, cl, ln in contour_lines_rows(levels)
+    )
+    return f"""
+WITH golden(level, n_segs, n_points, closed, length) AS (VALUES {vals})
+SELECT level, CAST(n_segs AS BIGINT) AS n_segs,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(closed AS BOOLEAN) AS closed, length
+FROM golden
+"""

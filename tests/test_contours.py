@@ -56,3 +56,51 @@ def test_distributed_matches_full_matrix(spark):
         assert row.level == lv
         assert row.n_segments == n
         assert np.isclose(row.total_length, ln)
+
+
+def test_contour_polylines_wkb(spark):
+    import numpy as np
+
+    from geokit_spark.constants import PIX_DX, PIX_DY
+    from geokit_spark.kernels.wkb import WKB_MULTILINESTRING
+    from geokit_spark.operators.contour_op import contour_polylines
+    from geokit_spark.sources import tiles as tilesrc
+
+    out = contour_polylines(
+        tilesrc.raster_table(spark, "elev"), [800.0]
+    ).toPandas()
+    assert len(out) > 100
+    # pick the largest closed loop; its WKB chains must reproduce the
+    # quantized length and form closed rings
+    row = out[out["closed"]].sort_values("n_segs").iloc[-1]
+    buf = bytes(row["wkb"])
+    assert buf[0] == 1
+    assert int.from_bytes(buf[1:5], "little") == WKB_MULTILINESTRING
+    n_lines = int.from_bytes(buf[5:9], "little")
+    off = 9
+    total = 0.0
+    n_pts = 0
+    for _ in range(n_lines):
+        assert buf[off] == 1 and int.from_bytes(
+            buf[off + 1 : off + 5], "little"
+        ) == 2  # linestring
+        npt = int.from_bytes(buf[off + 5 : off + 9], "little")
+        off += 9
+        pts = np.frombuffer(
+            buf, dtype="<f8", count=2 * npt, offset=off
+        ).reshape(-1, 2)
+        off += 16 * npt
+        # closed component -> every chain is a ring
+        assert tuple(pts[0]) == tuple(pts[-1])
+        n_pts += npt - 1
+        # geo-space chain length back to pixel units
+        d = np.hypot(
+            np.diff(pts[:, 0]) / PIX_DX, np.diff(pts[:, 1]) / PIX_DY
+        )
+        total += float(d.sum())
+    assert off == len(buf)
+    # each closed chain of npt points carries npt-1 segments; saddle
+    # vertices are revisited, so compare against n_segs (exact), not
+    # the distinct-point count
+    assert n_pts == row["n_segs"]
+    assert total == pytest.approx(row["length"], rel=1e-6)
