@@ -127,3 +127,39 @@ def stream_events_windowed(
             "sum_value",
         )
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string",
+):
+    """Streaming EXACT dedup over an append-only document feed: each
+    micro-batch keeps only first-seen content (md5 of text), state
+    held by Spark's native streaming dropDuplicates — the declarative
+    form of the dedup pipeline's streaming front door. availableNow +
+    checkpoint make re-runs idempotent (resume mid-feed without
+    re-emitting already-seen content).
+
+    Note: without a watermark the sketch state grows with distinct
+    content — at 100 TB pair it with the daily-window watermark
+    variant (dropDuplicatesWithinWatermark) once the feed carries
+    event time."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .json(src_dir)
+    )
+    deduped = stream.withColumn("text_md5", F.md5("text")).dropDuplicates(
+        ["text_md5"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

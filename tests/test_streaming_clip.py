@@ -120,3 +120,28 @@ def test_extract_and_clip_matches_numpy(spark):
     # shares strictly inside (0, 1]; boundary zones partially clipped
     assert (got["area_share"] <= 1.0 + 1e-12).all()
     assert ((got["area_share"] < 0.999).any())
+
+
+def test_stream_dedup_exact_matches_batch(spark, docs, tmp_path):
+    from geokit_spark.streaming.incremental import stream_dedup_exact
+
+    inp = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ck = str(tmp_path / "dd_ck")
+    docs.select("doc_id", "text", "lang").write.json(inp)
+    q = stream_dedup_exact(spark, inp, out, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # one row per distinct content, content set identical to batch
+    batch = docs.select(F.md5("text").alias("m")).distinct()
+    assert got.count() == batch.count()
+    assert got.select("text_md5").distinct().count() == got.count()
+    assert (
+        got.select(F.col("text_md5").alias("m")).exceptAll(batch).count()
+        == 0
+    )
+    # idempotent resume: re-running with the same checkpoint emits
+    # nothing new
+    q2 = stream_dedup_exact(spark, inp, out, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == batch.count()
