@@ -590,6 +590,43 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_meta(_docs(spark, sf_dir))
 
 
+PIPE_QUALITY_MIN = 2.5
+PIPE_LANGS = ("en", "de")
+PIPE_FRACTION = 0.5
+
+
+def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-data filter — the composition the
+    engine exists for, entirely JVM: (1) exact dedup on NORMALIZED
+    content (canonical = min doc_id per md5), (2) quality-score +
+    language gate, (3) deterministic stratified sample. Returns the
+    surviving (doc_id, lang, n_chars, q_milli)."""
+    from geokit_spark.functions.text import lang_guess, quality_score
+    from geokit_spark.operators.sampling import sample_hash_col
+
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    canon = (
+        docs.select(F.md5(norm).alias("m"), "doc_id")
+        .groupBy("m")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(canon, "doc_id", "inner")
+    q = quality_score(F.col("text"))
+    kept = kept.filter(
+        (q > F.lit(PIPE_QUALITY_MIN))
+        & lang_guess(F.col("text")).isin(*PIPE_LANGS)
+    )
+    kept = kept.filter(
+        sample_hash_col("doc_id") < F.lit(int(PIPE_FRACTION * 1_000_000))
+    )
+    return kept.select(
+        "doc_id", "lang", "n_chars",
+        F.floor(q * F.lit(1000.0)).alias("q_milli"),
+    )
+
+
 def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contour POLYLINES (geometry output of reference contours,
     raster.py:2044-2137): distributed per-tile marching squares ->
@@ -808,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "pipeline_filter": q_pipeline_filter,
         "embed_centroids": q_embed_centroids,
         "normalize_text": q_normalize_text,
         "multimodal_frames": q_multimodal_frames,
@@ -1560,6 +1598,34 @@ FROM withsh WHERE {ts.jaccard_expr()} >= CAST(0.6 AS DOUBLE)
 """
 
 
+def _o_pipeline_filter() -> str:
+    from geokit_spark.operators.sampling import (
+        SAMPLE_A, SAMPLE_B, SAMPLE_MOD, SAMPLE_PRIME,
+    )
+    from geokit_spark.oracle import textsql as ts
+
+    langs = ", ".join(f"'{x}'" for x in PIPE_LANGS)
+    h = (
+        f"(((doc_id % {SAMPLE_PRIME}) * {SAMPLE_A} + {SAMPLE_B})"
+        f" % {SAMPLE_MOD})"
+    )
+    return rf"""
+WITH canon AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY MD5(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))))
+),
+k AS (SELECT d.* FROM documents d JOIN canon USING (doc_id))
+SELECT doc_id, lang, n_chars,
+  CAST(FLOOR(({ts.quality_expr()}) * CAST('1000.0' AS DOUBLE)) AS BIGINT)
+    AS q_milli
+FROM k
+WHERE {ts.quality_expr()} > {d(PIPE_QUALITY_MIN)}
+  AND {ts.lang_guess_expr()} IN ({langs})
+  AND {h} < {int(PIPE_FRACTION * 1_000_000)}
+"""
+
+
 def _o_stratified_sample() -> str:
     from geokit_spark.operators.sampling import (
         SAMPLE_A, SAMPLE_B, SAMPLE_MOD, SAMPLE_PRIME,
@@ -1960,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _o_minhash_lsh(),
         "dedup_clusters": _o_dedup_clusters(),
         "stratified_sample": _o_stratified_sample(),
+        "pipeline_filter": _o_pipeline_filter(),
         "embed_centroids": _o_embed_centroids(),
         "normalize_text": _o_normalize_text(),
         "simhash": _o_simhash(),
