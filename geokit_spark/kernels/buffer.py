@@ -2,14 +2,17 @@
 used by indicateFeatures' buffer methods regionmask.py:1409-1440 and
 indicateValues' buffer path regionmask.py:1106-1188).
 
-Positive buffer of a CONVEX polygon = Minkowski sum with a disc:
-offset every edge outward by the distance and join consecutive offset
-edges with a circular arc around each vertex, approximated by
-``arc_segments`` chords (GDAL's Buffer quadrant segments analog).
-Negative buffer (shrink) of a convex polygon = intersection of the
-inward-offset half-planes. The engine's polygon side (zones) is
-convex by construction; general concave buffering remains a documented
-gap (SURVEY §7)."""
+Positive buffer = Minkowski-style edge offset: every edge moves
+outward by the distance; CONVEX vertices are joined with a circular
+arc approximated by ``arc_segments`` chords (GDAL's Buffer quadrant
+segments analog); REFLEX vertices take the intersection of the two
+adjacent offset edges (miter) — exact for distances below the local
+feature size (review fix: the arc path alone turned each reflex
+vertex into a near-full-circle sweep, corrupting non-convex rings
+like the fixture region). Distances large enough to make the offset
+ring self-intersect globally remain a documented gap (SURVEY §7).
+Negative buffer (shrink) requires a convex ring = intersection of the
+inward-offset half-planes."""
 
 from __future__ import annotations
 
@@ -33,9 +36,10 @@ def _ccw_ring(verts):
 
 
 def buffer_convex(verts, dist: float, arc_segments: int = 8):
-    """Buffer a convex polygon by `dist` (positive grows, negative
-    shrinks). Returns a vertex list (CCW). arc_segments bounds the
-    chord count per vertex arc on the grow path."""
+    """Buffer a simple polygon by `dist` (positive grows any simple
+    ring for dist below the local feature size; negative shrinks a
+    CONVEX ring). Returns a vertex list (CCW). arc_segments bounds the
+    chord count per convex-vertex arc on the grow path."""
     if dist == 0:
         return [(float(x), float(y)) for x, y in verts]
     vx, vy = _ccw_ring(verts)
@@ -51,6 +55,22 @@ def buffer_convex(verts, dist: float, arc_segments: int = 8):
         # outward normal of a CCW edge = right-hand normal (dy, -dx)
         n_in = np.array([d_in[1], -d_in[0]]) / np.hypot(*d_in)
         n_out = np.array([d_out[1], -d_out[0]]) / np.hypot(*d_out)
+        cross = d_in[0] * d_out[1] - d_in[1] * d_out[0]
+        if cross < 0.0:
+            # REFLEX vertex (right turn on a CCW ring): the two offset
+            # edges intersect; emit their miter point
+            # solve t*d_in - s*d_out = dist*(n_out - n_in)
+            det = -cross
+            bx = dist * (n_out[0] - n_in[0])
+            by = dist * (n_out[1] - n_in[1])
+            t = (bx * (-d_out[1]) - (-d_out[0]) * by) / det
+            out.append(
+                (
+                    float(p[0] + dist * n_in[0] + t * d_in[0]),
+                    float(p[1] + dist * n_in[1] + t * d_in[1]),
+                )
+            )
+            continue
         a0 = math.atan2(n_in[1], n_in[0])
         a1 = math.atan2(n_out[1], n_out[0])
         sweep = a1 - a0

@@ -78,14 +78,20 @@ def label_block(m: np.ndarray, connectivity: int = 4) -> np.ndarray:
 
 
 def _label_frames_df(
-    tiles: DataFrame, connectivity: int = 4, with_adjacency: bool = False
+    tiles: DataFrame, connectivity: int = 4, with_adjacency: bool = False,
+    with_boundary: bool = False,
 ) -> DataFrame:
     """Distributed labeling pass. One mapInPandas over tiles emitting
     unified rows: kind 's' per-component summaries, 'e' edge-strip
-    entries, 'a' within-tile component adjacency pairs (for sieve).
-    All frame construction is vectorized (no per-pixel Python loops).
-    The result is localCheckpoint-ed so summaries and edges can be
-    consumed by separate downstream plans without re-labeling."""
+    entries, 'a' within-tile component adjacency pairs (for sieve),
+    and (with_boundary) 'b' within-tile directed boundary edges for
+    polygonize — endpoints packed as (x << 32 | y) into the n/label_b
+    columns so the schema stays unified and the tiles are LABELED ONCE
+    (review fix: polygonize used to re-scan and re-label every tile in
+    a second pass). All frame construction is vectorized (no per-pixel
+    Python loops). The result is localCheckpoint-ed so summaries and
+    edges can be consumed by separate downstream plans without
+    re-labeling."""
     t = TILE_SIZE
 
     def fn(batches):
@@ -129,6 +135,36 @@ def _label_frames_df(
                             }
                         )
                     )
+                if with_boundary:
+                    gx0, gy0 = tx * t, ty * t
+                    edge_rows = []
+                    yy, xx = np.nonzero(m[:, 1:] != m[:, :-1])
+                    lx, ly = gx0 + xx, gy0 + yy
+                    # left cell RIGHT edge / right cell LEFT edge
+                    edge_rows.append((glab[yy, xx], lx + 1, ly, lx + 1, ly + 1))
+                    edge_rows.append((glab[yy, xx + 1], lx + 1, ly + 1, lx + 1, ly))
+                    yy, xx = np.nonzero(m[1:, :] != m[:-1, :])
+                    lx, ly = gx0 + xx, gy0 + yy
+                    # upper cell BOTTOM edge / lower cell TOP edge
+                    edge_rows.append((glab[yy, xx], lx + 1, ly + 1, lx, ly + 1))
+                    edge_rows.append((glab[yy + 1, xx], lx, ly + 1, lx + 1, ly + 1))
+                    for lb, x1, y1, x2, y2 in edge_rows:
+                        if len(lb) == 0:
+                            continue
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "kind": "b", "tile_x": tx, "tile_y": ty,
+                                    "side": "", "off": 0,
+                                    "label": lb.astype(np.int64),
+                                    "value": 0.0,
+                                    "n": (x1.astype(np.int64) << 32)
+                                    | y1.astype(np.int64),
+                                    "label_b": (x2.astype(np.int64) << 32)
+                                    | y2.astype(np.int64),
+                                }
+                            )
+                        )
                 if with_adjacency:
                     pairs = set()
                     for a, b in (
@@ -212,20 +248,46 @@ def _seam_pairs_df(edges: DataFrame, connectivity: int = 4) -> DataFrame:
 
 def _resolve_roots(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
     """(label, root): canonical representative per connected component
-    of the seam-pair graph. Iterative min-label contraction: each round
-    maps every current node to min(self, min neighbor) and rewrites the
-    edge set through the mapping — pointer-jumping-style convergence in
-    O(log component-diameter) rounds, all joins, no driver state."""
+    of the seam-pair graph. Each round: (1) min-label contraction —
+    every current root takes min(self, min neighbor) — and (2) a
+    POINTER-JUMPING composition (root := root-of-root), which is what
+    makes convergence O(log component diameter); contraction alone is
+    O(diameter) — one hop per round on a path graph — a silent-wrong-
+    answer trap at max_iters (review finding). Raises if the edge set
+    has not drained when the round budget runs out."""
+    def compress(m: DataFrame) -> DataFrame:
+        """root := root-of-root until fixpoint (chains halve per pass;
+        the edge set can drain before the label mapping is flat)."""
+        for _ in range(max_iters):
+            rr = m.select(
+                F.col("label").alias("rl"), F.col("root").alias("rr")
+            )
+            m2 = (
+                m.join(rr, m["root"] == rr["rl"], "left")
+                .select("label", F.coalesce("rr", "root").alias("root"))
+                .localCheckpoint()
+            )
+            changed = (
+                m2.alias("n")
+                .join(m.alias("o"), "label")
+                .filter(F.col("n.root") != F.col("o.root"))
+                .isEmpty()
+            )
+            m = m2
+            if changed:  # isEmpty() True == no row changed
+                return m
+        raise RuntimeError("root compression did not converge")
+
     m = (
         pairs.select(F.col("a").alias("label"))
         .unionByName(pairs.select(F.col("b").alias("label")))
         .distinct()
         .withColumn("root", F.col("label"))
     )
-    e = pairs.filter(F.col("a") != F.col("b")).localCheckpoint()
+    e = pairs.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
     for _ in range(max_iters):
         if e.isEmpty():
-            break
+            return compress(m)
         sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         nm = (
             sym.groupBy("a")
@@ -240,22 +302,34 @@ def _resolve_roots(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
         m = (
             m.join(nm, m["root"] == nm["old"], "left")
             .select("label", F.coalesce("new", "root").alias("root"))
+        )
+        # pointer jump: compose the mapping with itself (root-of-root)
+        rr = m.select(F.col("label").alias("rl"), F.col("root").alias("rr"))
+        m = (
+            m.join(rr, m["root"] == rr["rl"], "left")
+            .select("label", F.coalesce("rr", "root").alias("root"))
             .localCheckpoint()
         )
-        na = nm.select(F.col("old").alias("oa"), F.col("new").alias("na"))
-        nb = nm.select(F.col("old").alias("ob"), F.col("new").alias("nb"))
+        # rewrite edges through the FULL jumped mapping, not the
+        # per-round delta, so chains collapse geometrically
+        ma = m.select(F.col("label").alias("la"), F.col("root").alias("ra"))
+        mb = m.select(F.col("label").alias("lb"), F.col("root").alias("rb"))
         e = (
-            e.join(na, e["a"] == na["oa"], "left")
-            .join(nb, e["b"] == nb["ob"], "left")
+            e.join(ma, e["a"] == ma["la"], "left")
+            .join(mb, e["b"] == mb["lb"], "left")
             .select(
-                F.coalesce("na", "a").alias("a"),
-                F.coalesce("nb", "b").alias("b"),
+                F.coalesce("ra", "a").alias("a"),
+                F.coalesce("rb", "b").alias("b"),
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
             .localCheckpoint()
         )
-    return m
+    if not e.isEmpty():
+        raise RuntimeError(
+            f"_resolve_roots did not converge in {max_iters} rounds"
+        )
+    return compress(m)
 
 
 def component_table(tiles: DataFrame, connectivity: int = 4) -> DataFrame:
@@ -459,62 +533,6 @@ def sieve_merge(
 # (reference geom.polygonizeMatrix / polygonizeMask, geom.py:525-702)
 
 
-def _interior_boundary_edges(tiles: DataFrame, connectivity: int) -> DataFrame:
-    """Directed unit boundary edges STRICTLY INSIDE each tile, in
-    global pixel coords (cell-clockwise in y-down screen orientation,
-    so component interior is on the walker's right). Tile-border sides
-    are resolved separately by the strip anti-join. Vectorized numpy
-    per tile — one row per boundary edge, O(perimeter) output."""
-    t = TILE_SIZE
-
-    def fn(batches):
-        for pdf in batches:
-            frames = []
-            for r in pdf.itertuples():
-                tx, ty = int(r.tile_x), int(r.tile_y)
-                m = np.asarray(r.data, dtype=np.float64).reshape(t, t)
-                lab = label_block(m, connectivity)
-                base = (np.int64(tx) << _TX_SHIFT) | (np.int64(ty) << _TY_SHIFT)
-                glab = lab + base
-                gx0, gy0 = tx * t, ty * t
-                rows = []
-                # vertical boundary between horizontally-adjacent cells
-                yy, xx = np.nonzero(m[:, 1:] != m[:, :-1])
-                lx, ly = gx0 + xx, gy0 + yy
-                # left cell's RIGHT edge: (x+1, y) -> (x+1, y+1)
-                rows.append((glab[yy, xx], lx + 1, ly, lx + 1, ly + 1))
-                # right cell's LEFT edge: (x+1, y+1) -> (x+1, y)
-                rows.append((glab[yy, xx + 1], lx + 1, ly + 1, lx + 1, ly))
-                # horizontal boundary between vertically-adjacent cells
-                yy, xx = np.nonzero(m[1:, :] != m[:-1, :])
-                lx, ly = gx0 + xx, gy0 + yy
-                # upper cell's BOTTOM edge: (x+1, y+1) -> (x, y+1)
-                rows.append((glab[yy, xx], lx + 1, ly + 1, lx, ly + 1))
-                # lower cell's TOP edge: (x, y+1) -> (x+1, y+1)
-                rows.append((glab[yy + 1, xx], lx, ly + 1, lx + 1, ly + 1))
-                for lb, x1, y1, x2, y2 in rows:
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "label": lb.astype(np.int64),
-                                "x1": x1.astype(np.int64),
-                                "y1": y1.astype(np.int64),
-                                "x2": x2.astype(np.int64),
-                                "y2": y2.astype(np.int64),
-                            }
-                        )
-                    )
-            yield (
-                pd.concat(frames, ignore_index=True)
-                if frames
-                else pd.DataFrame(
-                    columns=["label", "x1", "y1", "x2", "y2"]
-                ).astype(np.int64)
-            )
-
-    return tiles.mapInPandas(
-        fn, schema="label long, x1 long, y1 long, x2 long, y2 long"
-    )
 
 
 def _border_boundary_edges(lab: DataFrame) -> DataFrame:
@@ -671,7 +689,7 @@ def polygonize(tiles: DataFrame, pixel_geo=None) -> DataFrame:
     gx0, gy0, gdx, gdy = (float(v) for v in pixel_geo)
 
     connectivity = 4  # GDAL polygonize semantics
-    lab = _label_frames_df(tiles, connectivity)
+    lab = _label_frames_df(tiles, connectivity, with_boundary=True)
     roots = _resolve_roots(_seam_pairs_df(lab.filter(F.col("kind") == "e"),
                                           connectivity))
     summ = lab.filter(F.col("kind") == "s").select("label", "value", "n")
@@ -681,9 +699,17 @@ def polygonize(tiles: DataFrame, pixel_geo=None) -> DataFrame:
         .groupBy("root", "value")
         .agg(F.sum("n").alias("n"))
     )
-    edges = _interior_boundary_edges(tiles, connectivity).unionByName(
-        _border_boundary_edges(lab)
+    # within-tile boundary edges come from the SAME labeling pass
+    # (kind 'b', endpoints packed x<<32|y in n/label_b)
+    mask32 = F.lit(0xFFFFFFFF)
+    interior_edges = lab.filter(F.col("kind") == "b").select(
+        "label",
+        F.shiftright("n", 32).alias("x1"),
+        F.col("n").bitwiseAND(mask32).alias("y1"),
+        F.shiftright("label_b", 32).alias("x2"),
+        F.col("label_b").bitwiseAND(mask32).alias("y2"),
     )
+    edges = interior_edges.unionByName(_border_boundary_edges(lab))
     edges = (
         edges.join(roots, "label", "left")
         .select(

@@ -94,8 +94,12 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFram
     def _chunk_bytes(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
         """Same signatures straight from the Arrow UTF-8 buffer
         (ASCII-only batches: utf-8 byte == codepoint). One vectorized
-        scatter builds the NUL-padded byte stream; shingle codes stay
-        int32 (< 2^23) so the hot hash loop moves half the bytes."""
+        scatter builds the NUL-padded byte stream. Shingle codes MUST
+        be int64: A*code reaches ~2^44 and numpy's NEP-50 loop
+        selection multiplies int32 inputs in int32 even with an int64
+        out= buffer (silent wraparound — caught by review, the int32
+        'optimization' produced signatures diverging from the JVM
+        formula on all-ASCII batches)."""
         lens = (offs[1:] - offs[:-1]).astype(np.int64)
         nd = len(lens)
         total = int(lens.sum())
@@ -104,7 +108,7 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFram
             np.arange(nd, dtype=np.int64), lens
         )
         padded[tgt] = data[offs[0] : offs[-1]]
-        b = padded.astype(np.int32)
+        b = padded.astype(np.int64)
         codes = b[:-2] * 65536 + b[1:-1] * 256 + b[2:]
         seg_lens = lens + 2
         starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])

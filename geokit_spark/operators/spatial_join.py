@@ -58,11 +58,10 @@ _JVM_PIP_MAX_VERTS = 12
 
 
 def _open(verts):
-    """Open ring (drop a closing duplicate vertex)."""
-    v = [(float(x), float(y)) for x, y in verts]
-    if len(v) > 1 and v[0] == v[-1]:
-        v = v[:-1]
-    return v
+    """Open ring (shared contract: kernels.geom_ops._open_ring)."""
+    from ..kernels.geom_ops import _open_ring
+
+    return _open_ring(verts)
 
 
 def _verts_key(verts) -> tuple:
@@ -112,6 +111,16 @@ def pip_multi_udf(polys: dict):
 # single-polygon semi-join (general API)
 
 _CELL_CACHE: dict[tuple, pd.DataFrame] = {}
+_CELL_CACHE_MAX = 32  # FIFO cap: de-fixtured callers may stream many
+# distinct polygon sets through the join; an unbounded memo would leak
+# one candidate frame per distinct set for driver-process lifetime
+
+
+def _cache_put(key, value):
+    if len(_CELL_CACHE) >= _CELL_CACHE_MAX:
+        _CELL_CACHE.pop(next(iter(_CELL_CACHE)))
+    _CELL_CACHE[key] = value
+    return value
 
 
 def _polygon_cells_pdf(verts, grid_n: int = JOIN_GRID_N) -> pd.DataFrame:
@@ -120,9 +129,9 @@ def _polygon_cells_pdf(verts, grid_n: int = JOIN_GRID_N) -> pd.DataFrame:
     key = ("poly", _verts_key(verts), grid_n)
     if key not in _CELL_CACHE:
         arr = np.asarray(classify_covering_cells(verts, grid_n), dtype=np.int64)
-        _CELL_CACHE[key] = pd.DataFrame(
+        _cache_put(key, pd.DataFrame(
             {"cell_id": arr[:, 0], "cell_class": arr[:, 1].astype(np.int32)}
-        )
+        ))
     return _CELL_CACHE[key]
 
 
@@ -197,7 +206,7 @@ def _poly_candidates_pdf(polys: dict, grid_n: int = JOIN_GRID_N) -> pd.DataFrame
                         }
                     )
                 )
-        _CELL_CACHE[key] = pd.concat(frames, ignore_index=True)
+        _cache_put(key, pd.concat(frames, ignore_index=True))
     return _CELL_CACHE[key]
 
 
@@ -224,7 +233,7 @@ def _poly_fine_pdf(polys: dict, grid_n: int = JOIN_GRID_N) -> pd.DataFrame:
                         }
                     )
                 )
-        _CELL_CACHE[key] = pd.concat(frames, ignore_index=True)
+        _cache_put(key, pd.concat(frames, ignore_index=True))
     return _CELL_CACHE[key]
 
 

@@ -178,16 +178,21 @@ def warp_to_grid(
         (F.col("id") / ntx).cast("int").alias("tty"),
     )
     # source tile range each target tile needs (per-alg stencil
-    # margin in source px), computed driver-free as column arithmetic
+    # margin in source px), computed driver-free as column arithmetic;
+    # off_x/off_y translate the TARGET origin into the source frame
+    # (review fix: an ox/oy away from the raster corner used to join
+    # the wrong source tiles while pixel indices used the true origin)
     margins = {"near": 1.0, "bilinear": 1.0, "cubic": 2.0,
                "cubicspline": 2.0, "lanczos": 3.0}
     if alg not in margins:
         raise ValueError(f"unsupported warp alg {alg!r}")
     margin = margins[alg]
-    x_lo = (F.col("ttx") * t * dxt - margin * PIX_DX) / (t * PIX_DX)
-    x_hi = ((F.col("ttx") + 1) * t * dxt + margin * PIX_DX) / (t * PIX_DX)
-    y_lo = (F.col("tty") * t * dyt - margin * PIX_DY) / (t * PIX_DY)
-    y_hi = ((F.col("tty") + 1) * t * dyt + margin * PIX_DY) / (t * PIX_DY)
+    off_x = float(ox) - XMIN
+    off_y = YMAX - float(oy)
+    x_lo = (off_x + F.col("ttx") * t * dxt - margin * PIX_DX) / (t * PIX_DX)
+    x_hi = (off_x + (F.col("ttx") + 1) * t * dxt + margin * PIX_DX) / (t * PIX_DX)
+    y_lo = (off_y + F.col("tty") * t * dyt - margin * PIX_DY) / (t * PIX_DY)
+    y_hi = (off_y + (F.col("tty") + 1) * t * dyt + margin * PIX_DY) / (t * PIX_DY)
     sx0 = F.greatest(F.floor(x_lo).cast("int"), F.lit(0))
     sx1 = F.least(F.floor(x_hi).cast("int"), F.lit(ntx_src - 1))
     sy0 = F.greatest(F.floor(y_lo).cast("int"), F.lit(0))

@@ -194,3 +194,18 @@ def test_sieve_drops_small(spark, clc_tiles):
     # a huge threshold keeps only the biggest components
     tiny = sieve_small_components(clc_tiles, min_size=10**9)
     assert len(tiny) == 0
+
+
+def test_resolve_roots_long_chain(spark):
+    """A 300-node path graph must collapse to ONE component well
+    within the round budget (pointer jumping; plain contraction is
+    O(diameter) and used to exit silently at 64 rounds)."""
+    from geokit_spark.operators.components import _resolve_roots
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    roots = _resolve_roots(pairs).toPandas()
+    assert len(roots) == n
+    assert (roots["root"] == 0).all()

@@ -187,3 +187,29 @@ def test_dedup_clusters_partition_pairs(spark, docs):
         expected.setdefault(find(int(m)), set()).add(int(m))
     got = {int(r.cluster_id): int(r.n_docs) for r in clusters.itertuples()}
     assert got == {k: len(v) for k, v in expected.items()}
+
+
+def test_minhash_ascii_fast_path_matches_fallback(spark):
+    """Regression: the Arrow byte path must produce the same
+    signatures as the codepoint fallback (an int32 multiply once
+    wrapped at ~2^44 on all-ASCII batches). One non-ASCII doc in a
+    single-partition frame forces the whole batch down the fallback;
+    the shared ASCII docs' signatures must be identical."""
+    from geokit_spark.operators.dedup import minhash_signatures_fast
+
+    texts = ["hello world this is a test doc", "a", "abcd" * 50, "xy z"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    ascii_df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    mixed_df = spark.createDataFrame(
+        rows + [(99, "naïve unicode doc")], "doc_id long, text string"
+    ).coalesce(1)
+    a = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures_fast(ascii_df).collect()
+    }
+    b = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures_fast(mixed_df).collect()
+    }
+    for i in range(len(texts)):
+        assert a[i] == b[i], f"doc {i} signature diverges between paths"

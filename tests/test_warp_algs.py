@@ -166,3 +166,23 @@ def test_mosaic_custom_combiner(spark, elev_tiles):
     ).collect()[0][0]
     # max(v, v+10) == v+10 everywhere
     assert s == s_a + 10.0 * RASTER_W * RASTER_H
+
+
+def test_warp_offset_origin(spark, elev_tiles):
+    """Regression: a target origin away from the raster corner must
+    join the RIGHT source tiles (the tile-range arithmetic once
+    ignored ox/oy and indexed past the assembled patch)."""
+    ox = XMIN + 100.5 * PIX_DX
+    oy = YMAX - 37.25 * PIX_DY
+    out = warp_to_grid(
+        elev_tiles, ox=ox, oy=oy, w=96, h=96, alg="near"
+    ).toPandas()
+    assert len(out) == 96 * 96
+    f = _field()
+    jx = out["jx"].to_numpy()
+    jy = out["jy"].to_numpy()
+    cx = ox + (jx + 0.5) * WARP_DXT
+    cy = oy - (jy + 0.5) * WARP_DYT
+    ix = np.clip(np.floor((cx - XMIN) / PIX_DX), 0, RASTER_W - 1).astype(int)
+    iy = np.clip(np.floor((YMAX - cy) / PIX_DY), 0, RASTER_H - 1).astype(int)
+    assert np.array_equal(out["value"].to_numpy(), f[iy, ix])
