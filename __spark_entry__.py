@@ -627,6 +627,24 @@ def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL-style sieve over the banded raster (reference raster.sieve
+    raster.py:2426-2557): components < 50 px absorbed by their largest
+    neighbor, deterministic (size, canonical-pixel-id) order contract.
+    Distributed labeling/adjacency; component-level merge loop driver-
+    side (documented). Oracle: independent full-matrix flood fill +
+    the same documented merge contract (geooracle.sieve_rows)."""
+    from geokit_spark.operators.components import sieve_merge
+
+    tiles = tilesrc.raster_table(spark, "elev").select(
+        "tile_x", "tile_y",
+        F.transform("data", lambda x: F.floor(x / F.lit(200.0))
+                    .cast("double")).alias("data"),
+    )
+    pdf = sieve_merge(tiles, min_size=50)
+    return spark.createDataFrame(pdf, "value double, n_pixels long")
+
+
 def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contour POLYLINES (geometry output of reference contours,
     raster.py:2044-2137): distributed per-tile marching squares ->
@@ -850,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "multimodal_frames": q_multimodal_frames,
         "contour_lines": q_contour_lines,
+        "sieve": q_sieve,
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
@@ -2019,6 +2038,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_lines": geooracle.contour_lines_sql(
             [400.0, 800.0, 1200.0]
         ),
+        "sieve": geooracle.sieve_sql(50),
         "bisect": _o_bisect(),
         "text_features": _o_text_features(),
         "dedup_exact": _o_dedup_exact(),

@@ -111,13 +111,21 @@ def _label_frames_df(
                 vals, first_idx, counts = np.unique(
                     glab, return_index=True, return_counts=True
                 )
+                # canonical pixel id (gy<<32|gx of the label's first
+                # pixel): an implementation-independent component
+                # identity — the deterministic tie-break key shared
+                # with the sieve oracle (internal labels differ
+                # between tiling schemes)
+                gy = ty * t + first_idx // t
+                gx = tx * t + first_idx % t
+                pix = (gy.astype(np.int64) << 32) | gx.astype(np.int64)
                 frames.append(
                     pd.DataFrame(
                         {
                             "kind": "s", "tile_x": tx, "tile_y": ty,
                             "side": "", "off": 0, "label": vals,
                             "value": m.ravel()[first_idx],
-                            "n": counts.astype(np.int64), "label_b": 0,
+                            "n": counts.astype(np.int64), "label_b": pix,
                         }
                     )
                 )
@@ -475,11 +483,14 @@ def sieve_merge(
     roots = summaries["label"].map(lambda g: uf.find(int(g)))
     comp = (
         summaries.assign(root=roots)
-        .groupby(["root", "value"], as_index=False)["n"]
-        .sum()
+        .groupby(["root", "value"], as_index=False)
+        .agg(n=("n", "sum"), pix=("label_b", "min"))
     )
     size = {int(r.root): int(r.n) for r in comp.itertuples()}
     value = {int(r.root): float(r.value) for r in comp.itertuples()}
+    # canonical component id: min (gy<<32|gx) pixel — the tie-break
+    # key shared with the independent sieve oracle
+    pix_id = {int(r.root): int(r.pix) for r in comp.itertuples()}
 
     nbrs: dict[int, set[int]] = {r: set() for r in size}
 
@@ -502,13 +513,17 @@ def sieve_merge(
             r = merged_into[r]
         return r
 
-    for root in sorted(size, key=lambda r: size[r]):
+    # deterministic order contract (shared with the sieve oracle):
+    # process smallest-first with the canonical pixel id as tie-break;
+    # merge into the largest neighbor, smallest canonical id winning
+    # size ties
+    for root in sorted(size, key=lambda r: (size[r], pix_id[r])):
         if size[root] >= min_size:
             continue
         cand = {resolve(nb) for nb in nbrs.get(root, ())} - {root}
         if not cand:
             continue
-        target = max(cand, key=lambda r: size[r])
+        target = max(cand, key=lambda r: (size[r], -pix_id[r]))
         size[target] += size[root]
         nbrs.setdefault(target, set()).update(
             resolve(nb) for nb in nbrs.get(root, ()) if resolve(nb) != target

@@ -601,3 +601,93 @@ SELECT level, CAST(n_segs AS BIGINT) AS n_segs,
        CAST(closed AS BOOLEAN) AS closed, length
 FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# sieve golden: independent full-matrix flood fill + the documented
+# deterministic merge contract (smallest-first by (size, canonical
+# pixel id); absorb into largest neighbor, smallest canonical id wins
+# size ties) — the engine derives components from tiles + seams, this
+# never touches either
+
+
+def sieve_rows(min_size: int):
+    from ..kernels.raster_fields import elev_value
+
+    iy, ix = np.meshgrid(
+        np.arange(RASTER_H, dtype=np.int64),
+        np.arange(RASTER_W, dtype=np.int64),
+        indexing="ij",
+    )
+    v = np.floor(elev_value(ix, iy).astype(np.float64) / 200.0)
+    h_, w_ = v.shape
+    lab = -np.ones((h_, w_), dtype=np.int64)
+    nxt = 0
+    canon = []
+    for sy in range(h_):
+        for sx in range(w_):
+            if lab[sy, sx] >= 0:
+                continue
+            val = v[sy, sx]
+            canon.append((sy << 32) | sx)
+            stack = [(sy, sx)]
+            lab[sy, sx] = nxt
+            while stack:
+                cy, cx = stack.pop()
+                for ny, nx in ((cy - 1, cx), (cy + 1, cx),
+                               (cy, cx - 1), (cy, cx + 1)):
+                    if (0 <= ny < h_ and 0 <= nx < w_
+                            and lab[ny, nx] < 0 and v[ny, nx] == val):
+                        lab[ny, nx] = nxt
+                        stack.append((ny, nx))
+            nxt += 1
+
+    flat = lab.ravel()
+    size = {i: int(c) for i, c in enumerate(np.bincount(flat, minlength=nxt))}
+    first = np.full(nxt, -1, dtype=np.int64)
+    first[flat[::-1]] = np.arange(flat.size - 1, -1, -1)
+    value = {i: float(v.ravel()[first[i]]) for i in range(nxt)}
+    pix_id = {i: int(canon[i]) for i in range(nxt)}
+
+    nbrs: dict[int, set[int]] = {i: set() for i in range(nxt)}
+    for a, b in ((lab[1:, :], lab[:-1, :]), (lab[:, 1:], lab[:, :-1])):
+        diff = a != b
+        for x, y in zip(a[diff].tolist(), b[diff].tolist()):
+            nbrs[x].add(y)
+            nbrs[y].add(x)
+
+    merged_into: dict[int, int] = {}
+
+    def resolve(r: int) -> int:
+        while r in merged_into:
+            r = merged_into[r]
+        return r
+
+    for root in sorted(size, key=lambda r: (size[r], pix_id[r])):
+        if size[root] >= min_size:
+            continue
+        cand = {resolve(nb) for nb in nbrs.get(root, ())} - {root}
+        if not cand:
+            continue
+        target = max(cand, key=lambda r: (size[r], -pix_id[r]))
+        size[target] += size[root]
+        nbrs.setdefault(target, set()).update(
+            resolve(nb) for nb in nbrs.get(root, ()) if resolve(nb) != target
+        )
+        merged_into[root] = target
+        size[root] = 0
+
+    out: dict[float, int] = {}
+    for root, n in size.items():
+        if n > 0:
+            val = value[resolve(root)]
+            out[val] = out.get(val, 0) + n
+    return sorted(out.items())
+
+
+def sieve_sql(min_size: int) -> str:
+    vals = ",".join(f"({d(val)},{n})" for val, n in sieve_rows(min_size))
+    return f"""
+WITH golden(value, n_pixels) AS (VALUES {vals})
+SELECT value, CAST(n_pixels AS BIGINT) AS n_pixels FROM golden
+"""
