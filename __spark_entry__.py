@@ -1385,9 +1385,9 @@ s AS (
   SELECT jx, jy, CAST(COUNT(*) AS BIGINT) AS n,
     CAST(SUM(value) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_v,
     MIN(value) AS min_v, MAX(value) AS max_v,
-    quantile_cont(value, 0.5) AS med_v,
-    quantile_cont(value, 0.25) AS q1_v,
-    quantile_cont(value, 0.75) AS q3_v,
+    quantile_cont(FLOOR(value * 1024), 0.5) / 1024 AS med_v,
+    quantile_cont(FLOOR(value * 1024), 0.25) / 1024 AS q1_v,
+    quantile_cont(FLOOR(value * 1024), 0.75) / 1024 AS q3_v,
     CAST(SUM(value) AS DOUBLE) AS sum_v
   FROM b GROUP BY jx, jy
 ),

@@ -31,15 +31,17 @@ def divide_east_west(rings: list, side: str = "both"):
     total area side. 'right' is the set LEFT of the gap in minx order
     (the reference's naming: those are east of the antimeridian after
     the -360 unshift)."""
-    assert side in ("both", "left", "right", "main")
+    if side not in ("both", "left", "right", "main"):
+        raise ValueError(f"invalid side {side!r}")
     bounds = []
     for ring in rings:
         v = _open_ring(ring)
         xs = [p[0] for p in v]
-        assert min(xs) >= -180.0 and max(xs) <= 180.0, (
-            "envelope must be within [-180, 180] (run fix_out_of_bounds "
-            "first)"
-        )
+        if min(xs) < -180.0 or max(xs) > 180.0:
+            raise ValueError(
+                "envelope must be within [-180, 180] (run "
+                "fix_out_of_bounds first)"
+            )
         bounds.append((min(xs), max(xs), v))
     bounds.sort(key=lambda b: b[0])
     max_gap = 0.0
@@ -92,7 +94,8 @@ def fix_out_of_bounds(rings: list, how: str = "shift") -> list:
     are folded over the pole. how='clip' drops protruding parts."""
     from .geom_ops import clip_convex
 
-    assert how in ("clip", "shift")
+    if how not in ("clip", "shift"):
+        raise ValueError(f"invalid how {how!r}")
     base = [(-180.0, -270.0), (180.0, -270.0), (180.0, 270.0),
             (-180.0, 270.0)]
     out = []

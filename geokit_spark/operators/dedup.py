@@ -68,13 +68,17 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFram
 
     def _chunk(texts: list[str]) -> np.ndarray:
         lens = np.array([len(t) for t in texts], dtype=np.int64)
-        # two NUL pads per doc emulate ascii(substring-beyond-end) = 0
-        # for sub-3-char docs, matching the JVM expression exactly
-        flat = "".join(t + "\x00\x00" for t in texts)
+        # THREE NUL pads per doc emulate ascii(substring-beyond-end) = 0
+        # for sub-3-char docs, matching the JVM expression exactly. Two
+        # pads are not enough: an empty doc still emits one shingle
+        # (n_sh = max(len-2, 1) = 1) whose 3-byte window must read
+        # (0,0,0) -> code 0; with 2 pads it read the NEXT doc's first
+        # byte, and past the buffer end for an empty doc at chunk end.
+        flat = "".join(t + "\x00\x00\x00" for t in texts)
         cp = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32).astype(
             np.int64
         )
-        seg_lens = lens + 2
+        seg_lens = lens + 3
         starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
         codes = cp[:-2] * 65536 + cp[1:-1] * 256 + cp[2:]
         n_sh = np.maximum(lens - 2, 1)
@@ -103,14 +107,15 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFram
         lens = (offs[1:] - offs[:-1]).astype(np.int64)
         nd = len(lens)
         total = int(lens.sum())
-        padded = np.zeros(total + 2 * nd, dtype=np.uint8)
-        tgt = np.arange(total, dtype=np.int64) + 2 * np.repeat(
+        # three NUL pads per doc — see _chunk for why two is a bug
+        padded = np.zeros(total + 3 * nd, dtype=np.uint8)
+        tgt = np.arange(total, dtype=np.int64) + 3 * np.repeat(
             np.arange(nd, dtype=np.int64), lens
         )
         padded[tgt] = data[offs[0] : offs[-1]]
         b = padded.astype(np.int64)
         codes = b[:-2] * 65536 + b[1:-1] * 256 + b[2:]
-        seg_lens = lens + 2
+        seg_lens = lens + 3
         starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
         n_sh = np.maximum(lens - 2, 1)
         sh_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])

@@ -197,9 +197,20 @@ def warp_to_grid(
     sx1 = F.least(F.floor(x_hi).cast("int"), F.lit(ntx_src - 1))
     sy0 = F.greatest(F.floor(y_lo).cast("int"), F.lit(0))
     sy1 = F.least(F.floor(y_hi).cast("int"), F.lit(nty_src - 1))
+    # Target tiles entirely outside the source raster clamp to
+    # sx0 > sx1 (or sy0 > sy1); F.sequence would silently generate a
+    # DESCENDING key list that joins the border tile by accident.
+    # Filter them explicitly: out-of-coverage target tiles emit no
+    # rows (the noData semantics of a warp past the source extent).
     keys = (
-        skel.withColumn("tile_x", F.explode(F.sequence(sx0, sx1)))
-        .withColumn("tile_y", F.explode(F.sequence(sy0, sy1)))
+        skel.withColumn("sx0", sx0).withColumn("sx1", sx1)
+        .withColumn("sy0", sy0).withColumn("sy1", sy1)
+        .filter(
+            (F.col("sx0") <= F.col("sx1")) & (F.col("sy0") <= F.col("sy1"))
+        )
+        .withColumn("tile_x", F.explode(F.sequence("sx0", "sx1")))
+        .withColumn("tile_y", F.explode(F.sequence("sy0", "sy1")))
+        .drop("sx0", "sx1", "sy0", "sy1")
     )
     joined = keys.join(tiles, ["tile_x", "tile_y"], "inner")
 
@@ -378,9 +389,15 @@ def warp_aggregate(
         (F.sum("value") / F.count("value").cast("double")).alias("avg_v"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
-        F.expr("percentile(value, 0.5D)").alias("med_v"),
-        F.expr("percentile(value, 0.25D)").alias("q1_v"),
-        F.expr("percentile(value, 0.75D)").alias("q3_v"),
+        # med/q1/q3 are computed over values quantized to 2^-10 units:
+        # an interpolated quantile of INTEGER-grid inputs at frac
+        # k/4 is a dyadic rational, exactly representable and identical
+        # under any lerp formula — which keeps the DuckDB oracle
+        # comparison bit-exact by construction instead of by luck
+        # (percentile interpolation trees differ between engines).
+        (F.expr("percentile(floor(value * 1024D), 0.5D)") / F.lit(1024.0)).alias("med_v"),
+        (F.expr("percentile(floor(value * 1024D), 0.25D)") / F.lit(1024.0)).alias("q1_v"),
+        (F.expr("percentile(floor(value * 1024D), 0.75D)") / F.lit(1024.0)).alias("q3_v"),
         F.sum("value").alias("sum_v"),
     )
     mode = (

@@ -49,8 +49,12 @@ class RegionMask:
         from .kernels.wkb import parse_wkb
 
         kind, ring = parse_wkb(bytes(buf))
-        assert kind == "polygon", "RegionMask needs a polygon"
-        return cls(spark, [(x, y) for x, y in ring[:-1]], srs)
+        if kind != "polygon":
+            raise ValueError("RegionMask needs a polygon")
+        # pass the ring through unchanged: __init__ strips the closing
+        # vertex only when first == last, so an unclosed WKB ring does
+        # not silently lose a real vertex
+        return cls(spark, [(x, y) for x, y in ring], srs)
 
     @classmethod
     def fixture_region(cls, spark: SparkSession):

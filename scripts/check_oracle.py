@@ -44,11 +44,24 @@ def value_repr(df: pd.DataFrame) -> list:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":
+            i += 1
+            if i >= len(argv):
+                sys.exit("--sf requires a directory argument")
+            sf_dir = argv[i]
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a!r}")
+        else:
+            args.append(a)
+        i += 1
 
     import __spark_entry__ as entrymod
     from geokit_spark.session import get_spark
@@ -63,6 +76,9 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; available: {sorted(qs)}")
     failures = 0
     for name in names:
         sdf = qs[name](spark, sf_dir).toPandas()

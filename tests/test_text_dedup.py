@@ -213,3 +213,66 @@ def test_minhash_ascii_fast_path_matches_fallback(spark):
     }
     for i in range(len(texts)):
         assert a[i] == b[i], f"doc {i} signature diverges between paths"
+
+
+def test_minhash_empty_docs_at_chunk_boundaries(spark, monkeypatch):
+    """Regression: a zero-length doc must emit shingle code 0 (JVM
+    ascii('')=0 semantics), not read the next doc's first byte; and an
+    empty doc at the END of a chunk must not index past the code
+    buffer. Exercised on both the ASCII byte path and the codepoint
+    fallback, with CHUNK=4 so empties land on chunk boundaries."""
+    from geokit_spark.operators import dedup
+    from geokit_spark.operators.dedup import (
+        minhash_signature_cols,
+        minhash_signatures_fast,
+        shingle_codes_expr,
+    )
+    import pyspark.sql.functions as F
+
+    monkeypatch.setenv("GEOKIT_MH_CHUNK", "4")
+    texts = [
+        "",  # empty at chunk start
+        "hello world doc one",
+        "ab",  # sub-3-char
+        "",  # empty at chunk END (index 3, CHUNK=4)
+        "another document with text",
+        "",
+        "x",
+        "",  # empty at chunk end again
+        "tail doc after the last empty",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    for extra in ([], [(99, "naïve ünïcode")]):  # byte path / fallback path
+        df = spark.createDataFrame(
+            rows + extra, "doc_id long, text string"
+        ).coalesce(1)
+        got = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_signatures_fast(df).collect()
+        }
+        # ground truth: the JVM lambda closed form over coalesce(text,'')
+        exp_df = df.select(
+            "doc_id", shingle_codes_expr("coalesce(text, '')").alias("sh")
+        ).select(
+            "doc_id",
+            F.array(*minhash_signature_cols("sh")).alias("sig"),
+        )
+        exp = {r["doc_id"]: r["sig"] for r in exp_df.collect()}
+        for i in range(len(texts)):
+            assert got[i] == exp[i], f"doc {i} ({texts[i]!r}) diverges"
+
+
+def test_minhash_all_empty_batch(spark, monkeypatch):
+    """A batch of only empty docs must not raise and must equal the JVM
+    form (signature of shingle code 0)."""
+    from geokit_spark.operators.dedup import (
+        MH_A, MH_B, MH_PRIME, NUM_HASHES, minhash_signatures_fast,
+    )
+
+    monkeypatch.setenv("GEOKIT_MH_CHUNK", "2")
+    df = spark.createDataFrame(
+        [(i, "") for i in range(5)], "doc_id long, text string"
+    ).coalesce(1)
+    expected = [MH_B[i] % MH_PRIME for i in range(NUM_HASHES)]
+    for r in minhash_signatures_fast(df).collect():
+        assert list(r["sig"]) == expected
