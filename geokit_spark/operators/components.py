@@ -207,12 +207,16 @@ def _label_frames_df(
     return tiles.mapInPandas(fn, schema=_LABEL_SCHEMA).localCheckpoint()
 
 
-def _seam_pairs_df(edges: DataFrame, connectivity: int = 4) -> DataFrame:
-    """Cross-tile seam pairs (a, b) of same-value touching components,
-    via equijoins on GLOBAL seam coordinates. Vertical seams: r-strip
+def _seam_pairs_df(
+    edges: DataFrame, connectivity: int = 4, same_value_only: bool = True
+) -> DataFrame:
+    """Cross-tile seam pairs (a, b) of touching components, via
+    equijoins on GLOBAL seam coordinates. Vertical seams: r-strip
     of tile col x meets l-strip of col x+1 at global rows
     tile_y*T + off; 8-conn explodes the right side to rows ±1, which
-    also covers corner-to-corner diagonal tiles (different tile_y)."""
+    also covers corner-to-corner tile diagonals (different tile_y).
+    same_value_only=False keeps cross-value pairs too and returns
+    (a, b, va, vb) — the seam half of the sieve's adjacency graph."""
     t = TILE_SIZE
     d_offsets = [0, -1, 1] if connectivity == 8 else [0]
 
@@ -247,7 +251,9 @@ def _seam_pairs_df(edges: DataFrame, connectivity: int = 4) -> DataFrame:
             (a["seam"] == b["seam"]) & (b["g"] == a["g"] + a["dg"]),
             "inner",
         )
-        return j.filter(F.col("va") == F.col("vb")).select("a", "b")
+        if same_value_only:
+            return j.filter(F.col("va") == F.col("vb")).select("a", "b")
+        return j.select("a", "b", "va", "vb")
 
     vert = one_axis("r", "l")
     horz = one_axis("b", "t")
@@ -384,67 +390,67 @@ def sieve_small_components(
     )
 
 
-def _seam_pairs_pandas(edges: pd.DataFrame, connectivity: int) -> pd.DataFrame:
-    """All cross-seam touching pairs (any value) as a pandas frame
-    (a, b, va, vb) — vectorized merge, used by the driver-side sieve."""
-    t = TILE_SIZE
-    out = []
-    d_offsets = [0, -1, 1] if connectivity == 8 else [0]
-    r = edges[edges["side"] == "r"]
-    l = edges[edges["side"] == "l"]
-    b_ = edges[edges["side"] == "b"]
-    t_ = edges[edges["side"] == "t"]
-    for dg in d_offsets:
-        a = pd.DataFrame(
-            {
-                "seam": r["tile_x"] + 1,
-                "g": r["tile_y"] * t + r["off"] + dg,
-                "a": r["label"], "va": r["value"],
-            }
-        )
-        bdf = pd.DataFrame(
-            {
-                "seam": l["tile_x"], "g": l["tile_y"] * t + l["off"],
-                "b": l["label"], "vb": l["value"],
-            }
-        )
-        out.append(a.merge(bdf, on=["seam", "g"]))
-        a = pd.DataFrame(
-            {
-                "seam": b_["tile_y"] + 1,
-                "g": b_["tile_x"] * t + b_["off"] + dg,
-                "a": b_["label"], "va": b_["value"],
-            }
-        )
-        bdf = pd.DataFrame(
-            {
-                "seam": t_["tile_y"], "g": t_["tile_x"] * t + t_["off"],
-                "b": t_["label"], "vb": t_["value"],
-            }
-        )
-        out.append(a.merge(bdf, on=["seam", "g"]))
-    cols = ["a", "b", "va", "vb"]
-    if not out:
-        return pd.DataFrame(columns=cols)
-    return pd.concat(out, ignore_index=True)[cols]
+def _component_graph(
+    tiles: DataFrame, connectivity: int = 4
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """COMPONENT-granularity graph of a labeled raster, reduced
+    entirely in Spark; only the component-level result is collected.
 
+    Returns (comp, adj) pandas frames:
+      comp: (root, value, n, pix) — one row per global connected
+            component (same-value seam merges resolved by the
+            distributed _resolve_roots), pix = min canonical pixel id.
+      adj:  (ra, rb) with ra < rb — one row per unordered pair of
+            TOUCHING components (within-tile adjacency + cross-value
+            seam pairs, both mapped through the root mapping and
+            deduplicated in Spark).
 
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict[int, int] = {}
+    Driver row count is O(components + component adjacency) —
+    independent of pixel count and of tile-border length (the previous
+    sieve collected the raw label frame, whose 'e' strips are one row
+    per border pixel: a driver OOM at continental rasters)."""
+    lab = _label_frames_df(tiles, connectivity, with_adjacency=True)
+    edges = lab.filter(F.col("kind") == "e")
+    all_seam = _seam_pairs_df(
+        edges, connectivity, same_value_only=False
+    ).localCheckpoint()
+    same = all_seam.filter(F.col("va") == F.col("vb")).select("a", "b")
+    roots = _resolve_roots(same)
 
-    def find(self, x: int) -> int:
-        root = x
-        while self.parent.setdefault(root, root) != root:
-            root = self.parent[root]
-        while self.parent[x] != root:  # path compression
-            self.parent[x], x = root, self.parent[x]
-        return root
+    summ = lab.filter(F.col("kind") == "s").select(
+        "label", "value", "n", F.col("label_b").alias("pix")
+    )
+    comp = (
+        summ.join(roots, "label", "left")
+        .select(
+            F.coalesce("root", "label").alias("root"), "value", "n", "pix"
+        )
+        .groupBy("root", "value")
+        .agg(F.sum("n").alias("n"), F.min("pix").alias("pix"))
+    ).toPandas()
 
-    def union(self, a: int, b: int):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[max(ra, rb)] = min(ra, rb)
+    adj_raw = (
+        lab.filter(F.col("kind") == "a")
+        .select(F.col("label").alias("a"), F.col("label_b").alias("b"))
+        .unionByName(all_seam.select("a", "b"))
+    )
+    ra = roots.select(F.col("label").alias("a"), F.col("root").alias("ma"))
+    rb = roots.select(F.col("label").alias("b"), F.col("root").alias("mb"))
+    adj = (
+        adj_raw.join(ra, "a", "left")
+        .join(rb, "b", "left")
+        .select(
+            F.coalesce("ma", "a").alias("ca"),
+            F.coalesce("mb", "b").alias("cb"),
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("ra"),
+            F.greatest("ca", "cb").alias("rb"),
+        )
+        .distinct()
+    ).toPandas()
+    return comp, adj
 
 
 def sieve_merge(
@@ -462,30 +468,12 @@ def sieve_merge(
     8 — pass connectivity=8 for that behavior (the driver query pins
     connectivity=4).
 
-    The merge loop is driver-side over COMPONENT-level rows (summary +
-    adjacency + seam pairs — proportional to component count, never to
-    pixels); the sequential smallest-first order is what the reference
-    semantics demand."""
-    lab = _label_frames_df(tiles, connectivity, with_adjacency=True)
-    pdf = lab.toPandas()
-    summaries = pdf[pdf.kind == "s"]
-    edges = pdf[pdf.kind == "e"]
-    adj = pdf[pdf.kind == "a"]
-
-    seam = _seam_pairs_pandas(edges, connectivity)
-    uf = _UnionFind()
-    for g in summaries["label"]:
-        uf.find(int(g))
-    same = seam[seam["va"] == seam["vb"]]
-    for a, b in zip(same["a"].tolist(), same["b"].tolist()):
-        uf.union(int(a), int(b))
-
-    roots = summaries["label"].map(lambda g: uf.find(int(g)))
-    comp = (
-        summaries.assign(root=roots)
-        .groupby(["root", "value"], as_index=False)
-        .agg(n=("n", "sum"), pix=("label_b", "min"))
-    )
+    The smallest-first merge order is inherently sequential, so the
+    merge loop runs on the driver — but over the COMPONENT-granularity
+    graph from _component_graph (labeling, seam joins, root resolution
+    and adjacency dedup all happen in Spark): the driver never sees a
+    row per pixel or per tile-border pixel."""
+    comp, adj = _component_graph(tiles, connectivity)
     size = {int(r.root): int(r.n) for r in comp.itertuples()}
     value = {int(r.root): float(r.value) for r in comp.itertuples()}
     # canonical component id: min (gy<<32|gx) pixel — the tie-break
@@ -493,17 +481,9 @@ def sieve_merge(
     pix_id = {int(r.root): int(r.pix) for r in comp.itertuples()}
 
     nbrs: dict[int, set[int]] = {r: set() for r in size}
-
-    def add_pair(a: int, b: int):
-        ra, rb = uf.find(a), uf.find(b)
-        if ra != rb:
-            nbrs[ra].add(rb)
-            nbrs[rb].add(ra)
-
     for r in adj.itertuples():
-        add_pair(int(r.label), int(r.label_b))
-    for a, b in zip(seam["a"].tolist(), seam["b"].tolist()):
-        add_pair(int(a), int(b))
+        nbrs[int(r.ra)].add(int(r.rb))
+        nbrs[int(r.rb)].add(int(r.ra))
 
     # merge smallest-first into the largest current neighbor
     merged_into: dict[int, int] = {}

@@ -209,3 +209,44 @@ def test_resolve_roots_long_chain(spark):
     roots = _resolve_roots(pairs).toPandas()
     assert len(roots) == n
     assert (roots["root"] == 0).all()
+
+
+def test_sieve_component_graph_is_component_granularity(spark):
+    """The sieve's driver-side input must be O(components), never
+    O(pixels) or O(tile-border pixels): on a 10x10-tile grid (100
+    tiles, 409,600 pixels, ~80k border-strip pixels) split into 4
+    quadrant components, the collected graph must be 4 component rows
+    + at most a handful of adjacency rows."""
+    import pandas as pd
+
+    from geokit_spark.constants import TILE_SIZE
+    from geokit_spark.operators.components import (
+        _component_graph,
+        sieve_merge,
+    )
+
+    t = TILE_SIZE
+    n = 10  # 10x10 tiles > the 8x8 fixture grid
+    rows = []
+    for tx in range(n):
+        for ty in range(n):
+            # quadrant value: 4 large components spanning many tiles
+            v = float((tx >= n // 2) * 2 + (ty >= n // 2))
+            rows.append(
+                {
+                    "tile_x": tx,
+                    "tile_y": ty,
+                    "data": np.full(t * t, v),
+                    "nodata": -9999.0,
+                }
+            )
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    comp, adj = _component_graph(tiles, connectivity=4)
+    assert len(comp) == 4  # one row per component
+    # adjacency of 4 quadrants: 4 unordered pairs (no diagonal at 4-conn)
+    assert len(adj) == 4
+    total_driver_rows = len(comp) + len(adj)
+    assert total_driver_rows < 20  # vs ~80k border pixels / 409,600 pixels
+    # and the sieve itself still works on top of it
+    out = sieve_merge(tiles, min_size=5)
+    assert out["n_pixels"].sum() == n * n * t * t
