@@ -151,13 +151,29 @@ def contour_polylines(tiles: DataFrame, levels: list[float]) -> DataFrame:
     (same halo exchange as contour_stats) in GLOBAL pixel coords, then
     linked into connected components per level. One row per polyline
     component: (level, n_segs, n_points, closed, length, wkb
-    multilinestring in geo coords). 'closed' = no odd-degree endpoint.
-    The linking task is per level (segments of one level in one task —
-    the same single-geometry bound as the reference's GDAL generator);
-    lengths stay exact LENGTH_Q integer quanta."""
+    multilinestring in geo coords). 'closed' = no odd-degree endpoint;
+    lengths stay exact LENGTH_Q integer quanta.
+
+    Distributed shape (the round-2 plan linked each LEVEL in one task
+    — millions of segments in one executor at continental scale):
+      1. per-tile stage: marching squares + LOCAL chain linking
+         (union-find over exact shared endpoints) — each tile's chains
+         contract to one graph node; emits per-segment rows tagged
+         with the local chain id, plus the chain's endpoints that lie
+         ON a tile seam line (x%T==0 or y%T==0 — cell-edge crossings
+         there are exact integers computed from the same halo pixels
+         on both sides, so they match bit-for-bit).
+      2. seam stitch: self-join of seam endpoints on (level, x, y) →
+         chain pairs → the components engine's _resolve_roots
+         (iterative min-label contraction + pointer jumping).
+      3. final assembly: segments grouped by GLOBAL chain root — one
+         task per polyline component, bounded by that component's own
+         perimeter (the polygonize trace bound), never by the level's
+         total segment count."""
     from ..constants import PIX_DX, PIX_DY, XMIN, YMAX
     from ..kernels.contours import contour_segments
     from ..kernels.wkb import multilinestring_wkb
+    from .components import _resolve_roots
 
     offsets = F.array(
         *[
@@ -178,6 +194,8 @@ def contour_polylines(tiles: DataFrame, levels: list[float]) -> DataFrame:
     )
     T = TILE_SIZE
     lv = [float(x) for x in levels]
+    if len(lv) >= (1 << 9) or NTX >= (1 << 18) or NTY >= (1 << 18):
+        raise ValueError("contour chain-id packing range exceeded")
 
     def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         tx = int(pdf["tgt_x"].iloc[0])
@@ -193,27 +211,78 @@ def contour_polylines(tiles: DataFrame, levels: list[float]) -> DataFrame:
             ys = slice(oy, min(oy + T, size_y))
             block[ys, xs] = m[: ys.stop - ys.start, : xs.stop - xs.start]
         frames = []
-        for level in lv:
+        base_tile = (np.int64(tx) << 36) | (np.int64(ty) << 18)
+        for li, level in enumerate(lv):
             _, _, arr = contour_segments(block, level)
             if len(arr) == 0:
                 continue
+            arr = arr + np.array([tx * T, ty * T, tx * T, ty * T],
+                                 dtype=np.float64)
+            # local chain linking: chains within this tile contract to
+            # one node of the global stitch graph
+            comp, _deg = _link_components(arr)
+            cid = (np.int64(li) << 54) | base_tile | comp.astype(np.int64)
             frames.append(
                 pd.DataFrame(
                     {
-                        "level": level,
-                        "x0": arr[:, 0] + tx * T, "y0": arr[:, 1] + ty * T,
-                        "x1": arr[:, 2] + tx * T, "y1": arr[:, 3] + ty * T,
+                        "kind": "g", "level": level, "comp": cid,
+                        "ax": arr[:, 0], "ay": arr[:, 1],
+                        "bx": arr[:, 2], "by": arr[:, 3],
                     }
                 )
             )
+            # chain endpoints on a seam line participate in stitching
+            for px, py in ((arr[:, 0], arr[:, 1]), (arr[:, 2], arr[:, 3])):
+                on_seam = (np.mod(px, T) == 0.0) | (np.mod(py, T) == 0.0)
+                if on_seam.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "kind": "p", "level": level,
+                                "comp": cid[on_seam],
+                                "ax": px[on_seam], "ay": py[on_seam],
+                                "bx": 0.0, "by": 0.0,
+                            }
+                        )
+                    )
+        cols = ["kind", "level", "comp", "ax", "ay", "bx", "by"]
         if not frames:
-            return pd.DataFrame(
-                columns=["level", "x0", "y0", "x1", "y1"]
-            ).astype({"level": "float64"})
-        return pd.concat(frames, ignore_index=True)
+            return pd.DataFrame(columns=cols).astype(
+                {"level": "float64", "comp": "int64", "ax": "float64",
+                 "ay": "float64", "bx": "float64", "by": "float64"}
+            )
+        return pd.concat(frames, ignore_index=True)[cols]
 
-    segs_df = exploded.groupBy("tgt_x", "tgt_y").applyInPandas(
-        per_tile, schema="level double, x0 double, y0 double, x1 double, y1 double"
+    tagged = exploded.groupBy("tgt_x", "tgt_y").applyInPandas(
+        per_tile,
+        schema=(
+            "kind string, level double, comp long, ax double, ay double, "
+            "bx double, by double"
+        ),
+    ).localCheckpoint()
+
+    pts = (
+        tagged.filter(F.col("kind") == "p")
+        .select("level", "comp", "ax", "ay")
+        .distinct()
+    )
+    a = pts.select("level", "ax", "ay", F.col("comp").alias("a"))
+    b = pts.select("level", "ax", "ay", F.col("comp").alias("b"))
+    pairs = (
+        a.join(b, ["level", "ax", "ay"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    roots = _resolve_roots(pairs)
+    segs_df = (
+        tagged.filter(F.col("kind") == "g")
+        .join(roots, tagged["comp"] == roots["label"], "left")
+        .select(
+            F.coalesce("root", "comp").alias("root"),
+            "level",
+            F.col("ax").alias("x0"), F.col("ay").alias("y0"),
+            F.col("bx").alias("x1"), F.col("by").alias("y1"),
+        )
     )
 
     def link(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -252,7 +321,7 @@ def contour_polylines(tiles: DataFrame, levels: list[float]) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    return segs_df.groupBy("level").applyInPandas(
+    return segs_df.groupBy("root").applyInPandas(
         link,
         schema=(
             "level double, n_segs long, n_points long, closed boolean, "
