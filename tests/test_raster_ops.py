@@ -136,3 +136,29 @@ def test_extract_join_is_broadcast(spark, docs, clc_tiles):
     df = ev.extract_values(with_geocode(docs.select("doc_id")), clc_tiles, "v")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_extract_values_size_aware_join(spark, docs, clc_tiles):
+    """The point->tile join must not FORCE a raster broadcast: with
+    auto-broadcast disabled the plan must still execute (shuffle join)
+    and produce identical values; with the default threshold the small
+    fixture raster must broadcast."""
+    from geokit_spark.functions.geo import with_geocode
+
+    pts = with_geocode(docs.limit(200)).select("doc_id", "lon", "lat")
+
+    def run():
+        df = ev.extract_values(pts, clc_tiles, "v")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return df.orderBy("doc_id").toPandas(), plan
+
+    with_b, plan_b = run()
+    assert "BroadcastHashJoin" in plan_b  # small raster: broadcast chosen
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        without_b, plan_s = run()
+        assert "BroadcastHashJoin" not in plan_s  # survives without it
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert with_b.equals(without_b)
