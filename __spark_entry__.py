@@ -134,6 +134,32 @@ def q_gradient_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gradient_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-raster gradient fields with the latlonToM meters factor
+    (reference gradient, raster.py:640-753; stencil :724-740; factor
+    :707-715): per-pixel (ns, ew, slope) via one cross-halo tile pass.
+    slope = sqrt(ns^2+ew^2) is IEEE-exact on both engines; aspect
+    (atan2, libm) stays pytest-verified like lanczos."""
+    from geokit_spark.constants import TILE_SIZE
+    from geokit_spark.operators.kernel import gradient_fields
+
+    g = gradient_fields(tilesrc.raster_table(spark, "elev"))
+    t = TILE_SIZE
+    px = g.select(
+        "tile_x", "tile_y",
+        F.posexplode(F.arrays_zip("ns", "ew")).alias("pos", "v"),
+    )
+    ns = F.col("v.ns")
+    ew = F.col("v.ew")
+    return px.select(
+        (F.col("tile_x") * t + F.col("pos") % t).cast("int").alias("ix"),
+        (F.col("tile_y") * t + (F.col("pos") / t).cast("int")).cast("int").alias("iy"),
+        ns.alias("ns"),
+        ew.alias("ew"),
+        F.sqrt(ns * ns + ew * ew).alias("slope"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics over zones (reference rasterStats with cutline,
     raster.py:586-635)."""
@@ -831,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_bilinear": q_interp_bilinear,
         "interp_cubic": q_interp_cubic,
         "gradient_points": q_gradient_points,
+        "gradient_raster": q_gradient_raster,
         "zonal_stats": q_zonal_stats,
         "rasterize_zones": q_rasterize_zones,
         "region_mask_area": q_region_mask_area,
@@ -1400,6 +1427,35 @@ md AS (
 )
 SELECT s.jx, s.jy, n, avg_v, min_v, max_v, med_v, q1_v, q3_v, sum_v, mode_v
 FROM s JOIN md ON s.jx = md.jx AND s.jy = md.jy
+"""
+
+
+def _o_gradient_raster() -> str:
+    from geokit_spark.constants import YMIN
+    from geokit_spark.operators.kernel import latlon_to_m_factors
+
+    xf, yf = latlon_to_m_factors(YMIN, YMAX)
+    den_x = 2.0 * PIX_DX * xf
+    den_y = 2.0 * PIX_DY * yf
+    e_n = sqlgen.elev_expr("ix", "(iy - 1)")
+    e_s = sqlgen.elev_expr("ix", "(iy + 1)")
+    e_w = sqlgen.elev_expr("(ix - 1)", "iy")
+    e_e = sqlgen.elev_expr("(ix + 1)", "iy")
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+g AS (
+  SELECT ix, iy,
+    CASE WHEN iy = 0 OR iy = {RASTER_H - 1} THEN CAST(0 AS DOUBLE)
+         ELSE (CAST({e_s} AS DOUBLE) - CAST({e_n} AS DOUBLE)) / {d(den_y)}
+    END AS ns,
+    CASE WHEN ix = 0 OR ix = {RASTER_W - 1} THEN CAST(0 AS DOUBLE)
+         ELSE (CAST({e_w} AS DOUBLE) - CAST({e_e} AS DOUBLE)) / {d(den_x)}
+    END AS ew
+  FROM pix
+)
+SELECT CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy, ns, ew,
+       SQRT(ns * ns + ew * ew) AS slope
+FROM g
 """
 
 
@@ -2005,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
         "interp_bilinear": _o_interp_bilinear(),
         "interp_cubic": _o_interp_cubic(),
         "gradient_points": _o_gradient_points(),
+        "gradient_raster": _o_gradient_raster(),
         "zonal_stats": _o_zonal_stats(),
         "rasterize_zones": _o_rasterize_zones(),
         "region_mask_area": _o_region_mask_area(),

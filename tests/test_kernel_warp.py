@@ -101,3 +101,45 @@ def test_mosaic_last_wins(spark, elev_tiles):
             tx * TILE_SIZE : (tx + 1) * TILE_SIZE,
         ]
         assert sums[(tx, ty)] == blk.sum()
+
+
+def test_gradient_modes_match_reference_stencil(spark, elev_tiles):
+    """gradient_tiles must reproduce the reference's whole-matrix
+    stencil (raster.py:724-740) for every mode, including the libm
+    modes (aspect) that the SQL oracle can't cover, with the
+    latlonToM meters factor computed at mid latitude."""
+    from geokit_spark.constants import PIX_DX, PIX_DY, YMAX, YMIN
+    from geokit_spark.operators.kernel import (
+        gradient_tiles, latlon_to_m_factors,
+    )
+
+    full = _full()
+    xf, yf = latlon_to_m_factors(YMIN, YMAX)
+    ns = np.zeros(full.shape)
+    ns[1:-1, :] = (full[2:, :] - full[:-2, :]) / (2 * PIX_DY * yf)
+    ew = np.zeros(full.shape)
+    ew[:, 1:-1] = (full[:, :-2] - full[:, 2:]) / (2 * PIX_DX * xf)
+    expected = {
+        "ns": ns,
+        "ew": ew,
+        "slope": np.sqrt(ns * ns + ew * ew),
+        "aspect": np.arctan2(ns, ew),
+    }
+    for mode, exp in expected.items():
+        got = gradient_tiles(elev_tiles, mode).toPandas()
+        for r in got.itertuples():
+            block = exp[
+                r.tile_y * TILE_SIZE : (r.tile_y + 1) * TILE_SIZE,
+                r.tile_x * TILE_SIZE : (r.tile_x + 1) * TILE_SIZE,
+            ]
+            assert np.allclose(
+                np.asarray(r.data).reshape(TILE_SIZE, TILE_SIZE),
+                block, rtol=0, atol=1e-12,
+            ), (mode, r.tile_x, r.tile_y)
+
+
+def test_gradient_bad_mode_raises(spark, elev_tiles):
+    from geokit_spark.operators.kernel import gradient_tiles
+
+    with pytest.raises(ValueError):
+        gradient_tiles(elev_tiles, "sideways")
