@@ -172,6 +172,13 @@ def q_rasterize_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize.rasterize_zone_counts(tilesrc.raster_table(spark, "elev"))
 
 
+def q_rasterize_all_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rasterize(allTouched=...) edge-band (reference vector.py:1680):
+    every pixel whose cell footprint is crossed by a region edge, with
+    a flag for whether plain center burning would also burn it."""
+    return rasterize.all_touched_band(tilesrc.raster_table(spark, "elev"))
+
+
 def q_region_mask_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RegionMask mask pixel count + area (regionmask.py:504-536)."""
     return zonal.region_mask_stats(tilesrc.raster_table(spark, "elev"))
@@ -254,7 +261,7 @@ def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_warp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The aggregating warp resampleAlgs — average/min/max/med/q1/q3/
-    sum/mode in one pass (raster.py:2142-2157): posexplode + single
+    sum/rms/mode in one pass (raster.py:2142-2157): posexplode + single
     JVM hash aggregation, each source pixel binned by its center."""
     from geokit_spark.operators.warp import warp_aggregate
 
@@ -860,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gradient_raster": q_gradient_raster,
         "zonal_stats": q_zonal_stats,
         "rasterize_zones": q_rasterize_zones,
+        "rasterize_all_touched": q_rasterize_all_touched,
         "region_mask_area": q_region_mask_area,
         "indicate_values": q_indicate_values,
         "kernel_max3": q_kernel_max3,
@@ -1415,7 +1423,8 @@ s AS (
     quantile_cont(FLOOR(value * 1024), 0.5) / 1024 AS med_v,
     quantile_cont(FLOOR(value * 1024), 0.25) / 1024 AS q1_v,
     quantile_cont(FLOOR(value * 1024), 0.75) / 1024 AS q3_v,
-    CAST(SUM(value) AS DOUBLE) AS sum_v
+    CAST(SUM(value) AS DOUBLE) AS sum_v,
+    SQRT(CAST(SUM(value * value) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS rms_v
   FROM b GROUP BY jx, jy
 ),
 c AS (SELECT jx, jy, value, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
@@ -1425,8 +1434,61 @@ md AS (
   FROM c JOIN m ON c.jx = m.jx AND c.jy = m.jy AND c.cnt = m.mc
   GROUP BY 1, 2
 )
-SELECT s.jx, s.jy, n, avg_v, min_v, max_v, med_v, q1_v, q3_v, sum_v, mode_v
+SELECT s.jx, s.jy, n, avg_v, min_v, max_v, med_v, q1_v, q3_v, sum_v,
+       rms_v, mode_v
 FROM s JOIN md ON s.jx = md.jx AND s.jy = md.jy
+"""
+
+
+def _o_rasterize_all_touched() -> str:
+    from geokit_spark.kernels.cells import _EPS
+
+    eps = d(_EPS)
+    dxl, dyl = d(PIX_DX), d(PIX_DY)
+
+    def s_expr(cx: str, cy: str) -> str:
+        # same tree as kernels.cells._edges_cross_rects:
+        # (x2-x1)*(cy-y1) - (y2-y1)*(cx-x1)
+        return (
+            f"(e.x2 - e.x1) * (({cy}) - e.y1)"
+            f" - (e.y2 - e.y1) * (({cx}) - e.x1)"
+        )
+
+    corners = [
+        s_expr(f"c.cx0 - {eps}", f"c.cy0 - {eps}"),
+        s_expr(f"c.cx0 + {dxl} + {eps}", f"c.cy0 - {eps}"),
+        s_expr(f"c.cx0 + {dxl} + {eps}", f"c.cy0 + {dyl} + {eps}"),
+        s_expr(f"c.cx0 - {eps}", f"c.cy0 + {dyl} + {eps}"),
+    ]
+    pos = " OR ".join(f"({s}) > 0" for s in corners)
+    neg = " OR ".join(f"({s}) < 0" for s in corners)
+    cross = sqlgen.pip_crossings_expr("c.px", "c.py", "e.x1", "e.y1",
+                                      "e.x2", "e.y2")
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+edges(x1, y1, x2, y2) AS (VALUES {fixtures.sql_region_edges_values()}),
+cell AS (
+  SELECT ix, iy, px, py,
+    {d(XMIN)} + CAST(ix AS DOUBLE) * {dxl} AS cx0,
+    {d(YMAX)} - (CAST(iy AS DOUBLE) + CAST(1 AS DOUBLE)) * {dyl} AS cy0
+  FROM pix
+),
+hit AS (
+  SELECT c.ix, c.iy
+  FROM cell c JOIN edges e
+  ON  LEAST(e.x1, e.x2) - {eps} <= c.cx0 + {dxl}
+  AND c.cx0 <= GREATEST(e.x1, e.x2) + {eps}
+  AND LEAST(e.y1, e.y2) - {eps} <= c.cy0 + {dyl}
+  AND c.cy0 <= GREATEST(e.y1, e.y2) + {eps}
+  AND ({pos})
+  AND ({neg})
+  GROUP BY c.ix, c.iy
+)
+SELECT c.ix, c.iy, (SUM({cross}) % 2 = 1) AS center_in
+FROM hit h
+JOIN cell c ON h.ix = c.ix AND h.iy = c.iy
+CROSS JOIN edges e
+GROUP BY c.ix, c.iy
 """
 
 
@@ -2064,6 +2126,7 @@ def oracle_sql() -> dict[str, str]:
         "gradient_raster": _o_gradient_raster(),
         "zonal_stats": _o_zonal_stats(),
         "rasterize_zones": _o_rasterize_zones(),
+        "rasterize_all_touched": _o_rasterize_all_touched(),
         "region_mask_area": _o_region_mask_area(),
         "indicate_values": _o_indicate_values(),
         "kernel_max3": _o_kernel_max3(),

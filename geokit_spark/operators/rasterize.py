@@ -20,15 +20,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import fixtures
+from ..constants import PIX_DX, PIX_DY, XMIN, YMAX
+from ..kernels.cells import _EPS, _edges_cross_rects
 from ..kernels.pip import points_in_poly
 from ..kernels.raster_fields import pixel_center
 from ..sources.tiles import tile_pixel_indices
 from .zonal import _tile_bbox
 
 
-def rasterize_zones_tiles(tiles: DataFrame, zones=None, attr: str = "year") -> DataFrame:
+def _cell_corners(gx: np.ndarray, gy: np.ndarray):
+    """Lower-left corner of each pixel's CELL footprint (y-at-top
+    grid): x0 = XMIN + gx*dx, y0 = YMAX - (gy+1)*dy — the exact
+    expression tree mirrored by the all-touched SQL oracle."""
+    x0 = XMIN + gx.astype(np.float64) * PIX_DX
+    y0 = YMAX - (gy.astype(np.float64) + 1.0) * PIX_DY
+    return x0, y0
+
+
+def rasterize_zones_tiles(
+    tiles: DataFrame, zones=None, attr: str = "year",
+    all_touched: bool = False,
+) -> DataFrame:
     """Burned tile table: (tile_x, tile_y, burn array<long>) where burn
-    is the winning feature's attribute, -1 where unburned."""
+    is the winning feature's attribute, -1 where unburned.
+
+    all_touched=True burns every pixel whose CELL footprint intersects
+    the feature (center-in OR exact edge-vs-cell-rect test), the
+    reference's rasterize(allTouched=...) option (vector.py:1680);
+    default burns pixel centers only (GDAL default)."""
     zones = zones if zones is not None else fixtures.ZONES
     zlist = [
         (z["zone_id"], int(z[attr]) if attr != "zone_id" else z["zone_id"],
@@ -44,16 +63,62 @@ def rasterize_zones_tiles(tiles: DataFrame, zones=None, attr: str = "year") -> D
                 bx0, by0, bx1, by1 = _tile_bbox(tx, ty)
                 gx, gy = tile_pixel_indices(tx, ty)
                 px, py = pixel_center(gx, gy)
+                if all_touched:
+                    cx0, cy0 = _cell_corners(gx, gy)
                 burn = np.full(len(px), -1, dtype=np.int64)
                 for zid, aval, verts, (zx0, zy0, zx1, zy1) in zlist:
-                    if zx1 < bx0 or zx0 > bx1 or zy1 < by0 or zy0 > by1:
+                    if (zx1 < bx0 - _EPS or zx0 > bx1 + _EPS
+                            or zy1 < by0 - _EPS or zy0 > by1 + _EPS):
                         continue
                     m = points_in_poly(px, py, verts)
+                    if all_touched:
+                        vx = np.asarray([v[0] for v in verts])
+                        vy = np.asarray([v[1] for v in verts])
+                        m = m | _edges_cross_rects(
+                            vx, vy, cx0, cy0, PIX_DX, PIX_DY
+                        )
                     burn[m] = aval  # sequential burn: later features win
                 rows.append({"tile_x": tx, "tile_y": ty, "burn": burn})
             yield pd.DataFrame(rows)
 
     return tiles.mapInPandas(fn, schema="tile_x int, tile_y int, burn array<long>")
+
+
+def all_touched_band(tiles: DataFrame, verts=None) -> DataFrame:
+    """(ix, iy, center_in) for every pixel whose CELL is intersected by
+    an edge of the polygon — exactly the pixels allTouched adds beyond
+    (or keeps from) center burning (reference rasterize ALL_TOUCHED,
+    vector.py:1680). center_in marks whether plain center burning
+    would also have burned it. Fully tile-parallel; the oracle mirrors
+    the segment-vs-rect arithmetic expression-for-expression."""
+    verts = verts if verts is not None else fixtures.REGION_VERTS
+    vx = np.asarray([v[0] for v in verts], dtype=np.float64)
+    vy = np.asarray([v[1] for v in verts], dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                gx, gy = tile_pixel_indices(tx, ty)
+                cx0, cy0 = _cell_corners(gx, gy)
+                hit = _edges_cross_rects(vx, vy, cx0, cy0, PIX_DX, PIX_DY)
+                if not hit.any():
+                    continue
+                px, py = pixel_center(gx[hit], gy[hit])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "ix": gx[hit].astype(np.int64),
+                            "iy": gy[hit].astype(np.int64),
+                            "center_in": points_in_poly(px, py, verts),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return tiles.mapInPandas(fn, schema="ix long, iy long, center_in boolean")
 
 
 def rasterize_zone_counts(tiles: DataFrame, zones=None, attr: str = "year") -> DataFrame:

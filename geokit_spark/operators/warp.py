@@ -355,7 +355,7 @@ def warp_aggregate(
 ) -> DataFrame:
     """The aggregating resampleAlgs of reference warp
     (raster.py:2142-2157): average / min / max / med / q1 / q3 / sum /
-    mode in ONE pass onto an arbitrary coarser target grid. Each
+    rms / mode in ONE pass onto an arbitrary coarser target grid. Each
     source pixel belongs to exactly one target pixel (the one whose
     footprint contains its center — a deviation from GDAL's
     area-weighted 'average' documented in COVERAGE.md), so the whole
@@ -365,7 +365,7 @@ def warp_aggregate(
     to the smallest value so the result is deterministic.
 
     Returns (jx, jy, n, avg_v, min_v, max_v, med_v, q1_v, q3_v, sum_v,
-    mode_v)."""
+    rms_v, mode_v)."""
     t = TILE_SIZE
     px = tiles.select(
         "tile_x", "tile_y", F.posexplode("data").alias("pos", "value")
@@ -399,6 +399,12 @@ def warp_aggregate(
         (F.expr("percentile(floor(value * 1024D), 0.25D)") / F.lit(1024.0)).alias("q1_v"),
         (F.expr("percentile(floor(value * 1024D), 0.75D)") / F.lit(1024.0)).alias("q3_v"),
         F.sum("value").alias("sum_v"),
+        # rms over integer-valued pixels: sum of exact squares /
+        # count, then IEEE sqrt — bit-exact vs the oracle
+        F.sqrt(
+            F.sum(F.col("value") * F.col("value"))
+            / F.count("value").cast("double")
+        ).alias("rms_v"),
     )
     mode = (
         binned.groupBy("jx", "jy", "value")

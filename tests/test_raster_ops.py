@@ -162,3 +162,31 @@ def test_extract_values_size_aware_join(spark, docs, clc_tiles):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert with_b.equals(without_b)
+
+
+def test_rasterize_all_touched_superset(spark, elev_tiles):
+    """allTouched must burn a strict superset of center burning, and
+    the extra pixels must be exactly the edge-band pixels whose
+    centers are outside (reference rasterize ALL_TOUCHED,
+    vector.py:1680)."""
+    zones = [fixtures.ZONES[0]]
+    center = rasterize.rasterize_zones_tiles(elev_tiles, zones).toPandas()
+    touched = rasterize.rasterize_zones_tiles(
+        elev_tiles, zones, all_touched=True
+    ).toPandas()
+
+    def burned(df):
+        out = set()
+        for r in df.itertuples():
+            arr = np.asarray(r.burn)
+            for off in np.nonzero(arr >= 0)[0]:
+                out.add((r.tile_x, r.tile_y, int(off)))
+        return out
+
+    c, t = burned(center), burned(touched)
+    assert c < t  # strict superset (the band adds pixels)
+    band = rasterize.all_touched_band(
+        elev_tiles, zones[0]["verts"]
+    ).toPandas()
+    extra_expected = int((~band["center_in"]).sum())
+    assert len(t - c) == extra_expected
