@@ -539,6 +539,16 @@ def q_extract_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_and_clip_zones(spark, (6.05, 50.6, 6.25, 50.8))
 
 
+def q_extract_clip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extractAndClipFeatures against a CONCAVE star region — general
+    non-convex clipping (vector.py:916-931; areaShare goldens
+    test_05_vector.py:154-165) via the exact-rational ear-clip + S-H
+    kernel; oracle = independent exact boundary-integral algorithm."""
+    from geokit_spark.operators.clipops import extract_and_clip_zones_general
+
+    return extract_and_clip_zones_general(spark, fixtures.CONCAVE_CLIP_VERTS)
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tile connected components of the categorical raster
     (polygonize counts artifact, geom.py:525-702 / SURVEY §7).
@@ -884,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_average": q_interp_average,
         "subtiles_zones": q_subtiles_zones,
         "extract_clip": q_extract_clip,
+        "extract_clip_concave": q_extract_clip_concave,
         "connected_components": q_connected_components,
         "extract_multi": q_extract_multi,
         "contours": q_contours,
@@ -2147,6 +2158,9 @@ def oracle_sql() -> dict[str, str]:
         # (oracle.geooracle) — fixture/raster-only, valid at any sf
         "subtiles_zones": _o_subtiles_zones(),
         "extract_clip": _o_extract_clip(),
+        "extract_clip_concave": geooracle.extract_clip_concave_sql(
+            fixtures.CONCAVE_CLIP_VERTS
+        ),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),

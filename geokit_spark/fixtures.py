@@ -136,6 +136,30 @@ def _make_region2(n_vertices: int = 18) -> list[tuple[float, float]]:
 
 REGION2_VERTS: list[tuple[float, float]] = _make_region2()
 
+
+def _make_concave_clip(n_spikes: int = 6) -> list[tuple[float, float]]:
+    """A strongly CONCAVE star polygon (n_spikes reflex vertices):
+    alternating outer/inner radii with jittered angles so no vertex or
+    edge coincides with the zone grid (general position — required by
+    the exact-rational clip oracles)."""
+    cx = XMIN + 0.48 * XSPAN
+    cy = YMIN + 0.52 * YSPAN
+    rx = 0.46 * XSPAN
+    ry = 0.44 * YSPAN
+    rng = _lcg_stream(9090)
+    verts = []
+    for k in range(2 * n_spikes):
+        ang = (
+            2.0 * math.pi * k / (2 * n_spikes)
+            + 0.12 * (2 * next(rng) - 1)
+        )
+        r = (0.93 if k % 2 == 0 else 0.34) + 0.05 * (2 * next(rng) - 1)
+        verts.append((cx + r * rx * math.cos(ang), cy + r * ry * math.sin(ang)))
+    return verts
+
+
+CONCAVE_CLIP_VERTS: list[tuple[float, float]] = _make_concave_clip()
+
 # boxes.shp analog: unit box, 2x2 box, 3x3 box — pairwise corner-touching
 BOXES = [
     {"name": "harry", "smart": 0, "verts": [(0, 0), (1, 0), (1, 1), (0, 1)]},

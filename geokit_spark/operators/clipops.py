@@ -59,3 +59,42 @@ def extract_and_clip_zones(
     return zones_feature_df(spark).mapInPandas(
         fn, schema="zone_id int, area_share double, year_scaled double"
     )
+
+
+def extract_and_clip_zones_general(
+    spark: SparkSession,
+    clip_verts: list[tuple[float, float]],
+    min_share: float = 0.001,
+) -> DataFrame:
+    """extractAndClipFeatures against an ARBITRARY simple (possibly
+    CONCAVE) clip region — the reference clips with any region
+    geometry (vector.py:916-931); the convex-window restriction of
+    extract_and_clip_zones is lifted by the exact-rational ear-clip +
+    Sutherland-Hodgman kernel (kernels.clip_general). Same output
+    contract: (zone_id, area_share, year_scaled), slivers below
+    min_share dropped."""
+    from ..kernels.clip_general import area_share_general
+
+    cv = [(float(x), float(y)) for x, y in clip_verts]
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                share = area_share_general(list(zip(r.xs, r.ys)), cv)
+                if share < min_share:
+                    continue
+                out.append(
+                    {
+                        "zone_id": r.zone_id,
+                        "area_share": share,
+                        "year_scaled": r.year * share,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["zone_id", "area_share", "year_scaled"]
+            )
+
+    return zones_feature_df(spark).mapInPandas(
+        fn, schema="zone_id int, area_share double, year_scaled double"
+    )

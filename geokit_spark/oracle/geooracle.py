@@ -691,3 +691,141 @@ def sieve_sql(min_size: int) -> str:
 WITH golden(value, n_pixels) AS (VALUES {vals})
 SELECT value, CAST(n_pixels AS BIGINT) AS n_pixels FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# extract_clip_concave golden: exact-rational BOUNDARY-INTEGRAL
+# intersection area (Green's theorem) — a completely different
+# algorithm from the engine's ear-clip + Sutherland-Hodgman
+# (kernels.clip_general); both run in exact Fractions, so they must
+# produce the identical rational and hence the identical float64.
+
+
+def _fr_ring(verts):
+    from fractions import Fraction
+
+    v = [(Fraction(float(x)), Fraction(float(y))) for x, y in verts]
+    if len(v) > 1 and v[0] == v[-1]:
+        v = v[:-1]
+    return v
+
+
+def _fr_signed2(v):
+    from fractions import Fraction
+
+    s = Fraction(0)
+    for i in range(len(v)):
+        x0, y0 = v[i]
+        x1, y1 = v[(i + 1) % len(v)]
+        s += x0 * y1 - x1 * y0
+    return s
+
+
+def _fr_point_in(p, poly) -> bool:
+    """Exact even-odd ray cast (upward ray). General-position inputs:
+    the midpoints tested never lie ON an edge of the other polygon."""
+    px, py = p
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xc = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            if px < xc:
+                inside = not inside
+    return inside
+
+
+def _fr_edge_cut_params(a, b, other):
+    """Sorted parameters t in (0,1) where segment a->b properly
+    crosses an edge of `other` (exact Cramer solve)."""
+    from fractions import Fraction
+
+    rx = b[0] - a[0]
+    ry = b[1] - a[1]
+    ts = []
+    n = len(other)
+    for i in range(n):
+        c = other[i]
+        dq = other[(i + 1) % n]
+        sx = dq[0] - c[0]
+        sy = dq[1] - c[1]
+        den = rx * sy - ry * sx
+        if den == 0:
+            continue  # parallel (collinear overlap excluded by fixture)
+        qpx = c[0] - a[0]
+        qpy = c[1] - a[1]
+        t = (qpx * sy - qpy * sx) / den
+        u = (qpx * ry - qpy * rx) / den
+        if Fraction(0) < t < Fraction(1) and Fraction(0) < u < Fraction(1):
+            ts.append(t)
+    return sorted(set(ts))
+
+
+def intersection_area_boundary_fr(p_verts, q_verts):
+    """Exact |P ∩ Q| via Green's theorem over the intersection's
+    boundary: sub-segments of ∂P strictly inside Q plus sub-segments
+    of ∂Q strictly inside P, both CCW, each contributing
+    x0*y1 - x1*y0 to twice the area."""
+    from fractions import Fraction
+
+    P = _fr_ring(p_verts)
+    Q = _fr_ring(q_verts)
+    if _fr_signed2(P) < 0:
+        P = P[::-1]
+    if _fr_signed2(Q) < 0:
+        Q = Q[::-1]
+    total = Fraction(0)
+    for poly, other in ((P, Q), (Q, P)):
+        n = len(poly)
+        for i in range(n):
+            a = poly[i]
+            b = poly[(i + 1) % n]
+            cuts = (
+                [Fraction(0)] + _fr_edge_cut_params(a, b, other)
+                + [Fraction(1)]
+            )
+            for t0, t1 in zip(cuts[:-1], cuts[1:]):
+                tm = (t0 + t1) / 2
+                mid = (a[0] + (b[0] - a[0]) * tm, a[1] + (b[1] - a[1]) * tm)
+                if _fr_point_in(mid, other):
+                    x0 = a[0] + (b[0] - a[0]) * t0
+                    y0 = a[1] + (b[1] - a[1]) * t0
+                    x1 = a[0] + (b[0] - a[0]) * t1
+                    y1 = a[1] + (b[1] - a[1]) * t1
+                    total += x0 * y1 - x1 * y0
+    return total / 2
+
+
+def extract_clip_concave_rows(clip_verts, min_share: float = 0.001):
+    """(zone_id, area_share, year_scaled) against a CONCAVE clip
+    region, shares from the exact boundary-integral area divided by
+    the exact full area, rounded once to float64."""
+    from ..fixtures import ZONES
+
+    rows = []
+    for z in ZONES:
+        subj = _fr_ring(z["verts"])
+        full2 = _fr_signed2(subj)
+        if full2 < 0:
+            full2 = -full2
+        if full2 == 0:
+            continue
+        inter = intersection_area_boundary_fr(z["verts"], clip_verts)
+        share = float(inter * 2 / full2)
+        if share < min_share:
+            continue
+        rows.append((int(z["zone_id"]), share, z["year"] * share))
+    return rows
+
+
+def extract_clip_concave_sql(clip_verts, min_share: float = 0.001) -> str:
+    vals = ",".join(
+        f"({z},{d(s)},{d(y)})"
+        for z, s, y in extract_clip_concave_rows(clip_verts, min_share)
+    )
+    return f"""
+WITH golden(zone_id, area_share, year_scaled) AS (VALUES {vals})
+SELECT CAST(zone_id AS INT) AS zone_id, area_share, year_scaled FROM golden
+"""
