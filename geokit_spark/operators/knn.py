@@ -77,26 +77,49 @@ def knn(
 
     docs_pts = docs_pts.select("doc_id", "lon", "lat", "cell_id")
 
-    # pass 1: per-cell histogram (one scan of the docs; tiny result).
-    # Ring growth is then pure driver arithmetic — no repeated scans.
-    hist = {
-        int(r["cell_id"]): int(r["n"])
-        for r in docs_pts.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
-    }
+    # pass 1: ONE distributed agg — per-cell histogram (stays a
+    # DataFrame, never collected: a global fine grid would bloat the
+    # driver) joined against the broadcast query cells, reduced to
+    # per-(query, Chebyshev-radius) totals. Only O(queries x GRID_N)
+    # rows reach the driver; ring growth is then pure driver
+    # arithmetic over the cumulative counts — no repeated scans.
     qcells = _query_cells(queries)
+    qc = spark.createDataFrame(
+        [(qid, cx, cy) for qid, (cx, cy) in qcells.items()],
+        "query_id int, qcx int, qcy int",
+    )
+    hist_df = docs_pts.groupBy("cell_id").agg(F.count("*").alias("n"))
+    per_ring = (
+        hist_df.withColumn("cx", (F.col("cell_id") / GRID_N).cast("int"))
+        .withColumn("cy", (F.col("cell_id") % GRID_N).cast("int"))
+        .crossJoin(F.broadcast(qc))
+        .select(
+            "query_id",
+            F.greatest(
+                F.abs(F.col("cx") - F.col("qcx")),
+                F.abs(F.col("cy") - F.col("qcy")),
+            ).alias("cheb"),
+            "n",
+        )
+        .groupBy("query_id", "cheb")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    ring_counts: dict[int, dict[int, int]] = {}
+    for row in per_ring:
+        ring_counts.setdefault(int(row["query_id"]), {})[int(row["cheb"])] = int(
+            row["n"]
+        )
     diag = float(np.hypot(CELL_W, CELL_H))
 
     radii = {}
     for q in queries:
-        cx, cy = qcells[q["id"]]
-        # smallest Chebyshev radius whose cells hold >= k docs
+        counts = ring_counts.get(q["id"], {})
+        # smallest Chebyshev radius whose cells hold >= k docs (same
+        # doubling schedule as the ring-expansion contract)
         r = start_radius
         while r < max_radius:
-            total = sum(
-                hist.get(x * GRID_N + y, 0)
-                for x in range(max(0, cx - r), min(GRID_N, cx + r + 1))
-                for y in range(max(0, cy - r), min(GRID_N, cy + r + 1))
-            )
+            total = sum(n for cheb, n in counts.items() if cheb <= r)
             if total >= k:
                 break
             r += max(1, r)  # grow ~2x

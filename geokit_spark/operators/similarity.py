@@ -49,10 +49,23 @@ def norm_col(a: str) -> F.Column:
     )
 
 
-def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+def cosine_topk(
+    emb: DataFrame, k: int = 5, max_rows: int | None = 100_000
+) -> DataFrame:
     """Exact top-k cosine neighbors for every vector (excluding self).
-    Returns (vec_id, rank, neighbor_id). O(n^2) — the correctness
-    baseline; ann_topk is the scale path."""
+    Returns (vec_id, rank, neighbor_id). O(n^2) crossJoin — the
+    CORRECTNESS BASELINE, never a scale path (ann_topk / ivf_topk are
+    the verified scale paths). Guarded: refuses inputs larger than
+    max_rows so the baseline cannot be run at scale by accident; pass
+    max_rows=None to override deliberately."""
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_topk is the O(n^2) exactness baseline: input has "
+                f"{n} rows > max_rows={max_rows}. Use ann_topk/ivf_topk at "
+                f"scale, or pass max_rows=None deliberately."
+            )
     a = emb.select(
         F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea")
     ).withColumn("na", norm_col("ea"))
