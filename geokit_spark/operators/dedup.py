@@ -339,19 +339,85 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_band_exprs(max_hamming: int, sim_col: str = "simhash"):
+    """Split the SIM_BITS sketch into max_hamming+1 contiguous bit
+    bands. PIGEONHOLE: a pair within max_hamming differs in at most
+    max_hamming bands, so it shares AT LEAST ONE band's exact value —
+    the Hamming-ball equijoin key."""
+    nb = max_hamming + 1
+    sizes = [SIM_BITS // nb + (1 if i < SIM_BITS % nb else 0) for i in range(nb)]
+    exprs = []
+    off = 0
+    for i, sz in enumerate(sizes):
+        exprs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(sim_col), off)
+                .bitwiseAND(F.lit((1 << sz) - 1))
+                .alias("band_val"),
+            )
+        )
+        off += sz
+    return exprs
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """(id_a, id_b, hamming) for candidate pairs within max_hamming on
-    the simhash sketch (candidates blocked like ngram_jaccard)."""
+    """(id_a, id_b, hamming) for same-lang, length-banded pairs within
+    max_hamming on the simhash sketch.
+
+    Physical shape (round-3 rework): candidates come from a HAMMING-
+    BALL band equijoin — each doc explodes to max_hamming+1 (band,
+    band_bits) keys and any qualifying pair must share one (pigeonhole
+    over the bit bands), so candidate volume is bounded by simhash
+    band-bucket sizes instead of being quadratic within a length
+    bucket for uniform-length corpora. The lang / LEN_BAND predicates
+    are kept as post-filters, preserving the original output contract
+    bit-for-bit."""
     sh = simhash_docs(docs)
-    pairs = candidate_pairs(docs)
+    bands = sh.select(
+        "doc_id",
+        F.explode(F.array(*simhash_band_exprs(max_hamming))).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    meta = docs.select("doc_id", "lang", "n_chars")
     j = (
-        pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "h_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "h_b"), "id_b")
+        cand.join(
+            sh.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("simhash", "h_a"), "id_a"
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("simhash", "h_b"), "id_b"
+        )
+        .join(
+            meta.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("lang", "lang_a")
+            .withColumnRenamed("n_chars", "len_a"), "id_a"
+        )
+        .join(
+            meta.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("lang", "lang_b")
+            .withColumnRenamed("n_chars", "len_b"), "id_b"
+        )
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         j.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(
+            (F.col("hamming") <= max_hamming)
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(LEN_BAND))
+        )
         .select("id_a", "id_b", "hamming")
     )
 
