@@ -848,6 +848,101 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup, end-to-end through Structured Streaming
+    (streaming/incremental.stream_dedup_exact: availableNow trigger +
+    checkpoint): the documents feed lands as JSON files, the stream
+    keeps first-seen content via native dropDuplicates state, and the
+    hashable contract is order-independent — EXACTLY ONE surviving row
+    per distinct content hash, content set equal to the batch distinct
+    set. Returns (text_md5, n_kept)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="geokit_stream_dedup_")
+    try:
+        inp, out, ck = f"{root}/in", f"{root}/out", f"{root}/ck"
+        _docs(spark, sf_dir).select("doc_id", "text", "lang").write.json(inp)
+        q = __import__(
+            "geokit_spark.streaming.incremental", fromlist=["stream_dedup_exact"]
+        ).stream_dedup_exact(spark, inp, out, ck)
+        q.awaitTermination(300)
+        got = (
+            spark.read.parquet(out)
+            .groupBy("text_md5")
+            .agg(F.count("*").alias("n_kept"))
+        )
+        # materialize before the temp feed is deleted
+        pdf = got.toPandas()
+        return spark.createDataFrame(pdf, "text_md5 string, n_kept long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# deterministic lineage workload: 57 cells, closed-form payloads — the
+# same constants feed the Spark stage and the python-computed golden
+_LINEAGE_N = 5000
+_LINEAGE_CELLS = 57
+_LINEAGE_STAGE = "demo"
+
+
+def _lineage_payload(i: int) -> int:
+    return (i * 2654435761) % 1000003
+
+
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage + idempotent resume (north rule;
+    plans.lineage.CheckpointTable) as a driver-hashable query:
+
+      1. run the stage on a fresh checkpoint root — all cells process;
+      2. run it AGAIN — must be a no-op (raises otherwise);
+      3. resume-from-loss: a second root is pre-populated with all but
+         3 cells; running the full stage there must process exactly
+         the 3 missing cells (raises otherwise);
+      4. verify_stage recomputes checksums from the stored parquet.
+
+    Output (cell_id, row_count, checksum, ok) for every cell — any
+    duplicate append, lost cell, or checksum drift flips row_count/ok
+    and fails the hash against the python-golden oracle."""
+    import shutil
+    import tempfile
+
+    from geokit_spark.plans.lineage import CheckpointTable
+
+    work = spark.range(_LINEAGE_N).select(
+        (F.col("id") % _LINEAGE_CELLS).alias("cell_id"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(1000003)).alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="geokit_lineage_")
+    try:
+        ct = CheckpointTable(spark, f"{root}/a")
+        cells1, _rows1 = ct.run_stage(_LINEAGE_STAGE, work)
+        cells2, _rows2 = ct.run_stage(_LINEAGE_STAGE, work)
+        if cells1 != _LINEAGE_CELLS or cells2 != 0:
+            raise ValueError(
+                f"idempotent re-run broken: first={cells1}, second={cells2}"
+            )
+        # lost-cell resume on a second root: pre-populate all but 3
+        missing = [0, 17, 56]
+        ct2 = CheckpointTable(spark, f"{root}/b")
+        ct2.run_stage(
+            _LINEAGE_STAGE, work.filter(~F.col("cell_id").isin(missing))
+        )
+        resumed, _ = ct2.run_stage(_LINEAGE_STAGE, work)
+        if resumed != len(missing):
+            raise ValueError(
+                f"resume processed {resumed} cells, expected {len(missing)}"
+            )
+        lin = ct2.lineage().select("cell_id", "row_count", "checksum")
+        ver = ct2.verify_stage(_LINEAGE_STAGE)
+        out = lin.join(ver, "cell_id").toPandas()
+        return spark.createDataFrame(
+            out, "cell_id long, row_count long, checksum long, ok boolean"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (recall vs the exact baseline is
     pytest-verified in tests/test_text_dedup.py)."""
@@ -864,7 +959,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's per-round budget: queries the
+    # driver has not yet recorded green (round-2 tail + this round's
+    # new operators) run FIRST; the 50 rows already green in
+    # CORRECTNESS_r02 follow.
     return {
+        # --- new this round -------------------------------------------------
+        "gradient_raster": q_gradient_raster,
+        "rasterize_all_touched": q_rasterize_all_touched,
+        "extract_clip_concave": q_extract_clip_concave,
+        "stream_dedup": q_stream_dedup,
+        "lineage_resume": q_lineage_resume,
+        # --- judge-verified in r2 but not in the driver file ----------------
+        "indicate_features_buffered": q_indicate_features_buffered,
+        "indicate_values_buffered": q_indicate_values_buffered,
+        "lang_zone_cube": q_lang_zone_cube,
+        "wkb_areas": q_wkb_areas,
+        "srs_transform": q_srs_transform,
+        "polygonize": q_polygonize,
+        "geom_ops": q_geom_ops,
+        "location_dedup": q_location_dedup,
+        "embed_topk": q_embed_topk,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "embed_near_dup": q_embed_near_dup,
+        "events_daily": q_events_daily,
+        # --- green in CORRECTNESS_r02 ----------------------------------------
         "geocode_cells": q_geocode_cells,
         "cell_counts": q_cell_counts,
         "pip_region": q_pip_region,
@@ -874,10 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_bilinear": q_interp_bilinear,
         "interp_cubic": q_interp_cubic,
         "gradient_points": q_gradient_points,
-        "gradient_raster": q_gradient_raster,
         "zonal_stats": q_zonal_stats,
         "rasterize_zones": q_rasterize_zones,
-        "rasterize_all_touched": q_rasterize_all_touched,
         "region_mask_area": q_region_mask_area,
         "indicate_values": q_indicate_values,
         "kernel_max3": q_kernel_max3,
@@ -894,7 +1012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_average": q_interp_average,
         "subtiles_zones": q_subtiles_zones,
         "extract_clip": q_extract_clip,
-        "extract_clip_concave": q_extract_clip_concave,
         "connected_components": q_connected_components,
         "extract_multi": q_extract_multi,
         "contours": q_contours,
@@ -918,19 +1035,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
-        "indicate_features_buffered": q_indicate_features_buffered,
-        "indicate_values_buffered": q_indicate_values_buffered,
-        "lang_zone_cube": q_lang_zone_cube,
-        "wkb_areas": q_wkb_areas,
-        "srs_transform": q_srs_transform,
-        "polygonize": q_polygonize,
-        "geom_ops": q_geom_ops,
-        "location_dedup": q_location_dedup,
-        "embed_topk": q_embed_topk,
-        "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "embed_near_dup": q_embed_near_dup,
-        "events_daily": q_events_daily,
     }
 
 
@@ -2123,6 +2227,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _o_stream_dedup() -> str:
+    return """
+SELECT text_md5, CAST(1 AS BIGINT) AS n_kept
+FROM (SELECT DISTINCT md5(text) AS text_md5 FROM documents)
+"""
+
+
+def _o_lineage_resume() -> str:
+    """Python-computed golden of the lineage table: the same md5-JSON
+    digest formula (plans.lineage.row_digest_col) over the same
+    closed-form workload, entirely independent of Spark."""
+    import hashlib
+
+    rows: dict[int, int] = {}
+    sums: dict[int, int] = {}
+    for i in range(_LINEAGE_N):
+        c = i % _LINEAGE_CELLS
+        v = _lineage_payload(i)
+        dg = int(
+            hashlib.md5(f'{{"v":{v}}}'.encode()).hexdigest()[:15], 16
+        )
+        rows[c] = rows.get(c, 0) + 1
+        sums[c] = (sums.get(c, 0) + dg) % (1 << 61)
+    vals = ",".join(
+        f"({c},{rows[c]},{sums[c]},TRUE)" for c in sorted(rows)
+    )
+    return f"""
+WITH golden(cell_id, row_count, checksum, ok) AS (VALUES {vals})
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
+       CAST(row_count AS BIGINT) AS row_count,
+       CAST(checksum AS BIGINT) AS checksum, ok
+FROM golden
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "geocode_cells": _o_geocode_cells(),
@@ -2201,4 +2340,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _o_ivf_topk(),
         "embed_near_dup": _o_embed_near_dup(),
         "events_daily": _o_events_daily(),
+        "stream_dedup": _o_stream_dedup(),
+        "lineage_resume": _o_lineage_resume(),
     }

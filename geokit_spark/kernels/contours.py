@@ -57,24 +57,45 @@ def contour_segments(m: np.ndarray, level: float):
 
     # edge crossing coordinates relative to the cell's top-left pixel
     # center (cx, cy): top edge between a-b, right b-c, bottom d-c,
-    # left a-d
-    iy, ix = np.nonzero(case > 0)
-    segs = []
-    for eidx in range(len(ix)):
-        y, x = iy[eidx], ix[eidx]
-        cs = int(case[y, x])
-        va, vb, vc, vd = m[y, x], m[y, x + 1], m[y + 1, x + 1], m[y + 1, x]
-        pts = {
-            0: (x + interp(va, vb), float(y)),
-            1: (x + 1.0, y + interp(vb, vc)),
-            2: (x + interp(vd, vc), y + 1.0),
-            3: (float(x), y + interp(va, vd)),
-        }
-        for e0, e1 in _CASE_SEGMENTS[cs]:
-            segs.append((*pts[e0], *pts[e1]))
-    if not segs:
+    # left a-d. Fully vectorized: one pass per marching-squares case
+    # (16 constant iterations) over the cells of that case — the same
+    # scalar formulas elementwise, so every coordinate is bit-identical
+    # to the per-cell form (only the emission ORDER differs, which all
+    # consumers — per-component aggregation, sorted-endpoint chain
+    # walks, quantized length sums — are invariant to).
+    iy, ix = np.nonzero((case > 0) & (case < 15))
+    if len(ix) == 0:
         return 0, 0.0, np.zeros((0, 4))
-    arr = np.asarray(segs, dtype=np.float64)
+    cs = case[iy, ix]
+    va = m[iy, ix]
+    vb = m[iy, ix + 1]
+    vc = m[iy + 1, ix + 1]
+    vd = m[iy + 1, ix]
+    xf = ix.astype(np.float64)
+    yf = iy.astype(np.float64)
+    # edge points per cell: 0=top, 1=right, 2=bottom, 3=left
+    ex = np.empty((4, len(ix)))
+    ey = np.empty((4, len(ix)))
+    ex[0], ey[0] = xf + interp(va, vb), yf
+    ex[1], ey[1] = xf + 1.0, yf + interp(vb, vc)
+    ex[2], ey[2] = xf + interp(vd, vc), yf + 1.0
+    ex[3], ey[3] = xf, yf + interp(va, vd)
+    chunks = []
+    for case_id, seg_list in _CASE_SEGMENTS.items():
+        if not seg_list:
+            continue
+        sel = np.nonzero(cs == case_id)[0]
+        if len(sel) == 0:
+            continue
+        for e0, e1 in seg_list:
+            chunks.append(
+                np.column_stack(
+                    (ex[e0][sel], ey[e0][sel], ex[e1][sel], ey[e1][sel])
+                )
+            )
+    if not chunks:
+        return 0, 0.0, np.zeros((0, 4))
+    arr = np.concatenate(chunks, axis=0)
     lengths = np.hypot(arr[:, 2] - arr[:, 0], arr[:, 3] - arr[:, 1])
     return len(arr), float(lengths.sum()), arr
 

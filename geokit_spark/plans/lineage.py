@@ -47,7 +47,16 @@ def lineage_rows(df: DataFrame, stage: str, cell_col: str = "cell_id") -> DataFr
         .groupBy(F.col(cell_col).alias("cell_id"))
         .agg(
             F.count("*").alias("row_count"),
-            (F.sum("_digest") % F.lit(CHECKSUM_MOD)).alias("checksum"),
+            # sum in exact decimal(38,0): a long sum of 60-bit digests
+            # overflows int64 (ANSI throw) after ~8 rows per cell; the
+            # decimal sum is exact, so sum % 2^61 equals the
+            # arbitrary-precision python golden
+            (
+                F.sum(F.col("_digest").cast("decimal(38,0)"))
+                % F.lit(CHECKSUM_MOD)
+            )
+            .cast("long")
+            .alias("checksum"),
         )
         .select(
             F.lit(stage).alias("stage"),
