@@ -32,8 +32,10 @@ def test_divide_east_west():
     # 'main' picks the larger total area side (e + mid = 3 > w = 1)
     main = divide_east_west([w, e, mid], side="main")
     assert len(main) == 2
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         divide_east_west([_sq(175, 0, 185, 1)])
+    with pytest.raises(ValueError):
+        divide_east_west([w], side="sideways")
 
 
 def test_fix_out_of_bounds_antimeridian():
