@@ -539,6 +539,17 @@ def q_extract_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_and_clip_zones(spark, (6.05, 50.6, 6.25, 50.8))
 
 
+def q_union_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union as GEOMETRY — the reference flatten union tree
+    (geom.py:871-913) over all 115 zone polygons, two-level exact
+    boundary union (kernels.union_geom / operators.union_op). The
+    hashable column is the exact union area; ring structure + WKB are
+    pytest-verified (the slab oracle cannot count rings)."""
+    from geokit_spark.operators.union_op import union_zones_geometry
+
+    return union_zones_geometry(spark).select("union_area")
+
+
 def q_extract_clip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extractAndClipFeatures against a CONCAVE star region — general
     non-convex clipping (vector.py:916-931; areaShare goldens
@@ -968,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gradient_raster": q_gradient_raster,
         "rasterize_all_touched": q_rasterize_all_touched,
         "extract_clip_concave": q_extract_clip_concave,
+        "union_geom": q_union_geom,
         "stream_dedup": q_stream_dedup,
         "lineage_resume": q_lineage_resume,
         # --- judge-verified in r2 but not in the driver file ----------------
@@ -2299,6 +2311,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_clip": _o_extract_clip(),
         "extract_clip_concave": geooracle.extract_clip_concave_sql(
             fixtures.CONCAVE_CLIP_VERTS
+        ),
+        "union_geom": geooracle.union_geom_sql(
+            [z["verts"] for z in fixtures.ZONES]
         ),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),

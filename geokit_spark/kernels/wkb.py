@@ -105,3 +105,15 @@ def multilinestring_wkb(lines) -> bytes:
     parts = [struct.pack("<BII", _LE, WKB_MULTILINESTRING, len(lines))]
     parts += [linestring_wkb(line) for line in lines]
     return b"".join(parts)
+
+
+WKB_MULTIPOLYGON = 6
+
+
+def multipolygon_wkb(polygons) -> bytes:
+    """MULTIPOLYGON from [[outer, hole, ...], ...] ring lists (each
+    ring an (n, 2) array-like; closed automatically). Produced by
+    operators.union_op for the reference's flatten union tree."""
+    parts = [struct.pack("<BII", _LE, WKB_MULTIPOLYGON, len(polygons))]
+    parts += [polygon_wkb_rings(rings) for rings in polygons]
+    return b"".join(parts)

@@ -21,12 +21,12 @@ from pyspark.sql import functions as F
 from .. import fixtures
 
 
-def zones_feature_df(spark: SparkSession) -> DataFrame:
+def zones_feature_df(spark: SparkSession, zones=None) -> DataFrame:
     """The zones feature table: vertex coordinate arrays + attributes
     (the engine's 'pandas DataFrame with geom column' analog — arrays,
     never Python geometry objects per row)."""
     rows = []
-    for z in fixtures.ZONES:
+    for z in (zones if zones is not None else fixtures.ZONES):
         xs = [float(v[0]) for v in z["verts"]]
         ys = [float(v[1]) for v in z["verts"]]
         rows.append((z["zone_id"], z["site_code"], z["year"], z["designate"], xs, ys))

@@ -829,3 +829,88 @@ def extract_clip_concave_sql(clip_verts, min_share: float = 0.001) -> str:
 WITH golden(zone_id, area_share, year_scaled) AS (VALUES {vals})
 SELECT CAST(zone_id AS INT) AS zone_id, area_share, year_scaled FROM golden
 """
+
+
+# ---------------------------------------------------------------------------
+# union_geom golden: exact-rational SLAB-DECOMPOSITION union area — a
+# completely different algorithm from the engine's boundary-subsegment
+# union (kernels.union_geom): split the x-axis at every vertex and
+# every pairwise edge intersection; inside a slab the union of
+# per-polygon y-intervals changes linearly (no topology change), so
+# slab area = (union interval length at the slab midline) x width,
+# exactly. Both run in exact Fractions -> identical rational ->
+# identical float64.
+
+
+def union_area_slab_fr(regions_verts):
+    from fractions import Fraction
+
+    regions = []
+    for verts in regions_verts:
+        regions.append(_fr_ring(verts))
+    # slab boundaries: all vertex x's + all pairwise edge-intersection x's
+    xs = set()
+    edges = []  # (region_idx, a, b)
+    for ri, ring in enumerate(regions):
+        n = len(ring)
+        for i in range(n):
+            a, b = ring[i], ring[(i + 1) % n]
+            xs.add(a[0])
+            edges.append((ri, a, b))
+    for i in range(len(edges)):
+        ri, a, b = edges[i]
+        rx, ry = b[0] - a[0], b[1] - a[1]
+        for j in range(i + 1, len(edges)):
+            rj, c, q = edges[j]
+            if rj == ri:
+                continue
+            sx, sy = q[0] - c[0], q[1] - c[1]
+            den = rx * sy - ry * sx
+            if den == 0:
+                continue
+            qpx, qpy = c[0] - a[0], c[1] - a[1]
+            t = (qpx * sy - qpy * sx) / den
+            u = (qpx * ry - qpy * rx) / den
+            if 0 < t < 1 and 0 < u < 1:
+                xs.add(a[0] + rx * t)
+    xs = sorted(xs)
+    total = Fraction(0)
+    for x0, x1 in zip(xs[:-1], xs[1:]):
+        if x0 == x1:
+            continue
+        xm = (x0 + x1) / 2
+        # per-region crossing ys at x=xm -> even-odd intervals
+        intervals = []
+        for ring in regions:
+            ys = []
+            n = len(ring)
+            for i in range(n):
+                a, b = ring[i], ring[(i + 1) % n]
+                if (a[0] > xm) != (b[0] > xm):
+                    ys.append(
+                        a[1] + (b[1] - a[1]) * (xm - a[0]) / (b[0] - a[0])
+                    )
+            ys.sort()
+            intervals.extend(zip(ys[0::2], ys[1::2]))
+        if not intervals:
+            continue
+        # measure of the union of intervals
+        intervals.sort()
+        length = Fraction(0)
+        cur_lo, cur_hi = intervals[0]
+        for lo, hi in intervals[1:]:
+            if lo > cur_hi:
+                length += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        length += cur_hi - cur_lo
+        total += length * (x1 - x0)
+    return total
+
+
+def union_geom_sql(regions_verts) -> str:
+    area = float(union_area_slab_fr(regions_verts))
+    return f"""
+SELECT {d(area)} AS union_area
+"""

@@ -76,3 +76,31 @@ def test_known_areas():
 
 def test_degenerate_subject():
     assert area_share_general([(0, 0), (1, 0)], SQUARE) == 0.0
+
+
+def test_union_zones_geometry_structure(spark):
+    """Full union operator: exact area equals the slab oracle, ring
+    signed areas reconcile to the union area, the union area obeys
+    max(poly) <= area <= sum(poly), and the WKB multipolygon parses
+    back to the same ring structure."""
+    import struct as st
+
+    from geokit_spark import fixtures
+    from geokit_spark.kernels.union_geom import (
+        fr_ring, signed_area2, union_area_fr,
+    )
+    from geokit_spark.operators.union_op import union_zones_geometry
+    from geokit_spark.oracle.geooracle import union_area_slab_fr
+
+    zones = fixtures.ZONES[:40]  # keep the exact-rational cost modest
+    row = union_zones_geometry(spark, zones).collect()[0]
+    exact = union_area_slab_fr([z["verts"] for z in zones])
+    assert row["union_area"] == float(exact)
+    assert union_area_fr([z["verts"] for z in zones]) == exact
+    areas = [abs(float(signed_area2(fr_ring(z["verts"])))) / 2 for z in zones]
+    assert max(areas) <= row["union_area"] <= sum(areas)
+    assert row["n_rings"] == row["n_outer"] + row["n_holes"]
+    # WKB multipolygon: 1-byte LE + uint32 type 6 + count
+    buf = bytes(row["wkb"])
+    order, gtype, npolys = st.unpack_from("<BII", buf, 0)
+    assert order == 1 and gtype == 6 and npolys == row["n_outer"]
