@@ -43,3 +43,27 @@ def feature_collection(df: DataFrame, json_col: str = "feature_json") -> str:
     large sinks write line-delimited features instead)."""
     feats = [r[json_col] for r in df.select(json_col).collect()]
     return '{"type":"FeatureCollection","features":[' + ",".join(feats) + "]}"
+
+
+def zones_topojson(spark: SparkSession, quantization: int = 100_000) -> str:
+    """TopoJSON document for the zones table — the topo=True path of
+    the reference createGeoJson (vector.py:1276-1385), object name
+    "primary" like the reference's topojson.conversion call. Driver-
+    side small-output contract (the reference iterates an in-memory
+    geometry list too); see kernels.topojson for the arc topology."""
+    from ..kernels.topojson import topojson_document
+
+    zf = zones_feature_df(spark).collect()
+    features = [
+        {
+            "rings": [list(zip(r["xs"], r["ys"]))],
+            "properties": {
+                "zone_id": r["zone_id"],
+                "site_code": r["site_code"],
+                "year": r["year"],
+                "designate": r["designate"],
+            },
+        }
+        for r in zf
+    ]
+    return topojson_document(features, quantization)
