@@ -539,6 +539,16 @@ def q_extract_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_and_clip_zones(spark, (6.05, 50.6, 6.25, 50.8))
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-document-frequency word-n-gram detection (CCNet-style
+    boilerplate removal / benchmark-contamination scan): corpus DF
+    pass + broadcast semi-join back to positions. Per-doc
+    (n_ngrams, n_boiler, boiler_ratio)."""
+    from geokit_spark.operators.dedup import boilerplate_flags
+
+    return boilerplate_flags(_docs(spark, sf_dir))
+
+
 def q_union_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union as GEOMETRY — the reference flatten union tree
     (geom.py:871-913) over all 115 zone polygons, two-level exact
@@ -980,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_all_touched": q_rasterize_all_touched,
         "extract_clip_concave": q_extract_clip_concave,
         "union_geom": q_union_geom,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "stream_dedup": q_stream_dedup,
         "lineage_resume": q_lineage_resume,
         # --- judge-verified in r2 but not in the driver file ----------------
@@ -2239,6 +2250,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _o_boilerplate_ngrams() -> str:
+    from geokit_spark.operators.dedup import BOILER_DF, BOILER_N
+
+    n = BOILER_N
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         md5(array_to_string(w[i:i + {n - 1}], ' ')) AS ngram_md5
+  FROM words, UNNEST(range(1, GREATEST(len(w) - {n - 1}, 0) + 1)) AS t(i)
+),
+hot AS (
+  SELECT ngram_md5
+  FROM (SELECT ngram_md5, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+  WHERE df >= {BOILER_DF}
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+  FROM grams WHERE ngram_md5 IN (SELECT ngram_md5 FROM hot)
+  GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id,
+         CAST(GREATEST(len(string_split(text, ' ')) - {n - 1}, 0) AS BIGINT)
+           AS n_ngrams
+  FROM documents
+)
+SELECT t.doc_id, t.n_ngrams,
+       CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(COALESCE(p.n_boiler, 0) AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE)
+         AS boiler_ratio
+FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
 def _o_stream_dedup() -> str:
     return """
 SELECT text_md5, CAST(1 AS BIGINT) AS n_kept
@@ -2315,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         "union_geom": geooracle.union_geom_sql(
             [z["verts"] for z in fixtures.ZONES]
         ),
+        "boilerplate_ngrams": _o_boilerplate_ngrams(),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),

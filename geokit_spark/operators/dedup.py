@@ -447,3 +447,73 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
             F.col("root").alias("cluster_id"), "n_docs", "canonical_doc_id"
         )
     )
+
+
+BOILER_N = 5  # words per n-gram
+BOILER_DF = 20  # an n-gram in >= this many distinct docs is boilerplate
+
+
+def ngram_doc_freq(docs: DataFrame, n: int = BOILER_N) -> DataFrame:
+    """(ngram_md5, df) document frequency of word n-grams — the
+    corpus-wide pass of CCNet-style boilerplate / benchmark-
+    contamination detection. Pure built-ins: split -> slice window ->
+    md5; the shuffle carries (ngram_md5, doc_id) pairs only and the
+    distinct-doc count is a map-side-combinable agg."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
+                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {n}))))"
+            )
+        ).alias("ngram_md5"),
+    )
+    return grams.groupBy("ngram_md5").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+
+
+def boilerplate_flags(
+    docs: DataFrame, n: int = BOILER_N, min_df: int = BOILER_DF
+) -> DataFrame:
+    """Per-doc boilerplate statistics: (doc_id, n_ngrams, n_boiler,
+    boiler_ratio) where n_boiler counts n-gram POSITIONS whose n-gram
+    is high-document-frequency (df >= min_df). The high-df set is the
+    small side (bounded by corpus-wide distinct boilerplate n-grams)
+    and broadcast-joins back against the exploded positions — the big
+    side shuffles nothing."""
+    hot = ngram_doc_freq(docs, n).filter(F.col("df") >= min_df).select(
+        "ngram_md5"
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
+                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {n}))))"
+            )
+        ).alias("ngram_md5"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(hot), "ngram_md5", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    totals = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split("text", " ")) - F.lit(n - 1), F.lit(0)
+        ).cast("long").alias("n_ngrams"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            (
+                F.coalesce("n_boiler", F.lit(0)).cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("boiler_ratio"),
+        )
+    )
