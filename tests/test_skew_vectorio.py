@@ -76,3 +76,38 @@ def test_extract_feature_exactly_one(spark):
         extract_feature(zf, F.col("designate") == "A")  # many
     with pytest.raises(ValueError):
         extract_feature(zf, F.col("zone_id") == 9999)  # none
+
+
+def test_parquet_pushdown_pruning_and_column_projection(spark, tmp_path):
+    """The scan-efficiency contract (SURVEY §4): a partitioned vector
+    sink must give (a) PARTITION PRUNING on the partition key, (b)
+    PREDICATE PUSHDOWN of row filters into the parquet scan, and (c)
+    COLUMN PRUNING — the ReadSchema carries only projected columns."""
+    from geokit_spark.operators.mutate import zones_feature_df
+    from geokit_spark.sources.vector_io import create_vector, load_vector
+
+    path = str(tmp_path / "zones_part")
+    create_vector(
+        zones_feature_df(spark).drop("xs", "ys"), path,
+        partition_col="designate",
+    )
+    df = (
+        load_vector(spark, path)
+        .filter((F.col("designate") == "A") & (F.col("year") > 2000))
+        .select("zone_id", "year")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # (a) partition pruning: the partition filter references designate
+    assert "PartitionFilters" in plan and "designate" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # (b) predicate pushdown: year filter reaches the scan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "year" in pushed and "GreaterThan" in pushed
+    # (c) column pruning: site_code is not read
+    readschema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "site_code" not in readschema and "zone_id" in readschema
+    # and the result is right
+    rows = df.collect()
+    assert all(r["year"] > 2000 for r in rows)
+    assert len(rows) > 0
