@@ -67,3 +67,17 @@ def zones_topojson(spark: SparkSession, quantization: int = 100_000) -> str:
         for r in zf
     ]
     return topojson_document(features, quantization)
+
+
+def write_geojson_lines(df: DataFrame, path: str, json_col: str = "feature_json"):
+    """Distributed GeoJSON sink: one Feature per line (newline-
+    delimited GeoJSON, the standard big-data interchange). Unlike
+    feature_collection (driver-side, small outputs only), this writes
+    from the executors — the 100 TB path."""
+    df.select(F.col(json_col).alias("value")).write.mode("overwrite").text(path)
+
+
+def read_geojson_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Read a newline-delimited GeoJSON feature file back to
+    (feature_json string) rows."""
+    return spark.read.text(path).select(F.col("value").alias("feature_json"))

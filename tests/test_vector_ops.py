@@ -94,3 +94,27 @@ def test_geojson_roundtrip(spark):
     assert len(ring) == 5 and ring[0] == ring[-1]
     expected = [list(v) for v in fixtures.ZONES[0]["verts"]]
     assert ring[:4] == expected
+
+
+def test_geojson_lines_roundtrip(spark, tmp_path):
+    """Distributed newline-delimited GeoJSON sink round-trips the
+    feature set (the scale path; feature_collection is the documented
+    small-output driver variant)."""
+    import json
+
+    from geokit_spark.sources.geojson import (
+        read_geojson_lines,
+        write_geojson_lines,
+        zones_geojson_features,
+    )
+
+    feats = zones_geojson_features(spark)
+    out = str(tmp_path / "features_ndjson")
+    write_geojson_lines(feats, out)
+    back = read_geojson_lines(spark, out)
+    assert back.count() == feats.count()
+    ids = sorted(
+        json.loads(r["feature_json"])["properties"]["zone_id"]
+        for r in back.collect()
+    )
+    assert ids == list(range(feats.count()))
