@@ -163,3 +163,39 @@ def stream_dedup_exact(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_watermarked(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string, ts timestamp",
+    watermark: str = "1 day",
+):
+    """Streaming exact dedup with BOUNDED state: documents carry an
+    event time and duplicates are only suppressed within the watermark
+    horizon (dropDuplicatesWithinWatermark) — the 100 TB shape where
+    unbounded first-seen state is impossible. State size is bounded by
+    the distinct content arriving within one watermark window; content
+    recurring after the horizon is re-emitted (documented contract).
+    availableNow + checkpoint keep re-runs idempotent like
+    stream_dedup_exact."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .json(src_dir)
+    )
+    deduped = (
+        stream.withColumn("text_md5", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

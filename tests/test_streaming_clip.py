@@ -145,3 +145,27 @@ def test_stream_dedup_exact_matches_batch(spark, docs, tmp_path):
     q2 = stream_dedup_exact(spark, inp, out, ck)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_stream_dedup_watermarked_bounded_state(spark, docs, tmp_path):
+    """dropDuplicatesWithinWatermark variant: duplicates within the
+    horizon are suppressed; each distinct content survives exactly
+    once per horizon. Feed = every doc twice with the duplicate 1
+    minute later (inside the 1-day watermark) -> output equals the
+    batch distinct set."""
+    from geokit_spark.streaming.incremental import stream_dedup_watermarked
+
+    inp = str(tmp_path / "wd_in")
+    out = str(tmp_path / "wd_out")
+    ck = str(tmp_path / "wd_ck")
+    base = docs.select("doc_id", "text", "lang").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    dup = base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+    base.unionByName(dup).write.json(inp)
+    q = stream_dedup_watermarked(spark, inp, out, ck)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("text_md5").distinct().count() == n_distinct
