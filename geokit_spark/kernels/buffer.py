@@ -120,3 +120,87 @@ def _shrink_convex(vx: np.ndarray, vy: np.ndarray, dist: float):
         if len(poly) < 3:
             return []
     return poly
+
+
+def buffer_safe(verts, dist: float, arc_segments: int = 8):
+    """Positive buffer valid for ANY distance, including distances
+    where the miter offset of buffer_convex would self-intersect
+    (the documented SURVEY §7 gap): the buffered region is composed as
+
+        polygon  ∪  (one rectangle per edge, pushed outward)
+                 ∪  (one inscribed k-gon disc per vertex)
+
+    and merged with the exact-rational union engine
+    (kernels.union_geom) — overlaps and global self-intersections are
+    absorbed by set union instead of corrupting the ring. Rectangle
+    bases are nudged a hair inward so no piece edge is collinear with
+    the polygon boundary (the union algorithm's general-position
+    requirement); disc k-gons get a deterministic rotation offset per
+    vertex for the same reason, with an automatic re-jitter retry if a
+    degenerate coincidence is still detected. Returns the outer ring
+    (largest CCW ring; k-gon discs are inscribed, so the result is a
+    conservative inner approximation exactly like GDAL's segmentized
+    Buffer). Negative distances keep the convex-only half-plane
+    shrink (buffer_convex)."""
+    from .union_geom import (
+        _normalize_region,
+        signed_area2,
+        union_regions,
+    )
+
+    if dist <= 0:
+        return buffer_convex(verts, dist, arc_segments)
+    vx, vy = _ccw_ring(verts)
+    n = len(vx)
+    k = max(8, 4 * arc_segments)  # chords per full disc
+
+    for attempt in range(6):
+        eps = dist * 1e-6 * (1.37 ** attempt)
+        rot0 = 0.1234567 + 0.771 * attempt
+        pieces = [list(zip(vx.tolist(), vy.tolist()))]
+        for i in range(n):
+            px, py = vx[i], vy[i]
+            qx, qy = vx[(i + 1) % n], vy[(i + 1) % n]
+            ex, ey = qx - px, qy - py
+            ln = math.hypot(ex, ey)
+            nx_, ny_ = ey / ln, -ex / ln  # outward normal (CCW ring)
+            ux, uy = ex / ln, ey / ln
+            # TRAPEZOID, not rectangle: the base is nudged a hair
+            # inward (no collinearity with the polygon edge) and the
+            # outer corners are sheared inward along the edge so the
+            # side walls are never parallel to an adjacent edge — at a
+            # right-angle vertex a rectangle's wall lies exactly ON
+            # the neighboring edge's line (the box degenerate case).
+            # The sliver the shear uncovers near each outer corner is
+            # inside the vertex disc (delta << dist).
+            delta = dist * 1e-3 * (1 + attempt)
+            pieces.append(
+                [
+                    (px - eps * nx_, py - eps * ny_),
+                    (qx - eps * nx_, qy - eps * ny_),
+                    (qx + dist * nx_ - delta * ux,
+                     qy + dist * ny_ - delta * uy),
+                    (px + dist * nx_ + delta * ux,
+                     py + dist * ny_ + delta * uy),
+                ]
+            )
+            # inscribed k-gon disc at the vertex, rotated generically
+            disc = []
+            for j in range(k):
+                a = rot0 + 2.0 * math.pi * (j + 0.31 * i / n) / k
+                disc.append(
+                    (px + dist * math.cos(a), py + dist * math.sin(a))
+                )
+            pieces.append(disc)
+        try:
+            rings = union_regions(_normalize_region(pieces))
+        except ValueError:
+            continue  # degenerate coincidence: re-jitter and retry
+        outers = [r for r in rings if signed_area2(r) > 0]
+        if not outers:
+            continue
+        best = max(outers, key=signed_area2)
+        return [(float(x), float(y)) for x, y in best]
+    raise ValueError(
+        "buffer_safe could not reach a general-position decomposition"
+    )

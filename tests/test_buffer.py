@@ -67,3 +67,68 @@ def test_zero_buffer_is_identity():
     assert buffer_convex(z["verts"], 0.0) == [
         (float(x), float(y)) for x, y in z["verts"]
     ]
+
+def test_buffer_safe_handles_self_intersecting_distance():
+    """A deep star buffered by a distance far beyond its local feature
+    size: the miter path self-intersects; buffer_safe must produce a
+    SIMPLE ring that contains the polygon and has at least the
+    polygon-plus-perimeter-band area."""
+    import math
+
+    from geokit_spark.kernels.buffer import buffer_safe
+    from geokit_spark.kernels.pip import points_in_poly, poly_area
+
+    star = []
+    for i in range(10):
+        ang = 2 * math.pi * i / 10
+        r = 1.0 if i % 2 == 0 else 0.25
+        star.append((r * math.cos(ang), r * math.sin(ang)))
+    d = 0.6  # >> the 0.25 inner radius: miters would cross
+    out = buffer_safe(star, d, arc_segments=8)
+    # simple ring: no two non-adjacent edges intersect
+    import numpy as np
+
+    v = np.asarray(out)
+    m = len(v)
+
+    def seg_cross(a, b, c, e):
+        d1 = np.cross(b - a, c - a)
+        d2 = np.cross(b - a, e - a)
+        d3 = np.cross(e - c, a - c)
+        d4 = np.cross(e - c, b - c)
+        return (d1 * d2 < 0) and (d3 * d4 < 0)
+
+    for i in range(m):
+        for j in range(i + 2, m):
+            if i == 0 and j == m - 1:
+                continue
+            assert not seg_cross(
+                v[i], v[(i + 1) % m], v[j], v[(j + 1) % m]
+            ), (i, j)
+    # all original vertices strictly inside the buffer
+    xs = np.asarray([p[0] for p in star])
+    ys = np.asarray([p[1] for p in star])
+    assert points_in_poly(xs, ys, out).all()
+    # area lower bound: original + most of the perimeter band
+    per = sum(
+        math.hypot(
+            star[(i + 1) % len(star)][0] - star[i][0],
+            star[(i + 1) % len(star)][1] - star[i][1],
+        )
+        for i in range(len(star))
+    )
+    assert poly_area(out) > poly_area(star) + 0.8 * per * d
+
+
+def test_buffer_safe_matches_convex_on_convex():
+    """On a convex ring at small distance, buffer_safe (inscribed
+    k-gon arcs) and buffer_convex (chorded arcs) agree on area within
+    the chord tolerance, and buffer grows monotonically."""
+    from geokit_spark.kernels.buffer import buffer_convex, buffer_safe
+    from geokit_spark.kernels.pip import poly_area
+
+    box = [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (0.0, 1.0)]
+    a_safe = poly_area(buffer_safe(box, 0.3, arc_segments=16))
+    a_conv = poly_area(buffer_convex(box, 0.3, arc_segments=16))
+    assert abs(a_safe - a_conv) / a_conv < 0.01
+    assert poly_area(buffer_safe(box, 0.5, arc_segments=8)) > a_safe
