@@ -42,12 +42,13 @@ E1 = math.sqrt(E2)
 class SRS:
     """Lightweight SRS descriptor (stands in for osr.SpatialReference)."""
 
-    kind: str  # 'latlon' | 'webmerc' | 'laea'
+    kind: str  # 'latlon' | 'webmerc' | 'laea' | 'tmerc'
     lat0: float = 0.0
     lon0: float = 0.0
     false_e: float = 0.0
     false_n: float = 0.0
     name: str = ""
+    k0: float = 1.0  # central-meridian scale (tmerc; UTM = 0.9996)
 
     @property
     def is_geographic(self) -> bool:
@@ -78,10 +79,14 @@ def load_srs(source) -> SRS:
     if source is None:
         return None
     if isinstance(source, int):
-        try:
+        if source in _BY_EPSG:
             return _BY_EPSG[source]
-        except KeyError:
-            raise ValueError(f"unsupported EPSG code {source}")
+        # UTM: 326xx north / 327xx south, zones 01-60
+        if 32601 <= source <= 32660:
+            return utm(source - 32600, north=True)
+        if 32701 <= source <= 32760:
+            return utm(source - 32700, north=False)
+        raise ValueError(f"unsupported EPSG code {source}")
     if isinstance(source, str):
         key = source.strip().lower().replace(" ", "")
         if key in _COMMON:
@@ -178,6 +183,131 @@ def laea_inverse(e, n, srs: SRS = EPSG3035):
 
 
 # ---------------------------------------------------------------------------
+# transverse Mercator (EPSG method 9807) via the Krüger n-series in
+# the third flattening — the public 6th-order coefficients (Karney,
+# "Transverse Mercator with an accuracy of a few nanometers", 2011;
+# also JHS 154). Exact to well below 1 mm anywhere within a UTM zone.
+
+_N3 = _F / (2.0 - _F)  # third flattening
+_TM_A = GRS80_A / (1.0 + _N3) * (
+    1.0 + _N3**2 / 4.0 + _N3**4 / 64.0 + _N3**6 / 256.0
+)
+_ALPHA = [
+    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 5.0 * _N3**3 / 16.0
+    + 41.0 * _N3**4 / 180.0 - 127.0 * _N3**5 / 288.0
+    + 7891.0 * _N3**6 / 37800.0,
+    13.0 * _N3**2 / 48.0 - 3.0 * _N3**3 / 5.0 + 557.0 * _N3**4 / 1440.0
+    + 281.0 * _N3**5 / 630.0 - 1983433.0 * _N3**6 / 1935360.0,
+    61.0 * _N3**3 / 240.0 - 103.0 * _N3**4 / 140.0
+    + 15061.0 * _N3**5 / 26880.0 + 167603.0 * _N3**6 / 181440.0,
+    49561.0 * _N3**4 / 161280.0 - 179.0 * _N3**5 / 168.0
+    + 6601661.0 * _N3**6 / 7257600.0,
+    34729.0 * _N3**5 / 80640.0 - 3418889.0 * _N3**6 / 1995840.0,
+    212378941.0 * _N3**6 / 319334400.0,
+]
+_BETA = [
+    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 37.0 * _N3**3 / 96.0
+    - _N3**4 / 360.0 - 81.0 * _N3**5 / 512.0 + 96199.0 * _N3**6 / 604800.0,
+    _N3**2 / 48.0 + _N3**3 / 15.0 - 437.0 * _N3**4 / 1440.0
+    + 46.0 * _N3**5 / 105.0 - 1118711.0 * _N3**6 / 3870720.0,
+    17.0 * _N3**3 / 480.0 - 37.0 * _N3**4 / 840.0
+    - 209.0 * _N3**5 / 4480.0 + 5569.0 * _N3**6 / 90720.0,
+    4397.0 * _N3**4 / 161280.0 - 11.0 * _N3**5 / 504.0
+    - 830251.0 * _N3**6 / 7257600.0,
+    4583.0 * _N3**5 / 161280.0 - 108847.0 * _N3**6 / 3991680.0,
+    20648693.0 * _N3**6 / 638668800.0,
+]
+
+
+def utm(zone: int, north: bool = True) -> SRS:
+    """UTM zone SRS (EPSG:326xx / 327xx): lon0 = zone*6 - 183,
+    k0 = 0.9996, FE 500km, FN 0 / 10000km."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone {zone} out of range 1-60")
+    return SRS(
+        "tmerc",
+        0.0,
+        float(zone * 6 - 183),
+        500000.0,
+        0.0 if north else 10000000.0,
+        f"EPSG:{(32600 if north else 32700) + zone}",
+        0.9996,
+    )
+
+
+def utm_zone_for(lon: float, lat: float) -> SRS:
+    """The UTM zone containing a point (no Norway/Svalbard special
+    cases — those are grid conventions, not projection math)."""
+    zone = int((float(lon) + 180.0) // 6.0) % 60 + 1
+    return utm(zone, north=float(lat) >= 0.0)
+
+
+def tmerc_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. Vectorized
+    Krüger series."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam = np.radians(lon - srs.lon0)
+    phi = np.radians(lat)
+    sphi = np.sin(phi)
+    # conformal latitude tangent
+    t = np.sinh(
+        np.arctanh(sphi)
+        - (2.0 * math.sqrt(_N3) / (1.0 + _N3))
+        * np.arctanh((2.0 * math.sqrt(_N3) / (1.0 + _N3)) * sphi)
+    )
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, (aj) in enumerate(_ALPHA, start=1):
+        xi = xi + aj * np.sin(2.0 * j * xi_p) * np.cosh(2.0 * j * eta_p)
+        eta = eta + aj * np.cos(2.0 * j * xi_p) * np.sinh(2.0 * j * eta_p)
+    e = srs.false_e + srs.k0 * _TM_A * eta
+    n = srs.false_n + srs.k0 * _TM_A * xi
+    return e, n
+
+
+def tmerc_inverse(e, n, srs: SRS):
+    """(easting, northing) meters -> (lon, lat) degrees. Vectorized;
+    latitude by Newton iteration on the conformal-latitude relation."""
+    e = np.asarray(e, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    xi = (n - srs.false_n) / (srs.k0 * _TM_A)
+    eta = (e - srs.false_e) / (srs.k0 * _TM_A)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, bj in enumerate(_BETA, start=1):
+        xi_p = xi_p - bj * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        eta_p = eta_p - bj * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    tau_p = np.sin(xi_p) / np.sqrt(
+        np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2
+    )
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # Newton on tau (GeographicLib tauf): solve
+    # tau' = tau*sqrt(1+sigma^2) - sigma*sqrt(1+tau^2) for tau
+    tau = tau_p / math.sqrt(1.0 - E2)  # first guess
+    for _ in range(5):
+        sig = np.sinh(
+            E1 * np.arctanh(E1 * tau / np.sqrt(1.0 + tau * tau))
+        )
+        taupa = (
+            tau * np.sqrt(1.0 + sig * sig)
+            - sig * np.sqrt(1.0 + tau * tau)
+        )
+        tau = tau + (tau_p - taupa) * (
+            1.0 + (1.0 - E2) * tau * tau
+        ) / (
+            (1.0 - E2)
+            * np.sqrt((1.0 + taupa * taupa) * (1.0 + tau * tau))
+        )
+    return (
+        np.degrees(lam) + srs.lon0,
+        np.degrees(np.arctan(tau)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # generic transform (reference srs.xyTransform: any -> any via 4326)
 
 
@@ -188,6 +318,8 @@ def _to_latlon(x, y, srs: SRS):
         return merc_inverse(x, y)
     if srs.kind == "laea":
         return laea_inverse(x, y, srs)
+    if srs.kind == "tmerc":
+        return tmerc_inverse(x, y, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 
@@ -198,6 +330,8 @@ def _from_latlon(lon, lat, srs: SRS):
         return merc_forward(lon, lat)
     if srs.kind == "laea":
         return laea_forward(lon, lat, srs)
+    if srs.kind == "tmerc":
+        return tmerc_forward(lon, lat, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 

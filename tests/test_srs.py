@@ -52,8 +52,11 @@ def test_load_srs_sources():
     assert load_srs("europe_m") is EPSG3035
     assert load_srs(EPSG3035) is EPSG3035
     assert load_srs(None) is None
+    # 32632 (UTM 32N) became supported in round 3; a non-UTM unknown
+    # code must still raise
+    assert load_srs(32632).kind == "tmerc"
     with pytest.raises(ValueError):
-        load_srs(32632)
+        load_srs(29901)
     with pytest.raises(ValueError):
         load_srs("not-a-srs")
     with pytest.raises(TypeError):
@@ -104,3 +107,63 @@ def test_transform_geoms_wkb_polygon(spark):
     e, n = laea_forward(vx, vy)
     assert np.allclose(ring[:-1, 0], e, atol=1e-9)
     assert np.allclose(ring[:-1, 1], n, atol=1e-9)
+
+
+def test_utm_roundtrip_and_scale():
+    """Transverse Mercator (UTM) Krüger series: roundtrip at machine
+    precision across the zone and beyond, exact central-meridian
+    easting, k0=0.9996 central scale via numeric meridian derivative,
+    southern false northing."""
+    import math
+
+    import numpy as np
+
+    from geokit_spark.kernels.srs import (
+        load_srs, tmerc_forward, tmerc_inverse, utm_zone_for,
+    )
+
+    z31 = load_srs(32631)
+    assert z31.kind == "tmerc" and z31.lon0 == 3.0 and z31.k0 == 0.9996
+    lons = np.linspace(0.5, 5.5, 7)
+    lats = np.linspace(-84, 84, 13)
+    L, P = np.meshgrid(lons, lats)
+    e, n = tmerc_forward(L.ravel(), P.ravel(), z31)
+    lo, la = tmerc_inverse(e, n, z31)
+    assert np.abs(lo - L.ravel()).max() < 1e-12
+    assert np.abs(la - P.ravel()).max() < 1e-12
+    # central meridian maps to FE exactly; symmetric about it
+    e0, _ = tmerc_forward(3.0, 45.0, z31)
+    assert float(e0) == 500000.0
+    e1, n1 = tmerc_forward(5.0, 45.0, z31)
+    e2, n2 = tmerc_forward(1.0, 45.0, z31)
+    assert float(e1) - 500000.0 == -(float(e2) - 500000.0)
+    assert float(n1) == float(n2)
+    # central scale == k0
+    _, na = tmerc_forward(3.0, 45.0, z31)
+    _, nb = tmerc_forward(3.0, 45.0001, z31)
+    a, rf = 6378137.0, 298.257222101
+    f = 1 / rf
+    e2c = 2 * f - f * f
+    phi = math.radians(45.00005)
+    M = a * (1 - e2c) / (1 - e2c * math.sin(phi) ** 2) ** 1.5
+    scale = (float(nb) - float(na)) / (math.radians(0.0001) * M)
+    assert abs(scale - 0.9996) < 1e-7
+    # south zone: false northing 10,000 km, equator -> FN
+    s32 = load_srs(32732)
+    _, ns = tmerc_forward(9.0, 0.0, s32)
+    assert float(ns) == 10000000.0
+    # zone resolver
+    assert utm_zone_for(5.0, 45.0).name == "EPSG:32631"
+    assert utm_zone_for(9.1, -10.0).name == "EPSG:32732"
+
+
+def test_utm_in_generic_transform():
+    """xy_transform routes UTM through the 4326 pivot like every other
+    family; cross-family roundtrip 3035 -> UTM32 -> 3035 closes to
+    sub-mm."""
+    from geokit_spark.kernels.srs import xy_transform
+
+    e, n = xy_transform([4021000.0], [3052000.0], 3035, 32632)
+    back_x, back_y = xy_transform(e, n, 32632, 3035)
+    assert abs(float(back_x[0]) - 4021000.0) < 1e-3
+    assert abs(float(back_y[0]) - 3052000.0) < 1e-3
