@@ -85,7 +85,7 @@ def sql_classifier_expr(value: str, col: str) -> str:
 
 def indicate_features(
     tiles: DataFrame, designate: str, region_verts=None,
-    buffer_dist: float = 0.0, zones=None,
+    buffer_dist: float = 0.0, zones=None, buffer_method: str = "miter",
 ) -> DataFrame:
     """indicateFeatures (regionmask.py:1293-1583): filter the zones by
     an attribute `where` (designate class), optionally BUFFER each
@@ -102,12 +102,19 @@ def indicate_features(
     import pandas as pd
 
     from .. import fixtures
-    from ..kernels.buffer import buffer_convex
+    from ..kernels.buffer import buffer_convex, buffer_safe
     from ..kernels.pip import points_in_poly
     from ..kernels.raster_fields import pixel_center
     from ..sources.tiles import tile_pixel_indices
     from .zonal import _tile_bbox
 
+    if buffer_method not in ("miter", "safe"):
+        raise ValueError(f"unknown buffer_method {buffer_method!r}")
+    # 'miter' = buffer_convex (exact for distances below the local
+    # feature size — the driver-oracled default); 'safe' = buffer_safe
+    # (union-composed, valid at ANY distance including globally
+    # self-intersecting offsets)
+    buf = buffer_convex if buffer_method == "miter" else buffer_safe
     region = region_verts if region_verts is not None else fixtures.REGION_VERTS
     zsel = []
     for z in (zones or fixtures.ZONES):
@@ -115,7 +122,7 @@ def indicate_features(
             continue
         verts = z["verts"]
         if buffer_dist != 0.0:
-            verts = buffer_convex(verts, buffer_dist)
+            verts = buf(verts, buffer_dist)
             if not verts:
                 continue
         zsel.append((verts, fixtures.poly_bbox(verts)))

@@ -132,3 +132,23 @@ def test_buffer_safe_matches_convex_on_convex():
     a_conv = poly_area(buffer_convex(box, 0.3, arc_segments=16))
     assert abs(a_safe - a_conv) / a_conv < 0.01
     assert poly_area(buffer_safe(box, 0.5, arc_segments=8)) > a_safe
+
+
+def test_indicate_features_safe_buffer_method(spark):
+    """buffer_method='safe' routes through the union-composed buffer;
+    at a modest distance it covers at least as much as the miter path
+    (inscribed arcs vs chorded arcs differ slightly, both legal)."""
+    from geokit_spark.operators.indicate import indicate_features
+    from geokit_spark.sources import tiles as tilesrc
+
+    t = tilesrc.raster_table(spark, "elev")
+    miter = indicate_features(t, "B", buffer_dist=0.01).collect()[0]
+    safe = indicate_features(
+        t, "B", buffer_dist=0.01, buffer_method="safe"
+    ).collect()[0]
+    assert safe["n_region_pix"] == miter["n_region_pix"]
+    assert abs(safe["n_covered"] - miter["n_covered"]) / miter["n_covered"] < 0.02
+    import pytest
+
+    with pytest.raises(ValueError):
+        indicate_features(t, "B", buffer_dist=0.01, buffer_method="bevel")
