@@ -539,6 +539,19 @@ def q_extract_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_and_clip_zones(spark, (6.05, 50.6, 6.25, 50.8))
 
 
+def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference contours' DEFAULT polygonize=True mode
+    (raster.py:2044-2100): polygon bands between the contour edges —
+    edge-count band classify (JVM) + the verified distributed
+    polygonize engine. Oracle: independent full-matrix flood fill +
+    Euler ring counts over the same banding."""
+    from geokit_spark.operators.contour_op import contour_polygons
+
+    return contour_polygons(
+        tilesrc.raster_table(spark, "elev"), [400.0, 800.0, 1200.0]
+    ).select("value", "n", "nh", "nv", "area_px", "n_rings")
+
+
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-document-frequency word-n-gram detection (CCNet-style
     boilerplate removal / benchmark-contamination scan): corpus DF
@@ -991,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_clip_concave": q_extract_clip_concave,
         "union_geom": q_union_geom,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "contour_polygons": q_contour_polygons,
         "stream_dedup": q_stream_dedup,
         "lineage_resume": q_lineage_resume,
         # --- judge-verified in r2 but not in the driver file ----------------
@@ -2364,6 +2378,9 @@ def oracle_sql() -> dict[str, str]:
             [z["verts"] for z in fixtures.ZONES]
         ),
         "boilerplate_ngrams": _o_boilerplate_ngrams(),
+        "contour_polygons": geooracle.contour_polygons_sql(
+            [400.0, 800.0, 1200.0]
+        ),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),

@@ -328,3 +328,25 @@ def contour_polylines(tiles: DataFrame, levels: list[float]) -> DataFrame:
             "length double, wkb binary"
         ),
     )
+
+
+def contour_polygons(tiles: DataFrame, levels: list[float]) -> DataFrame:
+    """The reference contours' DEFAULT mode (polygonize=True,
+    raster.py:2044-2100): polygon BANDS between the contour edges.
+    Band id = number of edges <= pixel value (a pure JVM transform),
+    then the verified distributed polygonize engine does the rest —
+    component merge across tile seams, boundary tracing, multi-ring
+    WKB. One row per band component with the polygonize output
+    surface."""
+    from .components import polygonize
+
+    def band(x):
+        col = F.lit(0)
+        for lv in levels:
+            col = col + F.when(x >= F.lit(float(lv)), 1).otherwise(0)
+        return col.cast("double")
+
+    banded = tiles.select(
+        "tile_x", "tile_y", F.transform("data", band).alias("data")
+    )
+    return polygonize(banded)

@@ -350,11 +350,13 @@ FROM golden
 # characteristic for ring counts (never touches tiles/seams/tracing)
 
 
-def polygonize_rows():
+def polygonize_rows(v=None):
     """(value, n, nh, nv, area_px, n_rings) per 4-connected component
-    of the banded raster v = floor(elev/200). nh/nv = horizontal/
-    vertical unit boundary edges; n_rings = 1 + holes with holes from
-    the Euler characteristic h = 1 - V + E - F of the cell complex."""
+    of a banded raster (default v = floor(elev/200); pass any (H, W)
+    float matrix to golden-check other bandings — contour_polygons
+    uses the edge-count banding). nh/nv = horizontal/vertical unit
+    boundary edges; n_rings = 1 + holes with holes from the Euler
+    characteristic h = 1 - V + E - F of the cell complex."""
     from ..kernels.raster_fields import elev_value
 
     iy, ix = np.meshgrid(
@@ -362,7 +364,8 @@ def polygonize_rows():
         np.arange(RASTER_W, dtype=np.int64),
         indexing="ij",
     )
-    v = np.floor(elev_value(ix, iy).astype(np.float64) / 200.0)
+    if v is None:
+        v = np.floor(elev_value(ix, iy).astype(np.float64) / 200.0)
     h_, w_ = v.shape
     lab = -np.ones((h_, w_), dtype=np.int64)
     nxt = 0
@@ -913,4 +916,36 @@ def union_geom_sql(regions_verts) -> str:
     area = float(union_area_slab_fr(regions_verts))
     return f"""
 SELECT {d(area)} AS union_area
+"""
+
+
+def contour_polygons_rows(levels):
+    """Golden for the reference contours(polygonize=True) banding:
+    band(v) = number of contour edges <= v (matching the engine's
+    sum of v >= edge JVM terms), then the same independent flood
+    fill + Euler ring counts as polygonize_rows."""
+    from ..kernels.raster_fields import elev_value
+
+    iy, ix = np.meshgrid(
+        np.arange(RASTER_H, dtype=np.int64),
+        np.arange(RASTER_W, dtype=np.int64),
+        indexing="ij",
+    )
+    elev = elev_value(ix, iy).astype(np.float64)
+    band = np.zeros_like(elev)
+    for lv in levels:
+        band += (elev >= float(lv)).astype(np.float64)
+    return polygonize_rows(band)
+
+
+def contour_polygons_sql(levels) -> str:
+    rows = ",".join(
+        f"({d(v)},{n},{nh},{nv},{d(apx)},{nr})"
+        for v, n, nh, nv, apx, nr in contour_polygons_rows(levels)
+    )
+    return f"""
+WITH golden(value, n, nh, nv, area_px, n_rings) AS (VALUES {rows})
+SELECT value, CAST(n AS BIGINT) AS n, CAST(nh AS BIGINT) AS nh,
+       CAST(nv AS BIGINT) AS nv, area_px, CAST(n_rings AS INT) AS n_rings
+FROM golden
 """
