@@ -539,6 +539,31 @@ def q_extract_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_and_clip_zones(spark, (6.05, 50.6, 6.25, 50.8))
 
 
+def q_geo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP COMPOSITION #2 — the graft's two axes JOINED: per
+    spatial zone, how many documents land there and how many same-zone
+    MinHash-LSH near-duplicate pairs they contain (geo-aware dedup:
+    the spatial inner join feeding the LSH band equijoin, both
+    all-JVM). Returns (zone_id, n_docs, n_dup_pairs)."""
+    from geokit_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    dz = spatial_join.docs_join_zones(spark, docs).select("doc_id", "zone_id")
+    lsh = minhash_lsh_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    za = dz.select(F.col("doc_id").alias("id_a"), "zone_id")
+    zb = dz.select(F.col("doc_id").alias("id_b"), "zone_id")
+    same_zone = lsh.join(za, "id_a").join(zb, ["id_b", "zone_id"])
+    per_zone = dz.groupBy("zone_id").agg(F.count("*").alias("n_docs"))
+    dups = same_zone.groupBy("zone_id").agg(
+        F.count("*").alias("n_dup_pairs")
+    )
+    return per_zone.join(dups, "zone_id", "left").select(
+        "zone_id",
+        "n_docs",
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+    )
+
+
 def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference contours' DEFAULT polygonize=True mode
     (raster.py:2044-2100): polygon bands between the contour edges —
@@ -1005,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_geom": q_union_geom,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "contour_polygons": q_contour_polygons,
+        "geo_dedup": q_geo_dedup,
         "stream_dedup": q_stream_dedup,
         "lineage_resume": q_lineage_resume,
         # --- judge-verified in r2 but not in the driver file ----------------
@@ -2301,6 +2327,66 @@ FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 """
 
 
+def _o_geo_dedup() -> str:
+    from geokit_spark.oracle import textsql as ts
+
+    cross = sqlgen.pip_crossings_expr("c.lon", "c.lat", "e.x1", "e.y1",
+                                      "e.x2", "e.y2")
+    mh = ",\n    ".join(ts.minhash_cols())
+    return f"""
+WITH {sqlgen.geocode_cte()},
+zedges(zone_id, x1, y1, x2, y2) AS (VALUES {fixtures.sql_zone_edges_values()}),
+zbox(zone_id, bxmin, bymin, bxmax, bymax) AS (
+  SELECT zone_id, MIN(LEAST(x1, x2)), MIN(LEAST(y1, y2)),
+         MAX(GREATEST(x1, x2)), MAX(GREATEST(y1, y2))
+  FROM zedges GROUP BY zone_id
+),
+cand AS (
+  SELECT g.doc_id, g.lon, g.lat, z.zone_id
+  FROM geo g JOIN zbox z
+    ON g.lon >= z.bxmin AND g.lon <= z.bxmax
+   AND g.lat >= z.bymin AND g.lat <= z.bymax
+),
+hits AS (
+  SELECT c.doc_id, c.zone_id
+  FROM cand c JOIN zedges e USING (zone_id)
+  GROUP BY c.doc_id, c.zone_id, c.lon, c.lat
+  HAVING SUM({cross}) % 2 = 1
+),
+{ts.shingles_cte()},
+sig AS (SELECT doc_id, s, {mh} FROM sh),
+bands AS ({ts.band_keys_union('sig')}),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+withsh AS (
+  SELECT c.id_a, c.id_b, sa.s AS sh_a, sb.s AS sh_b
+  FROM cpairs c JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b
+),
+lshp AS (
+  SELECT id_a, id_b FROM withsh
+  WHERE {ts.jaccard_expr()} >= CAST(0.6 AS DOUBLE)
+),
+per_zone AS (
+  SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM hits GROUP BY zone_id
+),
+dupz AS (
+  SELECT ha.zone_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+  FROM lshp p
+  JOIN hits ha ON ha.doc_id = p.id_a
+  JOIN hits hb ON hb.doc_id = p.id_b AND hb.zone_id = ha.zone_id
+  GROUP BY ha.zone_id
+)
+SELECT z.zone_id, z.n_docs,
+       CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs
+FROM per_zone z LEFT JOIN dupz d USING (zone_id)
+"""
+
+
 def _o_stream_dedup() -> str:
     return """
 SELECT text_md5, CAST(1 AS BIGINT) AS n_kept
@@ -2381,6 +2467,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_polygons": geooracle.contour_polygons_sql(
             [400.0, 800.0, 1200.0]
         ),
+        "geo_dedup": _o_geo_dedup(),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),
