@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the pure kernels — the
+randomized layer on top of the fixed-fixture oracle gate."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geokit_spark.kernels.clip_general import (
+    intersection_area_fr,
+    intersection_area_general,
+)
+from geokit_spark.kernels.pip import clip_poly_box, points_in_poly, poly_area
+from geokit_spark.oracle.geooracle import intersection_area_boundary_fr
+
+finite = st.floats(
+    min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+)
+
+
+def _convex_hull(pts):
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return None
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lo = half(pts)
+    hi = half(reversed(pts))
+    hull = lo[:-1] + hi[:-1]
+    return hull if len(hull) >= 3 else None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=4, max_size=12))
+def test_general_clip_agrees_with_boundary_integral_on_hulls(pts):
+    """Random convex hulls vs a shifted copy: the ear-clip+S-H area
+    must EQUAL the boundary-integral area as exact rationals."""
+    hull = _convex_hull(pts)
+    if hull is None:
+        return
+    shifted = [(x + 1.75, y + 0.6) for x, y in hull]
+    try:
+        a = intersection_area_fr(hull, shifted)
+        b = intersection_area_boundary_fr(hull, shifted)
+    except ValueError:
+        return  # degenerate configuration (collinear overlap)
+    assert a == b
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=4, max_size=12))
+def test_clip_area_bounds(pts):
+    """0 <= |A ∩ B| <= min(|A|, |B|) for random hulls."""
+    hull = _convex_hull(pts)
+    if hull is None:
+        return
+    other = [(x * 0.5 + 3, y * 0.5 - 2) for x, y in hull]
+    try:
+        inter = intersection_area_general(hull, other)
+    except ValueError:
+        return
+    assert -1e-12 <= inter <= min(poly_area(hull), poly_area(other)) + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(finite, finite), min_size=5, max_size=10),
+    st.tuples(finite, finite, finite, finite),
+)
+def test_box_clip_area_matches_general_clip(pts, box_raw):
+    """The dedicated box clipper and the general rational clipper must
+    agree on the intersection area (within float eps — clip_poly_box
+    is the float fast path)."""
+    hull = _convex_hull(pts)
+    if hull is None:
+        return
+    x0, y0, dx, dy = box_raw
+    box = (x0, y0, x0 + abs(dx) + 0.1, y0 + abs(dy) + 0.1)
+    clipped = clip_poly_box(hull, box)
+    a_box = poly_area(clipped) if len(clipped) >= 3 else 0.0
+    rect = [(box[0], box[1]), (box[2], box[1]), (box[2], box[3]), (box[0], box[3])]
+    try:
+        a_gen = intersection_area_general(hull, rect)
+    except ValueError:
+        return
+    assert abs(a_box - a_gen) <= 1e-6 * max(1.0, a_gen)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=4, max_size=10))
+def test_pip_interior_points_inside_hull(pts):
+    """Centroid-shrunk copies of hull vertices are inside; far points
+    are outside."""
+    hull = _convex_hull(pts)
+    if hull is None or poly_area(hull) < 1e-6:
+        return
+    cx = sum(p[0] for p in hull) / len(hull)
+    cy = sum(p[1] for p in hull) / len(hull)
+    ix = np.array([cx + 0.5 * (p[0] - cx) for p in hull])
+    iy = np.array([cy + 0.5 * (p[1] - cy) for p in hull])
+    assert points_in_poly(ix, iy, hull).all()
+    assert not points_in_poly(
+        np.array([1e6]), np.array([1e6]), hull
+    ).any()
