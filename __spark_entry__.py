@@ -268,6 +268,16 @@ def q_warp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warp_aggregate(tilesrc.raster_table(spark, "elev"))
 
 
+def q_warp_scale_up(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scaleMatrix scale>0 (block-repeat upsample, util.py:198-202):
+    k=2 upsample of the elev raster, verified as exact per-fine-tile
+    sums (each source pixel lands k^2 times inside one fine tile)."""
+    from geokit_spark.operators.kernel import tile_sums
+    from geokit_spark.operators.warp import scale_up_tiles
+
+    return tile_sums(scale_up_tiles(tilesrc.raster_table(spark, "elev"), 2))
+
+
 def q_mosaic_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """combineSimilarRasters: patch layer wins on non-noData pixels
     (combineSimilarRasters.py:179-188). Output: per-tile sums."""
@@ -1031,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "contour_polygons": q_contour_polygons,
         "geo_dedup": q_geo_dedup,
+        "warp_scale_up": q_warp_scale_up,
         "stream_dedup": q_stream_dedup,
         "lineage_resume": q_lineage_resume,
         # --- judge-verified in r2 but not in the driver file ----------------
@@ -1696,6 +1707,20 @@ g AS (
 SELECT CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy, ns, ew,
        SQRT(ns * ns + ew * ew) AS slope
 FROM g
+"""
+
+
+def _o_warp_scale_up() -> str:
+    from geokit_spark.constants import TILE_SIZE
+
+    sub = TILE_SIZE // 2  # source pixels per fine tile side (k=2)
+    return f"""
+WITH {sqlgen.pixel_grid_cte()}
+SELECT CAST(ix // {sub} AS INT) AS tile_x,
+       CAST(iy // {sub} AS INT) AS tile_y,
+       CAST(4 AS DOUBLE) * CAST(SUM(elev) AS DOUBLE) AS sum_v
+FROM pix
+GROUP BY 1, 2
 """
 
 
@@ -2468,6 +2493,7 @@ def oracle_sql() -> dict[str, str]:
             [400.0, 800.0, 1200.0]
         ),
         "geo_dedup": _o_geo_dedup(),
+        "warp_scale_up": _o_warp_scale_up(),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),

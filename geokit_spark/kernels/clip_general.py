@@ -28,7 +28,15 @@ def _fr_open_ring(verts) -> list[tuple[Fraction, Fraction]]:
     v = [(Fraction(float(x)), Fraction(float(y))) for x, y in verts]
     if len(v) > 1 and v[0] == v[-1]:
         v = v[:-1]
-    return v
+    # consecutive duplicates (e.g. coordinates that collapsed when an
+    # offset absorbed a denormal) would break the ear walker
+    out = []
+    for p in v:
+        if not out or p != out[-1]:
+            out.append(p)
+    if len(out) > 1 and out[0] == out[-1]:
+        out.pop()
+    return out
 
 
 def _signed_area2(v) -> Fraction:
@@ -53,8 +61,11 @@ def _point_in_tri(p, a, b, c) -> bool:
 
 def ear_clip_triangles(verts) -> list[tuple]:
     """Exact ear-clipping triangulation of a simple polygon. Returns
-    [(a, b, c)] CCW Fraction triangles partitioning the polygon."""
+    [(a, b, c)] CCW Fraction triangles partitioning the polygon;
+    degenerate (zero-area / < 3 distinct vertices) input yields []."""
     v = _fr_open_ring(verts)
+    if len(v) < 3 or _signed_area2(v) == 0:
+        return []
     if _signed_area2(v) < 0:
         v = v[::-1]
     tris = []
@@ -124,8 +135,11 @@ def _sh_clip_triangle(subject, tri) -> list:
 
 
 def intersection_area_fr(subject_verts, clip_verts) -> Fraction:
-    """Exact |subject ∩ clip| for any two simple polygons."""
+    """Exact |subject ∩ clip| for any two simple polygons (degenerate
+    inputs have zero area)."""
     subj = _fr_open_ring(subject_verts)
+    if len(subj) < 3:
+        return Fraction(0)
     if _signed_area2(subj) < 0:
         subj = subj[::-1]
     total = Fraction(0)
