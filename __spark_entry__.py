@@ -70,6 +70,24 @@ def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_morton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (SURVEY §4: write sorted by Morton(cell) so
+    min/max stats prune): per-doc grid cell + Morton code, pure JVM
+    bit arithmetic."""
+    from geokit_spark.functions.geo import morton_col
+
+    d = with_geocode(_docs(spark, sf_dir).select("doc_id"))
+    gx, gy = grid_cell_cols(F.col("lon"), F.col("lat"))
+    return d.select(
+        "doc_id",
+        gx.alias("cell_x"),
+        gy.alias("cell_y"),
+    ).select(
+        "doc_id", "cell_x", "cell_y",
+        morton_col(F.col("cell_x"), F.col("cell_y")).alias("morton"),
+    )
+
+
 def q_pip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial semi-join vs the region polygon, per-lang counts
     (reference countFeatures/extractFeatures(geom=...),
@@ -1042,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_polygons": q_contour_polygons,
         "geo_dedup": q_geo_dedup,
         "warp_scale_up": q_warp_scale_up,
+        "morton_cells": q_morton_cells,
         "stream_dedup": q_stream_dedup,
         "lineage_resume": q_lineage_resume,
         # --- judge-verified in r2 but not in the driver file ----------------
@@ -1707,6 +1726,23 @@ g AS (
 SELECT CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy, ns, ew,
        SQRT(ns * ns + ew * ew) AS slope
 FROM g
+"""
+
+
+def _o_morton_cells() -> str:
+    gx, gy = sqlgen.grid_cell_exprs()
+    terms = " + ".join(
+        f"((CAST(cell_x AS BIGINT) // {1 << k}) % 2) * {1 << (2 * k)}"
+        f" + ((CAST(cell_y AS BIGINT) // {1 << k}) % 2) * {1 << (2 * k + 1)}"
+        for k in range(16)
+    )
+    return f"""
+WITH {sqlgen.geocode_cte()},
+cells AS (
+  SELECT doc_id, {gx} AS cell_x, {gy} AS cell_y FROM geo
+)
+SELECT doc_id, cell_x, cell_y, CAST({terms} AS BIGINT) AS morton
+FROM cells
 """
 
 
@@ -2494,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_dedup": _o_geo_dedup(),
         "warp_scale_up": _o_warp_scale_up(),
+        "morton_cells": _o_morton_cells(),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),

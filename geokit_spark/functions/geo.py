@@ -192,3 +192,22 @@ def pip_array_col(
         )
         total = total + F.when(cross, 1).otherwise(0)
     return total % 2 == 1
+
+
+def morton_col(x: Column, y: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two non-negative integer cell
+    coordinates — the write-layout key of SURVEY §4: sorting a
+    cell-keyed table by Morton code makes parquet/Iceberg min-max
+    stats prune 2-D bbox queries (nearby cells share code prefixes).
+    Pure JVM bit arithmetic, unrolled per bit; identical closed form
+    (integer //, %, *) in the SQL oracle."""
+    total = F.lit(0).cast("long")
+    for k in range(bits):
+        total = (
+            total
+            + (F.shiftright(x.cast("long"), k).bitwiseAND(F.lit(1)))
+            * F.lit(1 << (2 * k))
+            + (F.shiftright(y.cast("long"), k).bitwiseAND(F.lit(1)))
+            * F.lit(1 << (2 * k + 1))
+        )
+    return total

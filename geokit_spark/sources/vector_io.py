@@ -65,3 +65,25 @@ def extract_feature(df: DataFrame, where) -> dict:
             f"extract_feature expects exactly one match, got {'>1' if len(rows) > 1 else 0}"
         )
     return rows[0].asDict()
+
+
+def create_vector_zordered(
+    df, path: str, x_col: str = "cell_x", y_col: str = "cell_y",
+    n_files: int | None = None,
+):
+    """Persist a cell-keyed table SORTED BY MORTON CODE — the layout
+    that makes engine-side min/max stats prune 2-D range scans
+    (SURVEY §4 'write sorted by Morton(cell)'): range-repartition on
+    the Morton key + sortWithinPartitions, so each output file holds a
+    contiguous Z-curve run = a compact spatial region. n_files pins
+    the file count (default: let AQE size the range exchange)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.geo import morton_col
+
+    keyed = df.withColumn("morton", morton_col(F.col(x_col), F.col(y_col)))
+    if n_files:
+        keyed = keyed.repartitionByRange(n_files, "morton")
+    else:
+        keyed = keyed.repartitionByRange("morton")
+    keyed.sortWithinPartitions("morton").write.mode("overwrite").parquet(path)

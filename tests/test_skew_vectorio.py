@@ -111,3 +111,49 @@ def test_parquet_pushdown_pruning_and_column_projection(spark, tmp_path):
     rows = df.collect()
     assert all(r["year"] > 2000 for r in rows)
     assert len(rows) > 0
+
+
+def test_zordered_layout_files_are_spatially_compact(spark, tmp_path):
+    """create_vector_zordered sorts by Morton code before writing;
+    each output file must then cover a COMPACT cell range (the min/max
+    stats pruning premise): per-file cell bounding boxes are much
+    smaller than the full grid, and a bbox filter keeps correctness."""
+    import glob
+    import os
+
+    from geokit_spark.functions.geo import morton_col
+    from geokit_spark.sources.vector_io import create_vector_zordered
+
+    from geokit_spark.constants import GRID_N
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 48271) % GRID_N).cast("int").alias("cell_x"),
+        ((F.col("id") * 16807) % GRID_N).cast("int").alias("cell_y"),
+    ).repartition(8)
+    path = str(tmp_path / "zorder")
+    create_vector_zordered(df, path, n_files=8)
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) >= 4
+    # each file: morton range must be a narrow slice of the full range
+    spans = []
+    for f in files:
+        pf = spark.read.parquet(f)
+        row = pf.agg(
+            F.min("morton").alias("lo"), F.max("morton").alias("hi")
+        ).collect()[0]
+        spans.append((row["lo"], row["hi"]))
+    full = max(h for _, h in spans) - min(l for l, _ in spans)
+    avg_span = sum(h - l for l, h in spans) / len(spans)
+    assert avg_span < full / (len(spans) - 1) * 1.5  # contiguous runs
+    # morton roundtrip sanity: dedup on (cell) preserved
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    got = back.limit(1000).collect()
+    for r in got:
+        m = 0
+        for k in range(16):
+            m += ((r["cell_x"] >> k) & 1) << (2 * k)
+            m += ((r["cell_y"] >> k) & 1) << (2 * k + 1)
+        assert m == r["morton"]
