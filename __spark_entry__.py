@@ -935,6 +935,31 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows per user (Structured Streaming's session_window
+    running on the batch path — §2.10 depth beyond tumbling windows):
+    30-minute inactivity gap; value summed in exact integer cents so
+    the aggregate is order-independent. Oracle: classic
+    gaps-and-islands SQL (LAG + cumulative island id)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        events.withColumn("cents", cents)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EXACT dedup, end-to-end through Structured Streaming
     (streaming/incremental.stream_dedup_exact: availableNow trigger +
@@ -1061,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dedup": q_geo_dedup,
         "warp_scale_up": q_warp_scale_up,
         "morton_cells": q_morton_cells,
+        "events_sessions": q_events_sessions,
         "stream_dedup": q_stream_dedup,
         "lineage_resume": q_lineage_resume,
         # --- judge-verified in r2 but not in the driver file ----------------
@@ -1726,6 +1752,35 @@ g AS (
 SELECT CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy, ns, ew,
        SQRT(ns * ns + ew * ew) AS slope
 FROM g
+"""
+
+
+def _o_events_sessions() -> str:
+    return """
+WITH marked AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+  SELECT user_id, ts, cents,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM islands
+GROUP BY user_id, session_id
 """
 
 
@@ -2531,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_dedup": _o_geo_dedup(),
         "warp_scale_up": _o_warp_scale_up(),
         "morton_cells": _o_morton_cells(),
+        "events_sessions": _o_events_sessions(),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),
