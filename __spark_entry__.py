@@ -935,6 +935,18 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary container round-trip: serialize a typed header
+    (magic + LE u32/u16 fields) + utf-8 body per doc, then parse it
+    back BYTE-WISE (numpy frombuffer at fixed offsets) and hash the
+    extracted body — md5(body) == md5(text) iff the plumbing is
+    lossless. The real media-container-scan shape minus only the
+    codec."""
+    from geokit_spark.operators.multimodal import container_roundtrip
+
+    return container_roundtrip(_docs(spark, sf_dir))
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SESSION windows per user (Structured Streaming's session_window
     running on the batch path — §2.10 depth beyond tumbling windows):
@@ -1087,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_scale_up": q_warp_scale_up,
         "morton_cells": q_morton_cells,
         "events_sessions": q_events_sessions,
+        "multimodal_container": q_multimodal_container,
         "stream_dedup": q_stream_dedup,
         "lineage_resume": q_lineage_resume,
         # --- judge-verified in r2 but not in the driver file ----------------
@@ -2587,6 +2600,10 @@ def oracle_sql() -> dict[str, str]:
         "warp_scale_up": _o_warp_scale_up(),
         "morton_cells": _o_morton_cells(),
         "events_sessions": _o_events_sessions(),
+        "multimodal_container": __import__(
+            "geokit_spark.operators.multimodal",
+            fromlist=["sql_container_roundtrip"],
+        ).sql_container_roundtrip(),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),

@@ -167,3 +167,142 @@ SELECT doc_id, frame_idx,
   (doc_id * 31 + frame_idx * 17) % {FRAME_HASH_MOD} AS frame_hash
 FROM sc
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic binary CONTAINER format — real byte-level plumbing.
+# payload = b"GKMM" | u32le width | u32le height | u16le n_frames |
+#           u32le sample_rate | body (utf-8 text). The builder derives
+# header values from doc_id by closed forms (mirrored in SQL); the
+# parser reads them back BYTE-WISE with numpy frombuffer — the real
+# shape of a media-container header scan, minus only the codec.
+
+_MAGIC = b"GKMM"
+_HEADER_LEN = 4 + 4 + 4 + 2 + 4
+
+
+def container_header_fields(doc_id: np.ndarray):
+    """Closed-form header values (mirrored by the SQL oracle)."""
+    d = np.asarray(doc_id, dtype=np.int64)
+    width = 16 + (d * 37) % 624
+    height = 16 + (d * 91) % 464
+    n_frames = 1 + (d * 13) % 24
+    sample_rate = 8000 + (d % 5) * 8000
+    return width, height, n_frames, sample_rate
+
+
+def build_container(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): serialize the container for each document —
+    vectorized struct packing via numpy byte views, one mapInPandas
+    pass (the write half of the multimodal plumbing)."""
+    src = docs.select("doc_id", "text")
+
+    def fn(batches):
+        for pdf in batches:
+            d = pdf["doc_id"].to_numpy(np.int64)
+            w, h, fr, sr = container_header_fields(d)
+            payloads = []
+            for i, t in enumerate(pdf["text"]):
+                hdr = np.zeros(1, dtype=[
+                    ("magic", "S4"), ("w", "<u4"), ("h", "<u4"),
+                    ("fr", "<u2"), ("sr", "<u4"),
+                ])
+                hdr["magic"] = _MAGIC
+                hdr["w"] = w[i]
+                hdr["h"] = h[i]
+                hdr["fr"] = fr[i]
+                hdr["sr"] = sr[i]
+                payloads.append(hdr.tobytes() + (t or "").encode("utf-8"))
+            yield pd.DataFrame({"doc_id": d, "payload": payloads})
+
+    return src.mapInPandas(fn, schema="doc_id long, payload binary")
+
+
+def parse_container(payloads: DataFrame) -> DataFrame:
+    """(doc_id, width, height, n_frames, sample_rate, body_len):
+    BYTE-WISE header parse (magic check + little-endian field reads
+    at fixed offsets) — the real container-scan stage. Raises on a
+    corrupt magic; body length from the remaining bytes."""
+    def fn(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "width": [], "height": [], "n_frames": [],
+                "sample_rate": [], "body_len": [],
+            }
+            for buf in pdf["payload"]:
+                b = bytes(buf)
+                if b[:4] != _MAGIC:
+                    raise ValueError("corrupt container magic")
+                hdr = np.frombuffer(b[: _HEADER_LEN], dtype=[
+                    ("magic", "S4"), ("w", "<u4"), ("h", "<u4"),
+                    ("fr", "<u2"), ("sr", "<u4"),
+                ])[0]
+                rows["width"].append(int(hdr["w"]))
+                rows["height"].append(int(hdr["h"]))
+                rows["n_frames"].append(int(hdr["fr"]))
+                rows["sample_rate"].append(int(hdr["sr"]))
+                rows["body_len"].append(len(b) - _HEADER_LEN)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, width long, height long, n_frames long, "
+            "sample_rate long, body_len long"
+        ),
+    )
+
+
+def container_roundtrip(docs: DataFrame) -> DataFrame:
+    """Build + parse + body integrity: the parsed header fields plus
+    the md5 of the EXTRACTED body bytes — byte-identical to md5(text)
+    iff the binary round-trip is lossless (the per-row invariant)."""
+    built = build_container(docs)
+
+    def fn(batches):
+        for pdf in batches:
+            import hashlib
+
+            rows = {
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "width": [], "height": [], "n_frames": [],
+                "sample_rate": [], "body_len": [], "body_md5": [],
+            }
+            for buf in pdf["payload"]:
+                b = bytes(buf)
+                if b[:4] != _MAGIC:
+                    raise ValueError("corrupt container magic")
+                hdr = np.frombuffer(b[: _HEADER_LEN], dtype=[
+                    ("magic", "S4"), ("w", "<u4"), ("h", "<u4"),
+                    ("fr", "<u2"), ("sr", "<u4"),
+                ])[0]
+                body = b[_HEADER_LEN:]
+                rows["width"].append(int(hdr["w"]))
+                rows["height"].append(int(hdr["h"]))
+                rows["n_frames"].append(int(hdr["fr"]))
+                rows["sample_rate"].append(int(hdr["sr"]))
+                rows["body_len"].append(len(body))
+                rows["body_md5"].append(hashlib.md5(body).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return built.mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, width long, height long, n_frames long, "
+            "sample_rate long, body_len long, body_md5 string"
+        ),
+    )
+
+
+def sql_container_roundtrip() -> str:
+    return """
+SELECT doc_id,
+  CAST(16 + (doc_id * 37) % 624 AS BIGINT) AS width,
+  CAST(16 + (doc_id * 91) % 464 AS BIGINT) AS height,
+  CAST(1 + (doc_id * 13) % 24 AS BIGINT) AS n_frames,
+  CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+  CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+  md5(text) AS body_md5
+FROM documents
+"""
