@@ -935,6 +935,31 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_extent():
+    from geokit_spark.constants import XMAX, XMIN, YMAX, YMIN
+    from geokit_spark.extent import Extent
+
+    xs = XMAX - XMIN
+    ys = YMAX - YMIN
+    return Extent(
+        XMIN + 0.27 * xs, YMIN + 0.22 * ys,
+        XMIN + 0.63 * xs, YMIN + 0.71 * ys,
+    )
+
+
+def q_extract_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extractMatrix windowed read (raster.py:433-583): the extent's
+    snap math becomes an integer tile-key predicate (Catalyst prunes
+    the scan); verified as exact per-tile sums of the window."""
+    from geokit_spark.extent import extract_matrix_window
+    from geokit_spark.operators.kernel import tile_sums
+
+    win = extract_matrix_window(
+        tilesrc.raster_table(spark, "elev"), _window_extent()
+    )
+    return tile_sums(win)
+
+
 def q_multimodal_container(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary container round-trip: serialize a typed header
     (magic + LE u32/u16 fields) + utf-8 body per doc, then parse it
@@ -1100,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morton_cells": q_morton_cells,
         "events_sessions": q_events_sessions,
         "multimodal_container": q_multimodal_container,
+        "extract_window": q_extract_window,
         "stream_dedup": q_stream_dedup,
         "lineage_resume": q_lineage_resume,
         # --- judge-verified in r2 but not in the driver file ----------------
@@ -1765,6 +1791,28 @@ g AS (
 SELECT CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy, ns, ew,
        SQRT(ns * ns + ew * ew) AS slope
 FROM g
+"""
+
+
+def _o_extract_window() -> str:
+    import math as _m
+
+    from geokit_spark.constants import TILE_SIZE
+
+    ext = _window_extent()
+    t = TILE_SIZE
+    tx0 = int(_m.floor((ext.xmin - XMIN) / (PIX_DX * t)))
+    tx1 = int(_m.ceil((ext.xmax - XMIN) / (PIX_DX * t))) - 1
+    ty0 = int(_m.floor((YMAX - ext.ymax) / (PIX_DY * t)))
+    ty1 = int(_m.ceil((YMAX - ext.ymin) / (PIX_DY * t))) - 1
+    return f"""
+WITH {sqlgen.pixel_grid_cte()}
+SELECT CAST(ix // {t} AS INT) AS tile_x, CAST(iy // {t} AS INT) AS tile_y,
+       CAST(SUM(elev) AS DOUBLE) AS sum_v
+FROM pix
+WHERE ix // {t} BETWEEN {tx0} AND {tx1}
+  AND iy // {t} BETWEEN {ty0} AND {ty1}
+GROUP BY 1, 2
 """
 
 
@@ -2604,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
             "geokit_spark.operators.multimodal",
             fromlist=["sql_container_roundtrip"],
         ).sql_container_roundtrip(),
+        "extract_window": _o_extract_window(),
         "connected_components": _o_connected_components(),
         "contours": _o_contours(),
         "extract_multi": _o_extract_multi(),
