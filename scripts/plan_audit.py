@@ -1,0 +1,98 @@
+"""Generate PLANS.md: physical-plan audit of the headline queries.
+
+Each query is EXECUTED once (AQE finalizes the plan) and the final
+executed plan is scanned for the scale levers: shuffles, join
+strategies, cartesian products, Python/Arrow stages, and whole-stage
+codegen spans (the `*(n)` markers)."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NAMES = [
+    "pip_region", "pip_zones_join", "extract_values", "knn",
+    "minhash_lsh", "zonal_stats", "warp_near", "warp_stats",
+    "gradient_raster", "connected_components", "contour_lines",
+    "geo_dedup", "dedup_clusters", "ann_topk", "boilerplate_ngrams",
+    "events_sessions", "morton_cells",
+]
+
+
+def main():
+    import __spark_entry__ as e
+    from geokit_spark.session import get_spark
+
+    spark = get_spark("plan_audit", cores=8)
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    rows = []
+    for n in NAMES:
+        df = qs[n](spark, sf)
+        df.collect()  # finalize THIS query execution's adaptive plan
+        p = df._jdf.queryExecution().executedPlan().toString()
+        # AQE final plans repeat child nodes inside materialized query
+        # stages; count the STAGES (deduplicated by id) for shuffles /
+        # broadcasts, and physical join operators for strategies
+        shuffles = len(set(re.findall(r"ShuffleQueryStage (\d+)", p))) or p.count("Exchange")
+        bcasts = len(set(re.findall(r"BroadcastQueryStage (\d+)", p)))
+        rows.append(
+            (
+                n,
+                shuffles,
+                bcasts,
+                p.count("SortMergeJoin"),
+                p.count("CartesianProduct"),
+                p.count("ArrowEvalPython")
+                + p.count("FlatMapGroupsInPandas")
+                + p.count("MapInPandas")
+                + p.count("PythonMapInArrow")
+                + p.count("MapInArrow"),
+                len(set(re.findall(r"\*\((\d+)\)", p))),
+            )
+        )
+    lines = [
+        "# PLANS — physical-plan audit of the headline queries",
+        "",
+        "Generated from the EXECUTED (AQE-final) plans at sf0.001,",
+        "local[8]. The columns are the scale levers: shuffles (Exchange),",
+        "broadcast vs sort-merge joins, accidental cartesian products",
+        "(must be 0 outside the fenced exactness baselines), Python/Arrow",
+        "stages (only where the operator semantics need them), and",
+        "whole-stage-codegen span count (the `*(n)` markers).",
+        "Regenerate: `python scripts/plan_audit.py`.",
+        "",
+        "| query | shuffle stages | broadcast stages | sort-merge joins | cartesian | python/arrow stages | codegen spans |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append("| " + " | ".join(str(x) for x in r) + " |")
+    lines += [
+        "",
+        "Notes:",
+        "- python/arrow and codegen counts may repeat nodes echoed",
+        "  inside AQE stage reprs — read them as presence/shape, the",
+        "  stage columns as exact.",
+        "- PIP joins: candidate map broadcast, big side never shuffles",
+        "  before the final aggregation; the boundary band is the only",
+        "  Arrow stage.",
+        "- Raster kernels (gradient, components, contours) shuffle once",
+        "  for the halo/seam exchange — the minimum for cross-tile",
+        "  semantics.",
+        "- `embed_topk`/`cosine_topk` intentionally contain the only",
+        "  crossJoin in the repo and are capped at max_rows (exactness",
+        "  baselines; ann_topk/ivf_topk are the verified scale paths).",
+        "",
+    ]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
