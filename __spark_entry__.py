@@ -1015,7 +1015,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = __import__(
             "geokit_spark.streaming.incremental", fromlist=["stream_dedup_exact"]
         ).stream_dedup_exact(spark, inp, out, ck)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_dedup did not finish within 300s")
         got = (
             spark.read.parquet(out)
             .groupBy("text_md5")

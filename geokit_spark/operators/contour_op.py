@@ -221,6 +221,15 @@ def contour_polylines(tiles: DataFrame, levels: list[float]) -> DataFrame:
             # local chain linking: chains within this tile contract to
             # one node of the global stitch graph
             comp, _deg = _link_components(arr)
+            if len(comp) and int(comp.max()) >= (1 << 18):
+                # local ids share bits 0-17 with ty's shift; at large
+                # TILE_SIZE a tile can exceed 2^18 chains and would
+                # silently merge unrelated polylines — fail loud.
+                raise ValueError(
+                    "per-tile contour chain id exceeds the 18-bit "
+                    f"packing budget ({int(comp.max())} >= 2^18); "
+                    "reduce TILE_SIZE"
+                )
             cid = (np.int64(li) << 54) | base_tile | comp.astype(np.int64)
             frames.append(
                 pd.DataFrame(

@@ -34,7 +34,13 @@ MH_PRIME = 2147483647  # 2^31 - 1
 MH_A = [2 * ((1103515245 * (i + 1) + 12345) % 1048576) + 1 for i in range(NUM_HASHES)]
 MH_B = [(69069 * (i + 1) + 1) % MH_PRIME for i in range(NUM_HASHES)]
 
-SIM_BITS = 16
+# 64-bit sketch (industry standard): bit b is derived from hash
+# function j = b // 16 (MH_A[j], MH_B[j]) at bit position b % 16 —
+# the 31-bit LCG hashes cannot feed more than ~16 well-mixed low bits
+# each, so the sketch draws 16 bits from each of 4 independent hashes.
+# Bit 63 is the long sign bit (term value -2^63).
+SIM_BITS = 64
+SIM_BITS_PER_HASH = 16
 SHINGLE_K = 3
 
 LEN_BAND = 30  # candidate pairs must be within this n_chars distance
@@ -52,6 +58,56 @@ def shingle_codes_expr(text_col: str) -> F.Column:
     )
 
 
+def _shingle_seg(texts: list) -> tuple:
+    """Codepoint-exact shingle extraction for one chunk of docs.
+    Returns (seg, sh_starts, n_sh): concatenated int64 shingle codes,
+    per-doc start offsets into seg, and per-doc shingle counts.
+    THREE NUL pads per doc emulate ascii(substring-beyond-end) = 0
+    for sub-3-char docs, matching the JVM expression exactly (two
+    pads would read the next doc's first byte — see round-2 bug)."""
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    flat = "".join(t + "\x00\x00\x00" for t in texts)
+    cp = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    seg_lens = lens + 3
+    starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    codes = cp[:-2] * 65536 + cp[1:-1] * 256 + cp[2:]
+    n_sh = np.maximum(lens - 2, 1)
+    sh_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    idx = np.repeat(starts, n_sh) + (
+        np.arange(int(n_sh.sum())) - np.repeat(sh_starts, n_sh)
+    )
+    return codes[idx], sh_starts, n_sh
+
+
+def _shingle_seg_bytes(data: np.ndarray, offs: np.ndarray) -> tuple:
+    """Same shingle codes straight from the Arrow UTF-8 buffer
+    (ASCII-only batches: utf-8 byte == codepoint). One vectorized
+    scatter builds the NUL-padded byte stream. Codes MUST be int64:
+    hash multipliers reach ~2^44 and numpy's NEP-50 loop selection
+    multiplies int32 inputs in int32 even with an int64 out= buffer
+    (silent wraparound)."""
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    nd = len(lens)
+    total = int(lens.sum())
+    padded = np.zeros(total + 3 * nd, dtype=np.uint8)
+    tgt = np.arange(total, dtype=np.int64) + 3 * np.repeat(
+        np.arange(nd, dtype=np.int64), lens
+    )
+    padded[tgt] = data[offs[0] : offs[-1]]
+    b = padded.astype(np.int64)
+    codes = b[:-2] * 65536 + b[1:-1] * 256 + b[2:]
+    seg_lens = lens + 3
+    starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    n_sh = np.maximum(lens - 2, 1)
+    sh_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    idx = np.repeat(starts, n_sh) + (
+        np.arange(int(n_sh.sum())) - np.repeat(sh_starts, n_sh)
+    )
+    return codes[idx], sh_starts, n_sh
+
+
 def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, sig array<long>): same NUM_HASHES minhash values as the
     JVM lambda form, computed in one Arrow-vectorized pandas UDF —
@@ -67,64 +123,19 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text") -> DataFram
     CHUNK = int(os.environ.get("GEOKIT_MH_CHUNK", "512"))
 
     def _chunk(texts: list[str]) -> np.ndarray:
-        lens = np.array([len(t) for t in texts], dtype=np.int64)
-        # THREE NUL pads per doc emulate ascii(substring-beyond-end) = 0
-        # for sub-3-char docs, matching the JVM expression exactly. Two
-        # pads are not enough: an empty doc still emits one shingle
-        # (n_sh = max(len-2, 1) = 1) whose 3-byte window must read
-        # (0,0,0) -> code 0; with 2 pads it read the NEXT doc's first
-        # byte, and past the buffer end for an empty doc at chunk end.
-        flat = "".join(t + "\x00\x00\x00" for t in texts)
-        cp = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32).astype(
-            np.int64
-        )
-        seg_lens = lens + 3
-        starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
-        codes = cp[:-2] * 65536 + cp[1:-1] * 256 + cp[2:]
-        n_sh = np.maximum(lens - 2, 1)
-        sh_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
-        idx = np.repeat(starts, n_sh) + (
-            np.arange(int(n_sh.sum())) - np.repeat(sh_starts, n_sh)
-        )
-        seg = codes[idx]
+        seg, sh_starts, n_sh = _shingle_seg(texts)
         # one pass per hash function: sequential 1-D ops stay in cache
         # (a single (NUM_HASHES, n) broadcast thrashes the allocator)
-        mins = np.empty((NUM_HASHES, len(lens)), dtype=np.int64)
+        mins = np.empty((NUM_HASHES, len(n_sh)), dtype=np.int64)
         for i in range(NUM_HASHES):
             h = (MH_A[i] * seg + MH_B[i]) % MH_PRIME
             mins[i] = np.minimum.reduceat(h, sh_starts)
         return mins.T
 
     def _chunk_bytes(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
-        """Same signatures straight from the Arrow UTF-8 buffer
-        (ASCII-only batches: utf-8 byte == codepoint). One vectorized
-        scatter builds the NUL-padded byte stream. Shingle codes MUST
-        be int64: A*code reaches ~2^44 and numpy's NEP-50 loop
-        selection multiplies int32 inputs in int32 even with an int64
-        out= buffer (silent wraparound — caught by review, the int32
-        'optimization' produced signatures diverging from the JVM
-        formula on all-ASCII batches)."""
-        lens = (offs[1:] - offs[:-1]).astype(np.int64)
-        nd = len(lens)
-        total = int(lens.sum())
-        # three NUL pads per doc — see _chunk for why two is a bug
-        padded = np.zeros(total + 3 * nd, dtype=np.uint8)
-        tgt = np.arange(total, dtype=np.int64) + 3 * np.repeat(
-            np.arange(nd, dtype=np.int64), lens
-        )
-        padded[tgt] = data[offs[0] : offs[-1]]
-        b = padded.astype(np.int64)
-        codes = b[:-2] * 65536 + b[1:-1] * 256 + b[2:]
-        seg_lens = lens + 3
-        starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
-        n_sh = np.maximum(lens - 2, 1)
-        sh_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
-        idx = np.repeat(starts, n_sh) + (
-            np.arange(int(n_sh.sum())) - np.repeat(sh_starts, n_sh)
-        )
-        seg = codes[idx]
+        seg, sh_starts, n_sh = _shingle_seg_bytes(data, offs)
         h = np.empty(len(seg), dtype=np.int64)
-        mins = np.empty((NUM_HASHES, nd), dtype=np.int64)
+        mins = np.empty((NUM_HASHES, len(n_sh)), dtype=np.int64)
         for i in range(NUM_HASHES):
             np.multiply(seg, MH_A[i], out=h)
             h += MH_B[i]
@@ -315,37 +326,133 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def simhash_col(sh_col: str = "sh") -> F.Column:
-    """SIM_BITS-bit simhash: bit b set iff sum over shingle codes of
-    (2*bit_b(h(c)) - 1) > 0, with h(c) = (a0*c + b0) % P."""
-    a0, b0 = MH_A[0], MH_B[0]
+def simhash_col(sh_col: str = "sh", sim_bits: int = SIM_BITS) -> F.Column:
+    """sim_bits-bit simhash: bit b set iff sum over DISTINCT shingle
+    codes of (2*bit_{b%16}(h_j(c)) - 1) > 0 with j = b // 16 and
+    h_j(c) = (MH_A[j]*c + MH_B[j]) % P. Bit 63 is the long sign bit
+    (term value -2^63, added LAST so no partial sum overflows ANSI
+    long arithmetic). This is the JVM closed form — the oracle SQL and
+    the Arrow fast path (simhash_docs) mirror it bit-for-bit."""
     terms = []
-    for b in range(SIM_BITS):
+    for b in range(sim_bits):
+        j, p = b // SIM_BITS_PER_HASH, b % SIM_BITS_PER_HASH
         s = F.expr(
             f"aggregate(transform({sh_col}, "
-            f"c -> 2 * (((({a0} * CAST(c AS BIGINT) + {b0}) % {MH_PRIME}) div {1 << b}) % 2) - 1), "
+            f"c -> 2 * (((({MH_A[j]} * CAST(c AS BIGINT) + {MH_B[j]}) % {MH_PRIME}) div {1 << p}) % 2) - 1), "
             f"0L, (acc, x) -> acc + x)"
         )
-        terms.append(F.when(s > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        val = -(1 << 63) if b == 63 else (1 << b)
+        terms.append(F.when(s > 0, F.lit(val).cast("long")).otherwise(F.lit(0).cast("long")))
     out = terms[0]
     for t in terms[1:]:
         out = out + t
     return out.cast("long")
 
 
-def simhash_docs(docs: DataFrame) -> DataFrame:
-    return _with_shingles(docs).select(
-        "doc_id", simhash_col().alias("simhash")
+def _simhash_from_seg(seg, sh_starts, n_sh, sim_bits: int) -> np.ndarray:
+    """Vectorized simhash over concatenated shingle codes. Replicates
+    simhash_col exactly: per-doc DISTINCT codes (array_distinct), then
+    per bit the sign of 2*count_set - n_distinct."""
+    nd = len(n_sh)
+    docidx = np.repeat(np.arange(nd, dtype=np.int64), n_sh)
+    order = np.lexsort((seg, docidx))
+    ds, ss = docidx[order], seg[order]
+    keep = np.empty(len(ss), dtype=bool)
+    keep[0] = True
+    keep[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
+    useg = ss[keep]
+    udoc = ds[keep]
+    # every doc emits >= 1 shingle, so udoc covers all doc indices
+    ustarts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+    n_u = np.diff(np.r_[ustarts, len(udoc)])
+    acc = np.zeros(nd, dtype=np.uint64)
+    h = np.empty(len(useg), dtype=np.int64)
+    for j in range((sim_bits + SIM_BITS_PER_HASH - 1) // SIM_BITS_PER_HASH):
+        np.multiply(useg, MH_A[j], out=h)
+        h += MH_B[j]
+        np.remainder(h, MH_PRIME, out=h)
+        for p in range(min(SIM_BITS_PER_HASH, sim_bits - SIM_BITS_PER_HASH * j)):
+            b = SIM_BITS_PER_HASH * j + p
+            cnt = np.add.reduceat((h >> p) & 1, ustarts)
+            acc |= ((2 * cnt) > n_u).astype(np.uint64) << np.uint64(b)
+    return acc.view(np.int64)
+
+
+def simhash_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    sim_bits: int = SIM_BITS,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(doc_id, simhash[, *extra_cols]): the 64-bit sketch via one
+    Arrow-vectorized pass (same parsing fast paths as minhash —
+    zero-copy UTF-8 buffer when the batch is ASCII, codepoint-exact
+    fallback otherwise). extra_cols are forwarded through the batch so
+    callers (simhash_near_pairs) avoid a join back to the docs table."""
+    CHUNK = int(os.environ.get("GEOKIT_MH_CHUNK", "512"))
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            tarr = batch.column(1)
+            if tarr.null_count == 0:
+                off_buf, data_buf = tarr.buffers()[1], tarr.buffers()[2]
+                offs = np.frombuffer(off_buf, np.int32)[
+                    tarr.offset : tarr.offset + n + 1
+                ].astype(np.int64)
+                data = np.frombuffer(data_buf, np.uint8)
+                ascii_ok = (
+                    offs[-1] == offs[0]
+                    or int(data[offs[0] : offs[-1]].max()) < 128
+                )
+            else:
+                ascii_ok = False
+            lst = None if ascii_ok else tarr.to_pylist()
+            outs = []
+            for i in range(0, n, CHUNK):
+                if ascii_ok:
+                    seg, st, ns = _shingle_seg_bytes(data, offs[i : i + CHUNK + 1])
+                else:
+                    seg, st, ns = _shingle_seg(
+                        [x or "" for x in lst[i : i + CHUNK]]
+                    )
+                outs.append(_simhash_from_seg(seg, st, ns, sim_bits))
+            sketch = pa.array(np.concatenate(outs))
+            cols = [batch.column(0), sketch] + [
+                batch.column(2 + k) for k in range(len(extra_cols))
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols, ["doc_id", "simhash", *extra_cols]
+            )
+
+    sel = docs.select("doc_id", F.col(text_col), *extra_cols)
+    extra_schema = "".join(
+        f", {c} {t}" for c, t in zip(
+            extra_cols,
+            [dict(docs.dtypes)[c] for c in extra_cols],
+        )
+    )
+    return sel.mapInArrow(
+        fn, schema=f"doc_id long, simhash long{extra_schema}"
     )
 
 
-def simhash_band_exprs(max_hamming: int, sim_col: str = "simhash"):
-    """Split the SIM_BITS sketch into max_hamming+1 contiguous bit
+def simhash_band_exprs(
+    max_hamming: int, sim_col: str = "simhash", sim_bits: int = SIM_BITS
+):
+    """Split the sim_bits sketch into max_hamming+1 contiguous bit
     bands. PIGEONHOLE: a pair within max_hamming differs in at most
     max_hamming bands, so it shares AT LEAST ONE band's exact value —
-    the Hamming-ball equijoin key."""
+    the Hamming-ball equijoin key. At the default 64 bits with
+    max_hamming=3 each band carries 16 bits (65k bucket values), so
+    band buckets actually discriminate at corpus scale (the round-3
+    16-bit sketch gave 4-bit bands = 16 buckets — quadratic/16)."""
     nb = max_hamming + 1
-    sizes = [SIM_BITS // nb + (1 if i < SIM_BITS % nb else 0) for i in range(nb)]
+    sizes = [sim_bits // nb + (1 if i < sim_bits % nb else 0) for i in range(nb)]
     exprs = []
     off = 0
     for i, sz in enumerate(sizes):
@@ -361,64 +468,80 @@ def simhash_band_exprs(max_hamming: int, sim_col: str = "simhash"):
     return exprs
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 2, sim_bits: int = SIM_BITS
+) -> DataFrame:
     """(id_a, id_b, hamming) for same-lang, length-banded pairs within
     max_hamming on the simhash sketch.
 
-    Physical shape (round-3 rework): candidates come from a HAMMING-
-    BALL band equijoin — each doc explodes to max_hamming+1 (band,
-    band_bits) keys and any qualifying pair must share one (pigeonhole
-    over the bit bands), so candidate volume is bounded by simhash
-    band-bucket sizes instead of being quadratic within a length
-    bucket for uniform-length corpora. The lang / LEN_BAND predicates
-    are kept as post-filters, preserving the original output contract
-    bit-for-bit."""
-    sh = simhash_docs(docs)
-    bands = sh.select(
-        "doc_id",
-        F.explode(F.array(*simhash_band_exprs(max_hamming))).alias("bk"),
+    Physical shape (round-4 rework): ONE Hamming-ball band EQUIJOIN on
+    (band, band_val, lang, len_bucket). Each doc explodes to
+    (max_hamming+1) bands x 3 length buckets (the +-1 explode trick
+    from candidate_pairs: any pair within LEN_BAND differs by at most
+    one floor(n_chars/LEN_BAND) bucket, and the right side keeps its
+    single bucket, so a qualifying pair is matched once per shared
+    band). The sketch and meta columns ride through the explode, so
+    hamming and the exact length predicate evaluate directly on the
+    join output — no join-back to the docs table — and the final
+    distinct() dedupes the <= max_hamming+1 band matches. Candidates
+    are bounded by (lang, len-bucket, 16-bit band value) bucket sizes:
+    the blocking factor of the old (lang, length) scheme TIMES the
+    65k-way band split."""
+    sh = simhash_docs(
+        docs, sim_bits=sim_bits, extra_cols=("lang", "n_chars")
+    )
+    bucket = F.floor(F.col("n_chars") / F.lit(LEN_BAND))
+    bands = F.explode(
+        F.array(*simhash_band_exprs(max_hamming, sim_bits=sim_bits))
+    ).alias("bk")
+    a = (
+        sh.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("simhash").alias("h_a"),
+            "lang",
+            F.col("n_chars").alias("len_a"),
+            bands,
+        )
+        # one generator per projection: the bucket explode chains after
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.array(
+                    F.floor(F.col("len_a") / F.lit(LEN_BAND)) - F.lit(1),
+                    F.floor(F.col("len_a") / F.lit(LEN_BAND)),
+                    F.floor(F.col("len_a") / F.lit(LEN_BAND)) + F.lit(1),
+                )
+            ),
+        )
+        .select(
+            "id_a", "h_a", "lang", "len_a", "bkt",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_val").alias("band_val"),
+        )
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("h_b"),
+        "lang",
+        F.col("n_chars").alias("len_b"),
+        bucket.alias("bkt"),
+        bands,
     ).select(
-        "doc_id", F.col("bk.band").alias("band"),
+        "id_b", "h_b", "lang", "len_b", "bkt",
+        F.col("bk.band").alias("band"),
         F.col("bk.band_val").alias("band_val"),
-    )
-    a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_val")
-    b = bands.select(F.col("doc_id").alias("id_b"), "band", "band_val")
-    cand = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    meta = docs.select("doc_id", "lang", "n_chars")
-    j = (
-        cand.join(
-            sh.withColumnRenamed("doc_id", "id_a")
-            .withColumnRenamed("simhash", "h_a"), "id_a"
-        )
-        .join(
-            sh.withColumnRenamed("doc_id", "id_b")
-            .withColumnRenamed("simhash", "h_b"), "id_b"
-        )
-        .join(
-            meta.withColumnRenamed("doc_id", "id_a")
-            .withColumnRenamed("lang", "lang_a")
-            .withColumnRenamed("n_chars", "len_a"), "id_a"
-        )
-        .join(
-            meta.withColumnRenamed("doc_id", "id_b")
-            .withColumnRenamed("lang", "lang_b")
-            .withColumnRenamed("n_chars", "len_b"), "id_b"
-        )
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        j.withColumn("hamming", ham)
+        a.join(b, ["band", "band_val", "lang", "bkt"])
         .filter(
-            (F.col("hamming") <= max_hamming)
-            & (F.col("lang_a") == F.col("lang_b"))
+            (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(LEN_BAND))
         )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -106,14 +106,24 @@ def band_keys_union(sig: str = "sig") -> str:
 
 
 def simhash_expr(s: str = "s") -> str:
-    a0, b0 = MH_A[0], MH_B[0]
+    """64-bit sketch mirror of dedup.simhash_col: bit b uses hash
+    function j = b // 16 at bit position b % 16; bit 63 is the BIGINT
+    sign bit (term -2^63, written as -9223372036854775807 - 1 so the
+    literal stays BIGINT). Terms sum left-assoc with the negative term
+    last, so no partial sum overflows."""
+    from ..operators.dedup import SIM_BITS_PER_HASH
+
     terms = []
     for b in range(SIM_BITS):
+        j, p = b // SIM_BITS_PER_HASH, b % SIM_BITS_PER_HASH
         acc = (
             f"list_sum(list_transform({s}, "
-            f"c -> 2 * (((({a0} * CAST(c AS BIGINT) + {b0}) % {MH_PRIME}) // {1 << b}) % 2) - 1))"
+            f"c -> 2 * (((({MH_A[j]} * CAST(c AS BIGINT) + {MH_B[j]}) % {MH_PRIME}) // {1 << p}) % 2) - 1))"
         )
-        terms.append(f"(CASE WHEN {acc} > 0 THEN {1 << b} ELSE 0 END)")
+        val = "(-9223372036854775807 - 1)" if b == 63 else str(1 << b)
+        terms.append(
+            f"(CASE WHEN {acc} > 0 THEN CAST({val} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 

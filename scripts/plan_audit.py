@@ -37,7 +37,11 @@ def main():
         # AQE final plans repeat child nodes inside materialized query
         # stages; count the STAGES (deduplicated by id) for shuffles /
         # broadcasts, and physical join operators for strategies
-        shuffles = len(set(re.findall(r"ShuffleQueryStage (\d+)", p))) or p.count("Exchange")
+        # fallback (AQE off): count shuffle exchanges only — a bare
+        # "Exchange" substring also matches BroadcastExchange
+        shuffles = len(set(re.findall(r"ShuffleQueryStage (\d+)", p))) or len(
+            re.findall(r"(?<!Broadcast)Exchange (?:hash|range|Single)", p)
+        )
         bcasts = len(set(re.findall(r"BroadcastQueryStage (\d+)", p)))
         rows.append(
             (

@@ -63,7 +63,54 @@ def test_simhash_close_for_identical(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
     got = dedup.simhash_docs(df).toPandas()
     assert got["simhash"].iloc[0] == got["simhash"].iloc[1]
-    assert 0 <= got["simhash"].iloc[0] < (1 << dedup.SIM_BITS)
+    # 64-bit sketch occupies the full signed long range
+    assert -(1 << 63) <= int(got["simhash"].iloc[0]) < (1 << 63)
+
+
+def test_simhash_fast_matches_jvm_closed_form(spark, docs):
+    """The Arrow fast path must replicate the JVM closed form
+    (simhash_col) bit-for-bit — same distinct-shingle sums, same
+    sign-bit packing."""
+    jvm = (
+        docs.withColumn("sh", dedup.shingle_codes_expr("text"))
+        .select("doc_id", dedup.simhash_col().alias("simhash"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    fast = (
+        dedup.simhash_docs(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (jvm["simhash"].values == fast["simhash"].values).all()
+
+
+def test_simhash_band_buckets_grow_with_sketch_width(spark, docs):
+    """Candidate-volume guard: the Hamming-ball band equijoin is only
+    sub-quadratic if band values discriminate. At 64 bits each of the
+    4 bands carries 16 bits -> the number of distinct (band, band_val)
+    keys must be much larger than the 16-bit sketch's 4-bit bands
+    (<= 4*16 = 64 keys), and candidate volume must shrink."""
+    from pyspark.sql import functions as F
+
+    def n_keys(bits):
+        sh = dedup.simhash_docs(docs, sim_bits=bits)
+        return (
+            sh.select(
+                F.explode(
+                    F.array(*dedup.simhash_band_exprs(3, sim_bits=bits))
+                ).alias("bk")
+            )
+            .select("bk.band", "bk.band_val")
+            .distinct()
+            .count()
+        )
+
+    narrow, wide = n_keys(16), n_keys(64)
+    assert narrow <= 64  # 4 bands x 4 bits: structurally capped
+    assert wide > 4 * narrow, (narrow, wide)
 
 
 def test_cosine_topk_self_excluded_and_symmetric_sanity(spark):
