@@ -601,12 +601,20 @@ def boilerplate_flags(
 ) -> DataFrame:
     """Per-doc boilerplate statistics: (doc_id, n_ngrams, n_boiler,
     boiler_ratio) where n_boiler counts n-gram POSITIONS whose n-gram
-    is high-document-frequency (df >= min_df). The high-df set is the
-    small side (bounded by corpus-wide distinct boilerplate n-grams)
-    and broadcast-joins back against the exploded positions — the big
-    side shuffles nothing."""
-    hot = ngram_doc_freq(docs, n).filter(F.col("df") >= min_df).select(
-        "ngram_md5"
+    is high-document-frequency (df >= min_df).
+
+    The high-df set's size is DATA-DEPENDENT — on a web corpus the
+    n-grams with df >= min_df can be billions of rows, so a forced
+    broadcast would OOM every executor. The join side therefore goes
+    through the size-aware hint (plans.hints): hinted only when
+    Catalyst's estimate fits the threshold, otherwise unhinted and AQE
+    picks broadcast at runtime iff the materialized set is small."""
+    from ..plans.hints import size_aware_broadcast
+
+    hot = size_aware_broadcast(
+        ngram_doc_freq(docs, n).filter(F.col("df") >= min_df).select(
+            "ngram_md5"
+        )
     )
     grams = docs.select(
         "doc_id",
@@ -618,7 +626,7 @@ def boilerplate_flags(
         ).alias("ngram_md5"),
     )
     per_doc = (
-        grams.join(F.broadcast(hot), "ngram_md5", "left_semi")
+        grams.join(hot, "ngram_md5", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_boiler"))
     )

@@ -52,31 +52,13 @@ def _tile_cols(ix, iy):
 
 
 def _tile_side(tiles: DataFrame) -> DataFrame:
-    """Size-aware build side for the point->tile equijoin: add the
-    broadcast hint only when Catalyst's OWN size estimate for the tile
-    table fits under spark.sql.autoBroadcastJoinThreshold. A general
-    raster can be arbitrarily large — force-broadcasting it OOMs every
-    executor — so anything big (or of unknown size) is returned
-    unhinted and the planner / AQE chooses the strategy at runtime."""
-    spark = tiles.sparkSession
-    try:
-        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        thresh = int(
-            spark._jvm.org.apache.spark.network.util.JavaUtils
-            .byteStringAsBytes(raw)
-        )
-    except Exception:
-        thresh = 10 * 1024 * 1024
-    if thresh <= 0:
-        return tiles
-    try:
-        size = int(
-            tiles._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes().toString()
-        )
-    except Exception:
-        return tiles
-    return F.broadcast(tiles) if size <= thresh else tiles
+    """Size-aware build side for the point->tile equijoin: broadcast
+    hint only when Catalyst's size estimate fits the threshold. A
+    general raster can be arbitrarily large — force-broadcasting it
+    OOMs every executor (see plans.hints for the shared rationale)."""
+    from ..plans.hints import size_aware_broadcast
+
+    return size_aware_broadcast(tiles)
 
 
 def extract_values(points: DataFrame, tiles: DataFrame, value_name: str = "value") -> DataFrame:

@@ -49,15 +49,39 @@ def _query_cells(queries) -> dict[int, tuple[int, int]]:
 
 
 def _ring_candidates(spark: SparkSession, queries, radii: dict[int, int]) -> DataFrame:
-    """(query_id, cell_id) pairs for all cells within each query's ring."""
+    """(query_id, cell_id) pairs for all cells within each query's
+    ring, generated DISTRIBUTED: the driver ships only one
+    (query_id, cx, cy, r) row per query and the up-to-(2r+1)^2 cells
+    expand executor-side via sequence + explode — with sparse data the
+    correctness radius can approach GRID_N, i.e. GRID_N^2 cells per
+    query, which must never be built row-by-row on the driver."""
     qcells = _query_cells(queries)
-    rows = []
-    for qid, r in radii.items():
-        cx, cy = qcells[qid]
-        for x in range(max(0, cx - r), min(GRID_N, cx + r + 1)):
-            for y in range(max(0, cy - r), min(GRID_N, cy + r + 1)):
-                rows.append((qid, x * GRID_N + y))
-    return spark.createDataFrame(rows, "query_id int, cell_id long")
+    rows = [
+        (qid, qcells[qid][0], qcells[qid][1], r) for qid, r in radii.items()
+    ]
+    qdf = spark.createDataFrame(rows, "query_id int, cx int, cy int, r int")
+    # one generator per projection: chain the two explodes
+    xs = qdf.select(
+        "query_id", "cy", "r",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("cx") - F.col("r")),
+                F.least(F.lit(GRID_N - 1), F.col("cx") + F.col("r")),
+            )
+        ).alias("x"),
+    )
+    return xs.select(
+        "query_id", "x",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("cy") - F.col("r")),
+                F.least(F.lit(GRID_N - 1), F.col("cy") + F.col("r")),
+            )
+        ).alias("y"),
+    ).select(
+        "query_id",
+        (F.col("x").cast("long") * F.lit(GRID_N) + F.col("y")).alias("cell_id"),
+    )
 
 
 def knn(

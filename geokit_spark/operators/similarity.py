@@ -18,8 +18,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EMB_DIM = 64
+# Defaults are the ORACLE-PINNED widths (the driver's ann_topk /
+# embed_near_dup rows reproduce these buckets in SQL). At scale the
+# widths are arguments: n_planes must grow ~log2(n / target bucket
+# size) with corpus size or per-table candidate joins degenerate to
+# ~n^2 / 2^n_planes — see suggest_n_planes.
 N_PLANES = 4  # bits per table (16 buckets/table)
 N_TABLES = 8  # independent hash tables; candidates = union over tables
+
+
+def suggest_n_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Sizing rule for the random-hyperplane LSH bucket width: enough
+    plane bits that the EXPECTED bucket size n / 2^planes is at most
+    target_bucket — per-table candidate volume is then bounded by
+    n * target_bucket instead of n^2 / 2^planes. Recall lost to the
+    narrower buckets is recovered by more tables / probe bits (the
+    standard multi-table LSH trade)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n_rows / target_bucket)))
 
 
 def _lcg_plane(plane: int, dim: int) -> float:
@@ -83,13 +102,15 @@ def cosine_topk(
     )
 
 
-def lsh_bucket_col(table: int, emb_col: str = "embedding") -> F.Column:
+def lsh_bucket_col(
+    table: int, emb_col: str = "embedding", n_planes: int = N_PLANES
+) -> F.Column:
     """Random-hyperplane signature for one table:
     bit p = (dot(v, plane_{table,p}) > 0), offset by table id so keys
     from different tables never collide."""
-    bucket = F.lit(table * (1 << N_PLANES))
-    for p in range(N_PLANES):
-        plane = [_lcg_plane(table * N_PLANES + p, d) for d in range(EMB_DIM)]
+    bucket = F.lit(table * (1 << n_planes))
+    for p in range(n_planes):
+        plane = [_lcg_plane(table * n_planes + p, d) for d in range(EMB_DIM)]
         dot = F.aggregate(
             F.zip_with(
                 F.col(emb_col),
@@ -103,13 +124,20 @@ def lsh_bucket_col(table: int, emb_col: str = "embedding") -> F.Column:
     return bucket
 
 
-def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    emb: DataFrame, n_planes: int = N_PLANES, n_tables: int = N_TABLES
+) -> DataFrame:
     """Ordered candidate pairs (id_a < id_b) sharing any table's LSH
     bucket — the bucketed-equijoin candidate generator shared by
     cosine_near_dup and ann_topk. Shuffles only (vec_id, bucket)
-    pairs; candidate volume is bounded by per-table bucket sizes."""
+    pairs; candidate volume is bounded by per-table bucket sizes —
+    size n_planes with suggest_n_planes so buckets stay bounded as the
+    corpus grows."""
     e = emb.select("vec_id", "embedding")
-    tabs = [e.withColumn("bucket", lsh_bucket_col(t)) for t in range(N_TABLES)]
+    tabs = [
+        e.withColumn("bucket", lsh_bucket_col(t, n_planes=n_planes))
+        for t in range(n_tables)
+    ]
     buckets = tabs[0]
     for m in tabs[1:]:
         buckets = buckets.unionByName(m)
@@ -123,7 +151,12 @@ def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
     )
 
 
-def cosine_near_dup(emb: DataFrame, threshold: float = 0.2) -> DataFrame:
+def cosine_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
     """Embedding near-duplicate pairs at scale: LSH-bucketed candidate
     generation + exact float64 cosine verification (>= threshold).
     Output = { LSH-candidate pairs with sim >= threshold } — the
@@ -131,7 +164,7 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.2) -> DataFrame:
     the same hyperplane buckets from the same LCG literals. The
     all-pairs crossJoin variant survives as cosine_near_dup_exact for
     small-sf recall cross-checks only."""
-    cand = lsh_candidate_pairs(emb)
+    cand = lsh_candidate_pairs(emb, n_planes=n_planes, n_tables=n_tables)
     av = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
     ).withColumn("na", norm_col("ea"))
@@ -342,21 +375,30 @@ def ivf_topk(
     )
 
 
-def ann_topk(emb: DataFrame, k: int = 5, probe_bits: int = 0) -> DataFrame:
+def ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    probe_bits: int = 0,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
     """Approximate top-k: candidates share any table's LSH bucket
     (multi-table random-hyperplane LSH). probe_bits adds 1-bit-flip
     probe buckets per table. Returns (vec_id, rank, neighbor_id).
 
     Scale shape: the per-table bucket join shuffles only
     (vec_id, bucket) pairs; exact re-scoring happens on the deduped
-    candidate union, bounded by bucket sizes per table."""
+    candidate union, bounded by bucket sizes per table. The defaults
+    are the oracle-pinned widths; at corpus scale pass
+    n_planes=suggest_n_planes(n) so expected bucket size stays bounded
+    (recall is recovered with n_tables / probe_bits)."""
     e = emb.select("vec_id", "embedding")
     unprobed, probed = [], []
-    for t in range(N_TABLES):
-        te = e.withColumn("bucket", lsh_bucket_col(t))
+    for t in range(n_tables):
+        te = e.withColumn("bucket", lsh_bucket_col(t, n_planes=n_planes))
         unprobed.append(te)
         probed.append(te)
-        for p in range(min(probe_bits, N_PLANES)):
+        for p in range(min(probe_bits, n_planes)):
             probed.append(
                 te.withColumn(
                     "bucket", F.col("bucket").bitwiseXOR(F.lit(1 << p))

@@ -52,11 +52,22 @@ def _region_from_json(s: str):
 
 
 def union_zones_geometry(
-    spark: SparkSession, zones=None, n_groups: int = 8
+    spark: SparkSession, zones=None, n_groups: int = 8, fan_in: int = 8
 ) -> DataFrame:
     """(union_area, n_rings, n_outer, n_holes, wkb) of the union of
-    all zone polygons."""
+    all zone polygons.
+
+    Tree shape: log-depth — merge levels of at most fan_in partial
+    regions each (grp // fan_in regrouping) run until <= fan_in
+    partials remain, then one root task assembles rings + WKB. No
+    single task ever unions more than fan_in partial regions (the
+    merge fn raises otherwise), so a continental union is
+    ceil(log_fan_in(n_groups)) rounds of bounded tasks instead of one
+    task over every partial. Set associativity of the exact-rational
+    union makes the result independent of the tree shape."""
     zones = zones if zones is not None else fixtures.ZONES
+    if fan_in < 2:
+        raise ValueError("fan_in must be >= 2")
     # CONTIGUOUS id blocks: zone ids are laid out row-major on the
     # fixture grid, so block grouping gives spatially coherent
     # partial regions — the kernel's bbox pruning then skips almost
@@ -79,7 +90,35 @@ def union_zones_geometry(
         partial, schema="grp int, region string"
     )
 
+    def merge_level(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > fan_in:
+            raise ValueError(
+                f"union merge task got {len(pdf)} partials > fan_in="
+                f"{fan_in} — log-depth bound violated"
+            )
+        regions = [_region_from_json(s) for s in pdf["region"]]
+        region = union_regions(regions)
+        return pd.DataFrame(
+            [{"grp": int(pdf["grp"].iloc[0]), "region": _region_to_json(region)}]
+        )
+
+    # log-depth reduce: each level shrinks the partial count by fan_in
+    remaining = n_groups
+    while remaining > fan_in:
+        partials = (
+            partials.withColumn(
+                "grp", F.floor(F.col("grp") / F.lit(fan_in)).cast("int")
+            )
+            .groupBy("grp")
+            .applyInPandas(merge_level, schema="grp int, region string")
+        )
+        remaining = (remaining + fan_in - 1) // fan_in
+
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > fan_in:
+            raise ValueError(
+                f"union root task got {len(pdf)} partials > fan_in={fan_in}"
+            )
         regions = [_region_from_json(s) for s in pdf["region"]]
         rings = union_regions(regions)
         area = sum((signed_area2(r) for r in rings), Fraction(0)) / 2

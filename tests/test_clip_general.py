@@ -104,3 +104,48 @@ def test_union_zones_geometry_structure(spark):
     buf = bytes(row["wkb"])
     order, gtype, npolys = st.unpack_from("<BII", buf, 0)
     assert order == 1 and gtype == 6 and npolys == row["n_outer"]
+
+
+def test_union_log_depth_tree_shape_invariant(spark):
+    """The log-depth merge tree (n_groups=32, fan_in=4 -> three merge
+    levels) must compute the same geometry as the flat two-level
+    reduce — set associativity of the exact-rational union — while no
+    task unions more than fan_in partials (merge fn raises otherwise).
+    WKB bytes are NOT tree-invariant (ring order / collinear T-joint
+    vertices differ), so the comparison is on tree-invariant
+    properties: exact area, ring counts, per-ring area multiset."""
+    import struct as st
+
+    from geokit_spark import fixtures
+    from geokit_spark.operators.union_op import union_zones_geometry
+
+    def ring_areas(wkb: bytes) -> list:
+        areas, off = [], 0
+        order, gtype, npolys = st.unpack_from("<BII", wkb, off)
+        off += 9
+        for _ in range(npolys):
+            _o, _t, nrings = st.unpack_from("<BII", wkb, off)
+            off += 9
+            for _ in range(nrings):
+                (npts,) = st.unpack_from("<I", wkb, off)
+                off += 4
+                pts = st.unpack_from(f"<{2 * npts}d", wkb, off)
+                off += 16 * npts
+                x, y = pts[0::2], pts[1::2]
+                s = sum(
+                    x[i] * y[i + 1] - x[i + 1] * y[i]
+                    for i in range(npts - 1)
+                )
+                areas.append(round(s / 2.0, 9))
+        return sorted(areas)
+
+    zones = fixtures.ZONES[:40]
+    flat = union_zones_geometry(spark, zones).collect()[0]
+    deep = union_zones_geometry(
+        spark, zones, n_groups=32, fan_in=4
+    ).collect()[0]
+    assert deep["union_area"] == flat["union_area"]
+    assert (deep["n_rings"], deep["n_outer"], deep["n_holes"]) == (
+        flat["n_rings"], flat["n_outer"], flat["n_holes"]
+    )
+    assert ring_areas(bytes(deep["wkb"])) == ring_areas(bytes(flat["wkb"]))

@@ -113,6 +113,29 @@ def test_simhash_band_buckets_grow_with_sketch_width(spark, docs):
     assert wide > 4 * narrow, (narrow, wide)
 
 
+def test_boilerplate_hot_set_not_force_broadcast(spark, docs):
+    """The high-df n-gram set is data-dependent (billions of rows on a
+    web corpus) — the join must not FORCE a broadcast: with
+    auto-broadcast disabled the plan must still execute without a
+    BroadcastHashJoin and produce identical values."""
+
+    def run():
+        df = dedup.boilerplate_flags(docs)
+        out = df.orderBy("doc_id").toPandas()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return out, plan
+
+    with_b, _plan_b = run()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        without_b, plan_s = run()
+        assert "BroadcastHashJoin" not in plan_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert with_b.equals(without_b)
+
+
 def test_cosine_topk_self_excluded_and_symmetric_sanity(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     got = similarity.cosine_topk(emb, k=3).toPandas()
@@ -149,6 +172,41 @@ def test_ivf_fixed_recall_vs_exact(spark):
     a = ivf.groupby("vec_id")["neighbor_id"].apply(set)
     recalls = [len(e[v] & a.get(v, set())) / 5 for v in e.index]
     assert np.mean(recalls) > 0.4, np.mean(recalls)
+
+
+def test_ann_recall_at_wider_buckets(spark):
+    """suggest_n_planes widens the sketch as the corpus grows; the
+    recall lost to narrower buckets is recovered by MORE TABLES (the
+    documented trade). At 8 planes the 8-table recall drops (~0.22 on
+    this fixture — buckets of ~2 rarely hold true neighbors), and
+    tripling the tables must win most of it back."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, k=5).toPandas()
+    e = exact.groupby("vec_id")["neighbor_id"].apply(set)
+
+    def recall(n_tables):
+        ann = similarity.ann_topk(
+            emb, k=5, probe_bits=2, n_planes=8, n_tables=n_tables
+        ).toPandas()
+        a = ann.groupby("vec_id")["neighbor_id"].apply(set)
+        return np.mean([len(e[v] & a.get(v, set())) / 5 for v in e.index])
+
+    r8, r24 = recall(8), recall(24)
+    assert r24 > r8, (r8, r24)
+    assert r24 > 0.35, r24
+
+
+def test_ann_candidate_volume_shrinks_with_planes(spark):
+    """Candidate-volume bound: more plane bits -> smaller buckets ->
+    fewer candidate pairs (the 100-TB knob). Also checks the sizing
+    rule's monotonicity."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    wide = similarity.lsh_candidate_pairs(emb, n_planes=8).count()
+    narrow = similarity.lsh_candidate_pairs(emb, n_planes=4).count()
+    assert wide < narrow, (wide, narrow)
+    assert similarity.suggest_n_planes(100) == similarity.N_PLANES
+    assert similarity.suggest_n_planes(1_000_000, 64) == 14
+    assert similarity.suggest_n_planes(1_000_000_000, 64) == 24
 
 
 def test_near_dup_lsh_subset_and_recall(spark):
