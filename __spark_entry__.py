@@ -626,6 +626,48 @@ def q_union_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_zones_geometry(spark).select("union_area")
 
 
+def q_pip_region_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial semi-join vs a DONUT region (outer ring + two interior
+    rings — the reference's polygon-with-holes input,
+    geom.py:261-345): per-lang counts. Even-odd parity over ALL rings'
+    edges; hole-interior cells classify OUT at candidate-map build
+    time, so points over holes never join."""
+    inside = spatial_join.docs_in_polygon(
+        spark, _docs(spark, sf_dir), fixtures.REGION_HOLES_RINGS
+    )
+    return inside.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def q_extract_clip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extractAndClipFeatures against the donut region: areaShare =
+    (|z ∩ outer| - sum |z ∩ hole|) / |z| in exact rationals (engine:
+    ear-clip + S-H decomposition; oracle: independent boundary-
+    integral algorithm — equal rationals, identical float64)."""
+    from geokit_spark.operators.clipops import extract_and_clip_zones_general
+
+    return extract_and_clip_zones_general(spark, fixtures.REGION_HOLES_RINGS)
+
+
+def q_lines_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-vs-polygon INTERSECTS join (reference predicates branch
+    per geometry type incl. lines, vector.py:365-434): per line the
+    proper segment-edge crossing count, waypoints-inside count, and
+    the touches predicate — all pure JVM expression trees mirrored by
+    the SQL oracle."""
+    from geokit_spark.operators.lines import lines_in_polygon
+
+    return lines_in_polygon(spark)
+
+
+def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line rasterize burn: pixels whose cell rect is intersected by a
+    polyline segment (exact segment-vs-cell-rect, the allTouched
+    kernel minus ring closure), burn = max line_id."""
+    from geokit_spark.operators.lines import rasterize_lines_band
+
+    return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
+
+
 def q_extract_clip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extractAndClipFeatures against a CONCAVE star region — general
     non-convex clipping (vector.py:916-931; areaShare goldens
@@ -1115,7 +1157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new operators) run FIRST; the 50 rows already green in
     # CORRECTNESS_r02 follow.
     return {
-        # --- new this round -------------------------------------------------
+        # --- new in round 4 -------------------------------------------------
+        "pip_region_holes": q_pip_region_holes,
+        "extract_clip_holes": q_extract_clip_holes,
+        "lines_in_region": q_lines_in_region,
+        "rasterize_lines": q_rasterize_lines,
+        # --- new in round 3 -------------------------------------------------
         "gradient_raster": q_gradient_raster,
         "rasterize_all_touched": q_rasterize_all_touched,
         "extract_clip_concave": q_extract_clip_concave,
@@ -1227,6 +1274,27 @@ def _o_pip_region() -> str:
     return f"""
 WITH {sqlgen.geocode_cte()},
 edges(x1, y1, x2, y2) AS (VALUES {fixtures.sql_region_edges_values()}),
+hits AS (
+  SELECT g.doc_id
+  FROM geo g CROSS JOIN edges
+  GROUP BY g.doc_id
+  HAVING SUM({cross}) % 2 = 1
+)
+SELECT d.lang, COUNT(*) AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+def _o_pip_region_holes() -> str:
+    """Even-odd over the edges of ALL rings (outer + holes
+    concatenated): a point inside a hole crosses outer odd + hole odd
+    = even -> excluded. Same expression tree as _o_pip_region."""
+    cross = sqlgen.pip_crossings_expr("g.lon", "g.lat")
+    edges = fixtures.sql_rings_edges_values(fixtures.REGION_HOLES_RINGS)
+    return f"""
+WITH {sqlgen.geocode_cte()},
+edges(x1, y1, x2, y2) AS (VALUES {edges}),
 hits AS (
   SELECT g.doc_id
   FROM geo g CROSS JOIN edges
@@ -1712,6 +1780,86 @@ md AS (
 SELECT s.jx, s.jy, n, avg_v, min_v, max_v, med_v, q1_v, q3_v, sum_v,
        rms_v, mode_v
 FROM s JOIN md ON s.jx = md.jx AND s.jy = md.jy
+"""
+
+
+def _o_lines_in_region() -> str:
+    """Mirror of operators.lines.lines_in_polygon: strict orientation
+    signs for proper crossings + even-odd waypoint parity, identical
+    +,-,* expression trees."""
+    o1 = "((s.bx - s.ax) * (e.ey1 - s.ay) - (s.by - s.ay) * (e.ex1 - s.ax))"
+    o2 = "((s.bx - s.ax) * (e.ey2 - s.ay) - (s.by - s.ay) * (e.ex2 - s.ax))"
+    o3 = "((e.ex2 - e.ex1) * (s.ay - e.ey1) - (e.ey2 - e.ey1) * (s.ax - e.ex1))"
+    o4 = "((e.ex2 - e.ex1) * (s.by - e.ey1) - (e.ey2 - e.ey1) * (s.bx - e.ex1))"
+    proper = f"(({o1} > 0) <> ({o2} > 0)) AND (({o3} > 0) <> ({o4} > 0))"
+    crossing = sqlgen.pip_crossings_expr(
+        "v.px", "v.py", "e.ex1", "e.ey1", "e.ex2", "e.ey2"
+    )
+    return f"""
+WITH segs(line_id, ax, ay, bx, by) AS (VALUES {fixtures.sql_line_segs_values()}),
+verts(line_id, px, py) AS (VALUES {fixtures.sql_line_verts_values()}),
+redges(ex1, ey1, ex2, ey2) AS (VALUES {fixtures.sql_region_edges_values()}),
+nc AS (
+  SELECT s.line_id,
+         CAST(SUM(CASE WHEN {proper} THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+  FROM segs s CROSS JOIN redges e GROUP BY s.line_id
+),
+vin AS (
+  SELECT line_id, CAST(COUNT(*) AS BIGINT) AS n_verts_in
+  FROM (
+    SELECT v.line_id, v.px, v.py
+    FROM verts v CROSS JOIN redges e
+    GROUP BY v.line_id, v.px, v.py
+    HAVING SUM({crossing}) % 2 = 1
+  ) GROUP BY line_id
+)
+SELECT nc.line_id, nc.n_cross,
+       COALESCE(vin.n_verts_in, 0) AS n_verts_in,
+       (nc.n_cross > 0 OR COALESCE(vin.n_verts_in, 0) > 0) AS touches
+FROM nc LEFT JOIN vin ON nc.line_id = vin.line_id
+"""
+
+
+def _o_rasterize_lines() -> str:
+    from geokit_spark.kernels.cells import _EPS
+
+    eps = d(_EPS)
+    dxl, dyl = d(PIX_DX), d(PIX_DY)
+
+    def s_expr(cx: str, cy: str) -> str:
+        # same tree as kernels.cells._segs_cross_rects:
+        # (bx-ax)*(cy-ay) - (by-ay)*(cx-ax)
+        return (
+            f"(s.bx - s.ax) * (({cy}) - s.ay)"
+            f" - (s.by - s.ay) * (({cx}) - s.ax)"
+        )
+
+    corners = [
+        s_expr(f"c.cx0 - {eps}", f"c.cy0 - {eps}"),
+        s_expr(f"c.cx0 + {dxl} + {eps}", f"c.cy0 - {eps}"),
+        s_expr(f"c.cx0 + {dxl} + {eps}", f"c.cy0 + {dyl} + {eps}"),
+        s_expr(f"c.cx0 - {eps}", f"c.cy0 + {dyl} + {eps}"),
+    ]
+    pos = " OR ".join(f"({s}) > 0" for s in corners)
+    neg = " OR ".join(f"({s}) < 0" for s in corners)
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+segs(line_id, ax, ay, bx, by) AS (VALUES {fixtures.sql_line_segs_values()}),
+cell AS (
+  SELECT ix, iy,
+    {d(XMIN)} + CAST(ix AS DOUBLE) * {dxl} AS cx0,
+    {d(YMAX)} - (CAST(iy AS DOUBLE) + CAST(1 AS DOUBLE)) * {dyl} AS cy0
+  FROM pix
+)
+SELECT c.ix, c.iy, CAST(MAX(s.line_id) AS BIGINT) AS burn
+FROM cell c JOIN segs s
+ON  LEAST(s.ax, s.bx) - {eps} <= c.cx0 + {dxl}
+AND c.cx0 <= GREATEST(s.ax, s.bx) + {eps}
+AND LEAST(s.ay, s.by) - {eps} <= c.cy0 + {dyl}
+AND c.cy0 <= GREATEST(s.ay, s.by) + {eps}
+AND ({pos})
+AND ({neg})
+GROUP BY c.ix, c.iy
 """
 
 
@@ -2639,6 +2787,12 @@ def oracle_sql() -> dict[str, str]:
         "extract_clip_concave": geooracle.extract_clip_concave_sql(
             fixtures.CONCAVE_CLIP_VERTS
         ),
+        "pip_region_holes": _o_pip_region_holes(),
+        "extract_clip_holes": geooracle.extract_clip_holes_sql(
+            fixtures.REGION_HOLES_RINGS
+        ),
+        "lines_in_region": _o_lines_in_region(),
+        "rasterize_lines": _o_rasterize_lines(),
         "union_geom": geooracle.union_geom_sql(
             [z["verts"] for z in fixtures.ZONES]
         ),

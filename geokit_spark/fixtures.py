@@ -160,6 +160,101 @@ def _make_concave_clip(n_spikes: int = 6) -> list[tuple[float, float]]:
 
 CONCAVE_CLIP_VERTS: list[tuple[float, float]] = _make_concave_clip()
 
+
+def _make_region_holes() -> list[list[tuple[float, float]]]:
+    """DONUT region: star-convex outer ring + two interior holes
+    (ring list [outer, hole1, hole2] — the reference's polygon with
+    interior rings, geom.py:261-345). Holes are strictly inside the
+    outer ring (outer min radius 0.60 of the half-extents; hole
+    center offset + radius < 0.55) and pairwise disjoint; all vertex
+    angles/radii jittered (general position for the exact-rational
+    clip oracles)."""
+    cx = (XMIN + XMAX) / 2.0
+    cy = (YMIN + YMAX) / 2.0
+    rx = XSPAN / 2.0
+    ry = YSPAN / 2.0
+    rng = _lcg_stream(31415)
+    outer = []
+    for k in range(20):
+        ang = 2.0 * math.pi * k / 20 + 0.06 * (2 * next(rng) - 1)
+        r = 0.60 + 0.33 * next(rng)
+        outer.append((cx + r * rx * math.cos(ang), cy + r * ry * math.sin(ang)))
+
+    def hole(ox, oy, hx, hy, n, seed):
+        hrng = _lcg_stream(seed)
+        hc_x = cx + ox * rx
+        hc_y = cy + oy * ry
+        ring = []
+        for k in range(n):
+            ang = 2.0 * math.pi * k / n + 0.10 * (2 * next(hrng) - 1)
+            r = 0.70 + 0.28 * next(hrng)
+            ring.append(
+                (hc_x + r * hx * rx * math.cos(ang),
+                 hc_y + r * hy * ry * math.sin(ang))
+            )
+        return ring
+
+    return [
+        outer,
+        hole(-0.22, -0.10, 0.14, 0.16, 8, 2718),
+        hole(0.25, 0.18, 0.12, 0.10, 6, 1618),
+    ]
+
+
+REGION_HOLES_RINGS: list[list[tuple[float, float]]] = _make_region_holes()
+
+
+def _make_lines(n_lines: int = 14, n_pts: int = 5):
+    """LINE features (roads analog — the reference's line geometries,
+    geom.py:355-391, join subjects in vector.py:365-434): jittered
+    random-walk polylines across the bbox. General position w.r.t.
+    the region polygons (LCG endpoints never coincide with region
+    vertices/edges)."""
+    rng = _lcg_stream(60606)
+    lines = []
+    for lid in range(n_lines):
+        x = XMIN + next(rng) * XSPAN
+        y = YMIN + next(rng) * YSPAN
+        pts = [(x, y)]
+        for _ in range(n_pts - 1):
+            x = min(max(x + (2 * next(rng) - 1) * 0.30 * XSPAN, XMIN), XMAX)
+            y = min(max(y + (2 * next(rng) - 1) * 0.30 * YSPAN, YMIN), YMAX)
+            pts.append((x, y))
+        lines.append(
+            {
+                "line_id": lid,
+                "kind": ["road", "rail", "river"][lid % 3],
+                "pts": pts,
+            }
+        )
+    return lines
+
+
+LINES: list[dict] = _make_lines()
+
+
+def sql_line_verts_values(lines=None) -> str:
+    """DuckDB VALUES literal (line_id, px, py) of every waypoint."""
+    rows = []
+    for ln in lines if lines is not None else LINES:
+        for x, y in ln["pts"]:
+            rows.append(f"({int(ln['line_id'])},{_dl(x)},{_dl(y)})")
+    return ",".join(rows)
+
+
+def sql_line_segs_values(lines=None) -> str:
+    """DuckDB VALUES literal (line_id, x1, y1, x2, y2) of every
+    polyline segment (consecutive waypoints, NO closing edge)."""
+    rows = []
+    for ln in lines if lines is not None else LINES:
+        p = ln["pts"]
+        for i in range(len(p) - 1):
+            rows.append(
+                f"({int(ln['line_id'])},{_dl(p[i][0])},{_dl(p[i][1])},"
+                f"{_dl(p[i + 1][0])},{_dl(p[i + 1][1])})"
+            )
+    return ",".join(rows)
+
 # boxes.shp analog: unit box, 2x2 box, 3x3 box — pairwise corner-touching
 BOXES = [
     {"name": "harry", "smart": 0, "verts": [(0, 0), (1, 0), (1, 1), (0, 1)]},
@@ -216,6 +311,12 @@ def sql_edges_values(verts) -> str:
         x2, y2 = v[(i + 1) % len(v)]
         rows.append(f"({_dl(x1)},{_dl(y1)},{_dl(x2)},{_dl(y2)})")
     return ",".join(rows)
+
+
+def sql_rings_edges_values(rings) -> str:
+    """DuckDB VALUES literal of a ring list's directed edges (outer +
+    holes concatenated: even-odd parity over all edges = donut PIP)."""
+    return ",".join(sql_edges_values(r) for r in rings)
 
 
 def sql_id_edges_values(polys) -> str:

@@ -142,11 +142,9 @@ def transform_cols(
     )
 
 
-def pip_literal_col(lon: Column, lat: Column, verts) -> Column:
-    """Even-odd ray-casting PIP against a CONSTANT polygon as a pure
-    JVM column (whole-stage codegen; zero Python): the crossing test
-    of kernels.pip.points_in_poly unrolled per edge. verts: open or
-    closed ring of (x, y)."""
+def _pip_crossings_sum(lon: Column, lat: Column, verts) -> Column:
+    """Crossing-count sum of one ring's edges (the per-edge expression
+    tree of kernels.pip.points_in_poly, unrolled)."""
     v = [(float(x), float(y)) for x, y in verts]
     if len(v) > 1 and v[0] == v[-1]:
         v = v[:-1]
@@ -162,6 +160,21 @@ def pip_literal_col(lon: Column, lat: Column, verts) -> Column:
             F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
         )
         total = total + F.when(straddle & (lon < xcross), 1).otherwise(0)
+    return total
+
+
+def pip_literal_col(lon: Column, lat: Column, verts) -> Column:
+    """Even-odd ray-casting PIP against a CONSTANT polygon as a pure
+    JVM column (whole-stage codegen; zero Python): the crossing test
+    of kernels.pip.points_in_poly unrolled per edge. verts: open or
+    closed ring of (x, y), or a ring list [outer, hole, ...] — parity
+    over ALL rings' edges gives donut semantics (a point inside a hole
+    crosses outer odd + hole odd = even -> outside)."""
+    from ..kernels.pip import as_rings
+
+    total = F.lit(0)
+    for ring in as_rings(verts):
+        total = total + _pip_crossings_sum(lon, lat, ring)
     return total % 2 == 1
 
 

@@ -19,11 +19,27 @@ from __future__ import annotations
 import numpy as np
 
 from ..constants import GRID_N, XMIN, XSPAN, YMIN, YSPAN
-from .pip import points_in_poly
+from .pip import as_rings, points_in_poly_rings
 
 OUT, IN, BOUNDARY = 0, 1, 2
 
 _EPS = 1e-9  # inflation swallowing float rounding at cell borders
+
+
+def _opened_rings(poly):
+    """Normalize to ring list and strip closing vertices; returns
+    [(vx, vy), ...] float64 arrays. Every classifier below accepts
+    polygons with holes: the correctness argument generalizes ring-
+    wise — a cell crossed by NO ring's edge has constant even-odd
+    parity, decided by the cell-center test over all rings."""
+    out = []
+    for ring in as_rings(poly):
+        vx = np.asarray([v[0] for v in ring], dtype=np.float64)
+        vy = np.asarray([v[1] for v in ring], dtype=np.float64)
+        if vx[0] == vx[-1] and vy[0] == vy[-1]:
+            vx, vy = vx[:-1], vy[:-1]
+        out.append((vx, vy))
+    return out
 
 
 def poly_bbox(verts) -> tuple[float, float, float, float]:
@@ -49,22 +65,30 @@ def covering_cells(verts, pad: int = 0, grid_n: int = GRID_N) -> list[tuple[int,
 
 
 def _edges_cross_rects(vx, vy, x0, y0, dx, dy) -> np.ndarray:
+    """Exact segment-vs-rectangle intersection for a CLOSED RING,
+    vectorized over cells (vx/vy: ring vertices; the closing edge is
+    added here). See _segs_cross_rects for the test itself."""
+    return _segs_cross_rects(
+        vx, vy, np.roll(vx, -1), np.roll(vy, -1), x0, y0, dx, dy
+    )
+
+
+def _segs_cross_rects(ax, ay, bx, by, x0, y0, dx, dy) -> np.ndarray:
     """Exact segment-vs-rectangle intersection, vectorized over cells.
 
-    vx/vy: polygon vertices (closed ring handled by caller); x0/y0:
-    arrays of cell lower-left corners; dx/dy: cell size. Returns bool
-    (n_cells,): any polygon edge intersects the (slightly inflated)
-    cell rectangle. A segment intersects a rect iff their bboxes
-    overlap AND the rect's four corners are not all strictly on one
-    side of the segment's line. Exact (not just bbox-conservative), so
-    long diagonal edges don't smear a whole band of cells into the
-    BOUNDARY class."""
-    ex0 = np.minimum(vx, np.roll(vx, -1)) - _EPS
-    ex1 = np.maximum(vx, np.roll(vx, -1)) + _EPS
-    ey0 = np.minimum(vy, np.roll(vy, -1)) - _EPS
-    ey1 = np.maximum(vy, np.roll(vy, -1)) + _EPS
-    x1e = np.roll(vx, -1)
-    y1e = np.roll(vy, -1)
+    ax/ay -> bx/by: explicit segment endpoint arrays (a polyline's
+    consecutive waypoints, or a ring's closed edges via
+    _edges_cross_rects); x0/y0: arrays of cell lower-left corners;
+    dx/dy: cell size. Returns bool (n_cells,): any segment intersects
+    the (slightly inflated) cell rectangle. A segment intersects a
+    rect iff their bboxes overlap AND the rect's four corners are not
+    all strictly on one side of the segment's line. Exact (not just
+    bbox-conservative), so long diagonal segments don't smear a whole
+    band of cells."""
+    ex0 = np.minimum(ax, bx) - _EPS
+    ex1 = np.maximum(ax, bx) + _EPS
+    ey0 = np.minimum(ay, by) - _EPS
+    ey1 = np.maximum(ay, by) + _EPS
 
     # bbox overlap (cells, edges)
     bb = (
@@ -74,8 +98,9 @@ def _edges_cross_rects(vx, vy, x0, y0, dx, dy) -> np.ndarray:
         & (y0[:, None] <= ey1[None, :])
     )
     # line-side test: sign of cross((p1-p0), (corner-p0)) per corner
-    exd = (x1e - vx)[None, :]
-    eyd = (y1e - vy)[None, :]
+    exd = (bx - ax)[None, :]
+    eyd = (by - ay)[None, :]
+    vx, vy = ax, ay
     pos = np.zeros(bb.shape, dtype=bool)
     neg = np.zeros(bb.shape, dtype=bool)
     for cx, cy in (
@@ -90,12 +115,17 @@ def _edges_cross_rects(vx, vy, x0, y0, dx, dy) -> np.ndarray:
     return (bb & pos & neg).any(axis=1)
 
 
+def _any_ring_crosses(rings_vxy, x0, y0, dx, dy) -> np.ndarray:
+    bnd = np.zeros(len(x0), dtype=bool)
+    for vx, vy in rings_vxy:
+        bnd |= _edges_cross_rects(vx, vy, x0, y0, dx, dy)
+    return bnd
+
+
 def classify_cells(verts, grid_n: int = GRID_N) -> np.ndarray:
-    """Returns int8 array (grid_n, grid_n) indexed [cx, cy]."""
-    vx = np.asarray([v[0] for v in verts], dtype=np.float64)
-    vy = np.asarray([v[1] for v in verts], dtype=np.float64)
-    if vx[0] == vx[-1] and vy[0] == vy[-1]:
-        vx, vy = vx[:-1], vy[:-1]
+    """Returns int8 array (grid_n, grid_n) indexed [cx, cy]. Accepts a
+    single ring or a ring list (polygon with holes)."""
+    rings_vxy = _opened_rings(verts)
     dx = XSPAN / grid_n
     dy = YSPAN / grid_n
     cls = np.zeros((grid_n, grid_n), dtype=np.int8)
@@ -103,12 +133,13 @@ def classify_cells(verts, grid_n: int = GRID_N) -> np.ndarray:
     cxs, cys = cxs.ravel(), cys.ravel()
     x0 = XMIN + cxs * dx
     y0 = YMIN + cys * dy
-    bnd = _edges_cross_rects(vx, vy, x0, y0, dx, dy)
+    bnd = _any_ring_crosses(rings_vxy, x0, y0, dx, dy)
     cls[cxs[bnd], cys[bnd]] = BOUNDARY
     free = ~bnd
     if free.any():
-        inside = points_in_poly(
-            x0[free] + dx / 2, y0[free] + dy / 2, list(zip(vx, vy))
+        inside = points_in_poly_rings(
+            x0[free] + dx / 2, y0[free] + dy / 2,
+            [list(zip(vx, vy)) for vx, vy in rings_vxy],
         )
         cls[cxs[free][inside], cys[free][inside]] = IN
     return cls
@@ -119,26 +150,28 @@ def classify_covering_cells(verts, grid_n: int = GRID_N) -> list[tuple[int, int]
     cells, class in {IN, BOUNDARY} (OUT cells are dropped — they can
     never contain a member point, the bbox prefilter alone would have
     sent them to the exact test). Same conservative edge-bbox argument
-    as classify_cells. Vectorized over the covering-cell grid."""
-    vx = np.asarray([v[0] for v in verts], dtype=np.float64)
-    vy = np.asarray([v[1] for v in verts], dtype=np.float64)
-    if vx[0] == vx[-1] and vy[0] == vy[-1]:
-        vx, vy = vx[:-1], vy[:-1]
+    as classify_cells. Vectorized over the covering-cell grid.
+    Accepts a single ring or a ring list (holes): the envelope is the
+    OUTER ring's bbox (holes lie inside it)."""
+    rings = as_rings(verts)
+    rings_vxy = _opened_rings(rings)
     dx = XSPAN / grid_n
     dy = YSPAN / grid_n
-    cover = covering_cells(verts, grid_n=grid_n)
+    cover = covering_cells(rings[0], grid_n=grid_n)
     if not cover:
         return []
     cxs = np.array([c[0] for c in cover], dtype=np.int64)
     cys = np.array([c[1] for c in cover], dtype=np.int64)
     x0 = XMIN + cxs * dx
     y0 = YMIN + cys * dy
-    bnd = _edges_cross_rects(vx, vy, x0, y0, dx, dy)
+    bnd = _any_ring_crosses(rings_vxy, x0, y0, dx, dy)
     ids = cxs * grid_n + cys
     out = [(int(i), BOUNDARY) for i in ids[bnd]]
     free = ~bnd
     if free.any():
-        inside = points_in_poly(x0[free] + dx / 2, y0[free] + dy / 2, verts)
+        inside = points_in_poly_rings(
+            x0[free] + dx / 2, y0[free] + dy / 2, rings
+        )
         out.extend((int(i), IN) for i in ids[free][inside])
     return out
 
@@ -150,11 +183,10 @@ def classify_subcells(
     f x f subcells of the given parent cells at grid parent_n*factor.
     Returns [(fine_cell_id, class)] with OUT dropped — a boundary-cell
     row that finds no fine match is therefore outside the polygon.
-    Same conservative edge-bbox argument as classify_covering_cells."""
-    vx = np.asarray([v[0] for v in verts], dtype=np.float64)
-    vy = np.asarray([v[1] for v in verts], dtype=np.float64)
-    if vx[0] == vx[-1] and vy[0] == vy[-1]:
-        vx, vy = vx[:-1], vy[:-1]
+    Same conservative edge-bbox argument as classify_covering_cells.
+    Accepts a single ring or a ring list (holes)."""
+    rings = as_rings(verts)
+    rings_vxy = _opened_rings(rings)
     fine_n = parent_n * factor
     dx = XSPAN / fine_n
     dy = YSPAN / fine_n
@@ -168,12 +200,14 @@ def classify_subcells(
     fy = (pcy[:, None] * factor + sy.ravel()[None, :]).ravel()
     x0 = XMIN + fx * dx
     y0 = YMIN + fy * dy
-    bnd = _edges_cross_rects(vx, vy, x0, y0, dx, dy)
+    bnd = _any_ring_crosses(rings_vxy, x0, y0, dx, dy)
     ids = fx * fine_n + fy
     out = [(int(i), BOUNDARY) for i in ids[bnd]]
     free = ~bnd
     if free.any():
-        inside = points_in_poly(x0[free] + dx / 2, y0[free] + dy / 2, verts)
+        inside = points_in_poly_rings(
+            x0[free] + dx / 2, y0[free] + dy / 2, rings
+        )
         out.extend((int(i), IN) for i in ids[free][inside])
     return out
 

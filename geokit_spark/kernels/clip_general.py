@@ -159,11 +159,22 @@ def intersection_area_general(subject_verts, clip_verts) -> float:
 
 def area_share_general(subject_verts, clip_verts) -> float:
     """areaShare = |subject ∩ clip| / |subject| with the division done
-    in exact rationals, rounded once (reference vector.py:940-941)."""
+    in exact rationals, rounded once (reference vector.py:940-941).
+
+    clip_verts may be a single ring or a ring list [outer, hole, ...]
+    (clip region WITH HOLES, reference geom.py:261-345): with holes
+    pairwise disjoint and inside the outer ring,
+    |s ∩ donut| = |s ∩ outer| - sum |s ∩ hole_i| — each term exact."""
+    from .pip import as_rings
+
     subj = _fr_open_ring(subject_verts)
     full2 = _signed_area2(subj)
     if full2 < 0:
         full2 = -full2
     if full2 == 0:
         return 0.0
-    return float(intersection_area_fr(subject_verts, clip_verts) * 2 / full2)
+    rings = as_rings(clip_verts)
+    inter = intersection_area_fr(subject_verts, rings[0])
+    for hole in rings[1:]:
+        inter -= intersection_area_fr(subject_verts, hole)
+    return float(inter * 2 / full2)

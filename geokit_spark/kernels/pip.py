@@ -41,15 +41,41 @@ def points_in_poly(px: np.ndarray, py: np.ndarray, verts) -> np.ndarray:
     return inside
 
 
+def as_rings(poly):
+    """Normalize a polygon parameter to a list of rings. Accepts the
+    single-ring shape used everywhere ([(x, y), ...]) or a ring list
+    ([outer, hole, ...]) — outer first, holes after (reference
+    geom.polygon builds the same outer+interior-ring structure,
+    /root/reference/geokit/core/geom.py:261-345)."""
+    first = poly[0]
+    try:
+        len(first[0])  # ring list: first element is itself a ring
+        return [list(r) for r in poly]
+    except TypeError:
+        return [list(poly)]
+
+
+def points_in_poly_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Even-odd PIP over a polygon WITH HOLES (ring list): the parity
+    of crossings over ALL rings' edges — a point inside the outer ring
+    and inside a hole has even total parity, i.e. outside. Identical
+    per-edge expression tree to points_in_poly."""
+    out = np.zeros(np.shape(px), dtype=bool)
+    for ring in as_rings(rings):
+        out ^= points_in_poly(px, py, ring)
+    return out
+
+
 def points_in_poly_multi(
     px: np.ndarray, py: np.ndarray, poly_ids: np.ndarray, polys: dict
 ) -> np.ndarray:
     """PIP where each point tests against its own polygon (post-join
-    refinement). poly_ids: int array (N,); polys: {id: verts}."""
+    refinement). poly_ids: int array (N,); polys: {id: verts} where
+    verts is a single ring or a ring list (holes)."""
     out = np.zeros(len(px), dtype=bool)
     for pid in np.unique(poly_ids):
         m = poly_ids == pid
-        out[m] = points_in_poly(px[m], py[m], polys[int(pid)])
+        out[m] = points_in_poly_rings(px[m], py[m], polys[int(pid)])
     return out
 
 

@@ -31,8 +31,32 @@ def polygon_wkb(verts) -> bytes:
     return head + body
 
 
+def _parse_polygon_rings(buf: bytes, off: int):
+    """Parse one polygon body (ring count + rings) at offset; returns
+    (rings, new_offset) with each ring an (n, 2) float64 array."""
+    n_rings = int.from_bytes(buf[off : off + 4], "little")
+    off += 4
+    rings = []
+    for _ in range(n_rings):
+        if len(buf) < off + 4:
+            raise ValueError("truncated polygon WKB")
+        n_pts = int.from_bytes(buf[off : off + 4], "little")
+        off += 4
+        if len(buf) < off + 16 * n_pts:
+            raise ValueError("truncated polygon WKB")
+        coords = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=off)
+        rings.append(coords.reshape(n_pts, 2))
+        off += 16 * n_pts
+    return rings, off
+
+
 def parse_wkb(buf: bytes):
-    """-> ("point", (x, y)) or ("polygon", ndarray (n, 2) closed ring).
+    """-> ("point", (x, y)), ("polygon", ndarray (n, 2) closed ring),
+    ("polygon", [outer, hole, ...] ring arrays) for polygons with
+    interior rings (the reference constructs these,
+    /root/reference/geokit/core/geom.py:261-345), or
+    ("multipolygon", [[outer, hole, ...], ...]).
+    A LIST payload signals multi-ring; a bare ndarray a single ring.
     Raises ValueError on unsupported types/endianness."""
     if len(buf) < 5:
         raise ValueError("truncated WKB")
@@ -43,27 +67,27 @@ def parse_wkb(buf: bytes):
         x, y = struct.unpack_from("<dd", buf, 5)
         return "point", (x, y)
     if gtype == WKB_POLYGON:
-        n_rings = int.from_bytes(buf[5:9], "little")
-        if n_rings == 0:
+        rings, _ = _parse_polygon_rings(buf, 5)
+        if not rings:
             return "polygon", np.zeros((0, 2))
-        if n_rings != 1:
-            raise ValueError(
-                f"multi-ring polygon WKB unsupported ({n_rings} rings); "
-                "the engine carries single-ring polygons only"
-            )
-        n_pts = int.from_bytes(buf[9:13], "little")
-        if len(buf) < 13 + 16 * n_pts:
-            raise ValueError("truncated polygon WKB")
-        coords = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=13)
-        return "polygon", coords.reshape(n_pts, 2)
+        return "polygon", (rings[0] if len(rings) == 1 else rings)
+    if gtype == WKB_MULTIPOLYGON:
+        n_polys = int.from_bytes(buf[5:9], "little")
+        off = 9
+        polys = []
+        for _ in range(n_polys):
+            endian_p = buf[off]
+            gtype_p = int.from_bytes(buf[off + 1 : off + 5], "little")
+            if endian_p != _LE or gtype_p != WKB_POLYGON:
+                raise ValueError("malformed multipolygon WKB")
+            rings, off = _parse_polygon_rings(buf, off + 5)
+            polys.append(rings)
+        return "multipolygon", polys
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
 
-def polygon_wkb_area(buf: bytes) -> float:
-    """Shoelace area straight from WKB bytes (explicit left-assoc term
-    order over the ring — mirrored by the SQL oracle for quads)."""
-    kind, coords = parse_wkb(buf)
-    if kind != "polygon" or len(coords) < 4:
+def _ring_area_abs(coords) -> float:
+    if len(coords) < 4:
         return 0.0
     x = coords[:-1, 0]
     y = coords[:-1, 1]
@@ -73,6 +97,21 @@ def polygon_wkb_area(buf: bytes) -> float:
     for t in x * y2 - x2 * y:  # fixed order: left-assoc accumulation
         s = s + t
     return abs(s / 2.0)
+
+
+def polygon_wkb_area(buf: bytes) -> float:
+    """Shoelace area straight from WKB bytes (explicit left-assoc term
+    order over each ring — mirrored by the SQL oracle for quads).
+    Polygons with holes: |outer| - sum |holes| (proper ring nesting
+    assumed, as written by polygon_wkb_rings)."""
+    kind, payload = parse_wkb(buf)
+    if kind != "polygon":
+        return 0.0
+    if isinstance(payload, list):
+        return _ring_area_abs(payload[0]) - sum(
+            _ring_area_abs(r) for r in payload[1:]
+        )
+    return _ring_area_abs(payload)
 
 
 def polygon_wkb_rings(rings) -> bytes:

@@ -70,12 +70,18 @@ def extract_and_clip_zones_general(
     CONCAVE) clip region — the reference clips with any region
     geometry (vector.py:916-931); the convex-window restriction of
     extract_and_clip_zones is lifted by the exact-rational ear-clip +
-    Sutherland-Hodgman kernel (kernels.clip_general). Same output
-    contract: (zone_id, area_share, year_scaled), slivers below
-    min_share dropped."""
+    Sutherland-Hodgman kernel (kernels.clip_general). clip_verts may
+    be a single ring or a ring list [outer, hole, ...] (donut clip
+    regions, reference geom.py:261-345). Same output contract:
+    (zone_id, area_share, year_scaled), slivers below min_share
+    dropped."""
     from ..kernels.clip_general import area_share_general
+    from ..kernels.pip import as_rings
 
-    cv = [(float(x), float(y)) for x, y in clip_verts]
+    cv = [
+        [(float(x), float(y)) for x, y in ring]
+        for ring in as_rings(clip_verts)
+    ]
 
     def fn(batches):
         for pdf in batches:

@@ -40,7 +40,7 @@ from ..kernels.cells import (
     classify_covering_cells,
     classify_subcells,
 )
-from ..kernels.pip import points_in_poly
+from ..kernels.pip import as_rings, points_in_poly_rings
 
 # adaptive resolution refinement (north rule): boundary cells of the
 # coarse join grid are re-classified at REFINE x finer resolution, so
@@ -65,7 +65,11 @@ def _open(verts):
 
 
 def _verts_key(verts) -> tuple:
-    return tuple((float(x), float(y)) for x, y in verts)
+    """Cache key for a polygon parameter (single ring or ring list)."""
+    return tuple(
+        tuple((float(x), float(y)) for x, y in ring)
+        for ring in as_rings(verts)
+    )
 
 
 def _polys_key(polys: dict) -> tuple:
@@ -73,15 +77,18 @@ def _polys_key(polys: dict) -> tuple:
 
 
 def pip_udf(verts):
-    """Vectorized exact-PIP pandas UDF for ONE polygon, closing over
-    its vertex list (tiny; shipped with the serialized closure — the
-    broadcast-side of the two-phase join)."""
-    vlist = [(float(x), float(y)) for x, y in verts]
+    """Vectorized exact-PIP pandas UDF for ONE polygon (single ring or
+    ring list with holes), closing over its vertex lists (tiny;
+    shipped with the serialized closure — the broadcast-side of the
+    two-phase join)."""
+    rings = [
+        [(float(x), float(y)) for x, y in ring] for ring in as_rings(verts)
+    ]
 
     @F.pandas_udf(T.BooleanType())
     def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        inside = points_in_poly(
-            lon.to_numpy(np.float64), lat.to_numpy(np.float64), vlist
+        inside = points_in_poly_rings(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), rings
         )
         return pd.Series(inside)
 
@@ -90,8 +97,14 @@ def pip_udf(verts):
 
 def pip_multi_udf(polys: dict):
     """Exact-PIP pandas UDF where each row tests against its own
-    polygon id (post-join refinement). polys: {poly_id: verts}."""
-    pdict = {int(pid): [(float(x), float(y)) for x, y in v] for pid, v in polys.items()}
+    polygon id (post-join refinement). polys: {poly_id: verts} where
+    verts is a single ring or a ring list (holes)."""
+    pdict = {
+        int(pid): [
+            [(float(x), float(y)) for x, y in ring] for ring in as_rings(v)
+        ]
+        for pid, v in polys.items()
+    }
 
     @F.pandas_udf(T.BooleanType())
     def _udf(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
@@ -101,7 +114,7 @@ def pip_multi_udf(polys: dict):
         out = np.zeros(len(px), dtype=bool)
         for z in np.unique(zid):
             m = zid == z
-            out[m] = points_in_poly(px[m], py[m], pdict[int(z)])
+            out[m] = points_in_poly_rings(px[m], py[m], pdict[int(z)])
         return pd.Series(out)
 
     return _udf
@@ -137,14 +150,17 @@ def _polygon_cells_pdf(verts, grid_n: int = JOIN_GRID_N) -> pd.DataFrame:
 
 def points_in_polygon(spark: SparkSession, pts: DataFrame, verts) -> DataFrame:
     """Spatial semi-join: rows of `pts` (needs lon/lat columns) whose
-    point lies inside the polygon. Interior-cell rows bypass the exact
-    test entirely; only the boundary band reaches Python."""
+    point lies inside the polygon — a single ring OR a ring list
+    [outer, hole, ...] (donut regions: even-odd parity over all rings,
+    same two-phase shape — hole-interior cells classify OUT at build
+    time and never join). Interior-cell rows bypass the exact test
+    entirely; only the boundary band reaches Python."""
     from ..functions.geo import pip_literal_col
 
     cell_df = spark.createDataFrame(_polygon_cells_pdf(verts))
     keyed = pts.withColumn("cell_id", join_cell_id(F.col("lon"), F.col("lat")))
     joined = keyed.join(F.broadcast(cell_df), "cell_id", "inner")
-    if len(_open(verts)) <= _JVM_PIP_MAX_VERTS:
+    if sum(len(_open(r)) for r in as_rings(verts)) <= _JVM_PIP_MAX_VERTS:
         # ONE scan + broadcast join + codegen filter: interior cells
         # pass unconditionally; boundary cells evaluate the exact
         # crossing test as an UNROLLED JVM expression (identical rule
@@ -305,6 +321,11 @@ def points_join_polygons(
     # whole-stage-codegen JVM expression — no Python worker and no
     # second join in the boundary band (round-1's normalized-0.61
     # scaling miss was that band's pandas-UDF throughput)
+    if any(len(as_rings(v)) > 1 for v in polys.values()):
+        # polygons with holes: the vertex-array JVM form carries one
+        # ring per row — route donut zones through the Arrow-UDF
+        # refine (points_in_poly_rings handles the parity)
+        return _points_join_polygons_udf(spark, pts, polys, refine)
     opened = {int(pid): _open(v) for pid, v in polys.items()}
     max_verts = max(len(v) for v in opened.values())
     if max_verts > _JVM_PIP_MAX_VERTS:

@@ -53,9 +53,18 @@ def transform_geoms(
     batched, per-row numpy — no shuffle; the geometry column stays an
     opaque binary payload for Catalyst (metadata columns prune it)."""
     from ..kernels.srs import load_srs, xy_transform
-    from ..kernels.wkb import parse_wkb, point_wkb, polygon_wkb
+    from ..kernels.wkb import (
+        parse_wkb,
+        point_wkb,
+        polygon_wkb,
+        polygon_wkb_rings,
+    )
 
     fs, ts = load_srs(from_srs), load_srs(to_srs)
+
+    def _tf_ring(ring):
+        tx, ty = xy_transform(ring[:, 0], ring[:, 1], fs, ts)
+        return list(zip(tx.tolist(), ty.tolist()))
 
     @F.pandas_udf(T.BinaryType())
     def tf(geoms: pd.Series) -> pd.Series:
@@ -65,11 +74,11 @@ def transform_geoms(
             if kind == "point":
                 tx, ty = xy_transform(data[0], data[1], fs, ts)
                 out_.append(point_wkb(float(tx), float(ty)))
+            elif kind == "polygon" and isinstance(data, list):
+                # holes transform ring-wise, nesting preserved
+                out_.append(polygon_wkb_rings([_tf_ring(r) for r in data]))
             else:
-                tx, ty = xy_transform(data[:, 0], data[:, 1], fs, ts)
-                out_.append(
-                    polygon_wkb(list(zip(tx.tolist(), ty.tolist())))
-                )
+                out_.append(polygon_wkb(_tf_ring(data)))
         return pd.Series(out_)
 
     return df.withColumn(out, tf(F.col(col)))

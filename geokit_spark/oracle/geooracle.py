@@ -834,6 +834,43 @@ SELECT CAST(zone_id AS INT) AS zone_id, area_share, year_scaled FROM golden
 """
 
 
+def extract_clip_holes_rows(clip_rings, min_share: float = 0.001):
+    """(zone_id, area_share, year_scaled) against a clip region WITH
+    HOLES ([outer, hole, ...]): share = (|z ∩ outer| - sum |z ∩ hole|)
+    / |z|, every term via the INDEPENDENT exact boundary-integral
+    algorithm (the engine uses ear-clip + S-H decomposition — equal
+    rationals -> identical float64)."""
+    from ..fixtures import ZONES
+
+    rows = []
+    for z in ZONES:
+        subj = _fr_ring(z["verts"])
+        full2 = _fr_signed2(subj)
+        if full2 < 0:
+            full2 = -full2
+        if full2 == 0:
+            continue
+        inter = intersection_area_boundary_fr(z["verts"], clip_rings[0])
+        for hole in clip_rings[1:]:
+            inter -= intersection_area_boundary_fr(z["verts"], hole)
+        share = float(inter * 2 / full2)
+        if share < min_share:
+            continue
+        rows.append((int(z["zone_id"]), share, z["year"] * share))
+    return rows
+
+
+def extract_clip_holes_sql(clip_rings, min_share: float = 0.001) -> str:
+    vals = ",".join(
+        f"({z},{d(s)},{d(y)})"
+        for z, s, y in extract_clip_holes_rows(clip_rings, min_share)
+    )
+    return f"""
+WITH golden(zone_id, area_share, year_scaled) AS (VALUES {vals})
+SELECT CAST(zone_id AS INT) AS zone_id, area_share, year_scaled FROM golden
+"""
+
+
 # ---------------------------------------------------------------------------
 # union_geom golden: exact-rational SLAB-DECOMPOSITION union area — a
 # completely different algorithm from the engine's boundary-subsegment

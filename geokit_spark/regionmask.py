@@ -51,6 +51,12 @@ class RegionMask:
         kind, ring = parse_wkb(bytes(buf))
         if kind != "polygon":
             raise ValueError("RegionMask needs a polygon")
+        if isinstance(ring, list):
+            raise ValueError(
+                "RegionMask does not support polygons with interior "
+                "rings; use the spatial-join / clip APIs, which accept "
+                "[outer, hole, ...] ring lists"
+            )
         # pass the ring through unchanged: __init__ strips the closing
         # vertex only when first == last, so an unclosed WKB ring does
         # not silently lose a real vertex

@@ -108,3 +108,43 @@ def test_fields_integer_valued():
     e = elev_value(ix.ravel(), iy.ravel())
     assert e.min() >= 100
     assert (e == e.astype(np.int64)).all()
+
+
+def test_points_in_poly_rings_donut():
+    """Even-odd over all rings: inside outer but inside a hole ->
+    outside the donut; brute-force parity cross-check on the donut
+    fixture."""
+    import numpy as np
+
+    from geokit_spark import fixtures
+    from geokit_spark.kernels.pip import points_in_poly, points_in_poly_rings
+
+    rings = fixtures.REGION_HOLES_RINGS
+    rng = np.random.default_rng(7)
+    from geokit_spark.constants import XMIN, XSPAN, YMIN, YSPAN
+
+    px = XMIN + rng.random(5000) * XSPAN
+    py = YMIN + rng.random(5000) * YSPAN
+    got = points_in_poly_rings(px, py, rings)
+    expect = points_in_poly(px, py, rings[0])
+    for hole in rings[1:]:
+        expect ^= points_in_poly(px, py, hole)
+    assert (got == expect).all()
+    # holes are strictly inside the outer ring and exclude points
+    for hole in rings[1:]:
+        hx = np.array([v[0] for v in hole])
+        hy = np.array([v[1] for v in hole])
+        assert points_in_poly(hx, hy, rings[0]).all()
+        cx, cy = hx.mean(), hy.mean()
+        assert not points_in_poly_rings(
+            np.array([cx]), np.array([cy]), rings
+        )[0]
+
+
+def test_as_rings_shapes():
+    from geokit_spark.kernels.pip import as_rings
+
+    single = [(0.0, 0.0), (1.0, 0.0), (0.5, 1.0)]
+    assert as_rings(single) == [single]
+    rings = [single, [(0.2, 0.2), (0.4, 0.2), (0.3, 0.4)]]
+    assert as_rings(rings) == rings

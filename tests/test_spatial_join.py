@@ -105,3 +105,32 @@ def test_entry_smoke(spark):
     assert len(pdf) > 0
     assert set(pdf.columns) == {"zone_id", "n_docs"}
     assert (pdf["n_docs"] > 0).all()
+
+
+def test_points_in_polygon_donut_vs_brute_force(spark, docs):
+    """Two-phase join with a ring-list region == brute-force even-odd
+    parity over all rings (and strictly fewer rows than outer-only)."""
+    import numpy as np
+
+    from geokit_spark import fixtures
+    from geokit_spark.functions.geo import with_geocode
+    from geokit_spark.kernels.geocode import geocode
+    from geokit_spark.kernels.pip import points_in_poly_rings
+
+    rings = fixtures.REGION_HOLES_RINGS
+    got = (
+        spatial_join.points_in_polygon(
+            spark, with_geocode(docs.select("doc_id")), rings
+        )
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .to_numpy()
+    )
+    ids = docs.select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
+    lon, lat = geocode(ids)
+    expect = ids[points_in_poly_rings(lon, lat, rings)]
+    assert set(got.tolist()) == set(expect.tolist())
+    outer_only = spatial_join.points_in_polygon(
+        spark, with_geocode(docs.select("doc_id")), rings[0]
+    ).count()
+    assert len(got) < outer_only

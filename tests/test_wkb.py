@@ -35,11 +35,12 @@ def test_parse_rejects_garbage():
         parse_wkb(b"\x00" + b"\x01\x00\x00\x00" + b"\x00" * 16)  # big-endian
 
 
-def test_parse_rejects_multi_ring_and_short_body():
-    # a holed polygon must raise, not silently parse its outer ring
+def test_parse_short_body_raises_and_ring_count_honest():
     ring = polygon_wkb([(0, 0), (4, 0), (4, 4), (0, 4)])
+    # a declared second ring with no body must raise, not silently
+    # parse the outer ring alone
     two_rings = ring[:5] + (2).to_bytes(4, "little") + ring[9:]
-    with pytest.raises(ValueError, match="multi-ring"):
+    with pytest.raises(ValueError, match="truncated"):
         parse_wkb(two_rings)
     # body shorter than the declared point count must raise
     with pytest.raises(ValueError, match="truncated"):
@@ -59,3 +60,31 @@ def test_tile_sources_template():
     tiles = [(16, 12, 5), (17, 13, 5)]
     got = tile_sources("s3://tiles/{z}/{x}/{y}.png", tiles)
     assert got == ["s3://tiles/5/16/12.png", "s3://tiles/5/17/13.png"]
+
+
+def test_wkb_multi_ring_roundtrip_and_area():
+    """parse_wkb consumes what polygon_wkb_rings produces (holes) and
+    the WKB area subtracts hole areas; multipolygon parse covers the
+    union sink's output."""
+    import numpy as np
+
+    from geokit_spark.kernels.wkb import (
+        multipolygon_wkb,
+        parse_wkb,
+        polygon_wkb_area,
+        polygon_wkb_rings,
+    )
+
+    outer = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    hole = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)]
+    buf = polygon_wkb_rings([outer, hole])
+    kind, rings = parse_wkb(buf)
+    assert kind == "polygon" and isinstance(rings, list) and len(rings) == 2
+    assert np.allclose(rings[0][:-1], outer)
+    assert np.allclose(rings[1][:-1], hole)
+    assert polygon_wkb_area(buf) == 16.0 - 1.0
+
+    mbuf = multipolygon_wkb([[outer, hole], [hole]])
+    mkind, polys = parse_wkb(mbuf)
+    assert mkind == "multipolygon" and len(polys) == 2
+    assert len(polys[0]) == 2 and len(polys[1]) == 1
