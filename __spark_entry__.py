@@ -1072,6 +1072,55 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state (the 100-TB shape):
+    documents carry a synthetic event time (base + doc_id%1000
+    seconds, all inside the 1-day horizon) and run through
+    dropDuplicatesWithinWatermark (availableNow + checkpoint). Because
+    every event stays within one watermark window of the max, no state
+    is evicted mid-feed and every duplicate is suppressed — the
+    deterministic, order-independent hashable contract: exactly one
+    row per distinct content hash. Returns (text_md5, n_kept)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="geokit_stream_dedup_wm_")
+    try:
+        inp, out, ck = f"{root}/in", f"{root}/out", f"{root}/ck"
+        (
+            _docs(spark, sf_dir)
+            .select(
+                "doc_id", "text", "lang",
+                (
+                    F.to_timestamp(F.lit("2026-01-15 00:00:00"))
+                    + F.make_dt_interval(
+                        F.lit(0), F.lit(0), F.lit(0),
+                        (F.col("doc_id") % 1000).cast("double"),
+                    )
+                ).alias("ts"),
+            )
+            .write.json(inp)
+        )
+        q = __import__(
+            "geokit_spark.streaming.incremental",
+            fromlist=["stream_dedup_watermarked"],
+        ).stream_dedup_watermarked(spark, inp, out, ck)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_dedup_watermark did not finish within 300s"
+            )
+        got = (
+            spark.read.parquet(out)
+            .groupBy("text_md5")
+            .agg(F.count("*").alias("n_kept"))
+        )
+        pdf = got.toPandas()
+        return spark.createDataFrame(pdf, "text_md5 string, n_kept long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # deterministic lineage workload: 57 cells, closed-form payloads — the
 # same constants feed the Spark stage and the python-computed golden
 _LINEAGE_N = 5000
@@ -1162,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_clip_holes": q_extract_clip_holes,
         "lines_in_region": q_lines_in_region,
         "rasterize_lines": q_rasterize_lines,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
         # --- new in round 3 -------------------------------------------------
         "gradient_raster": q_gradient_raster,
         "rasterize_all_touched": q_rasterize_all_touched,
@@ -2793,6 +2843,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lines_in_region": _o_lines_in_region(),
         "rasterize_lines": _o_rasterize_lines(),
+        "stream_dedup_watermark": _o_stream_dedup(),
         "union_geom": geooracle.union_geom_sql(
             [z["verts"] for z in fixtures.ZONES]
         ),

@@ -86,7 +86,20 @@ def load_srs(source) -> SRS:
             return utm(source - 32600, north=True)
         if 32701 <= source <= 32760:
             return utm(source - 32700, north=False)
-        raise ValueError(f"unsupported EPSG code {source}")
+        # ETRS89 / UTM (EPSG 25828-25838, zones 28-38): identical
+        # Transverse Mercator parameters on GRS80 — the exact
+        # ellipsoid this module's Krüger series is built on
+        if 25828 <= source <= 25838:
+            z = source - 25800
+            return SRS(
+                "tmerc", 0.0, float(z * 6 - 183), 500000.0, 0.0,
+                f"EPSG:{source}", 0.9996,
+            )
+        raise ValueError(
+            f"unsupported EPSG code {source}; closed-form set: 4326, "
+            "3857, 3035, centeredLAEA, UTM 32601-32660/32701-32760, "
+            "ETRS89-UTM 25828-25838"
+        )
     if isinstance(source, str):
         key = source.strip().lower().replace(" ", "")
         if key in _COMMON:

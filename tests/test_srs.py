@@ -167,3 +167,49 @@ def test_utm_in_generic_transform():
     back_x, back_y = xy_transform(e, n, 32632, 3035)
     assert abs(float(back_x[0]) - 4021000.0) < 1e-3
     assert abs(float(back_y[0]) - 3052000.0) < 1e-3
+
+
+def test_etrs89_utm_25832():
+    """EPSG:25832 (ETRS89 / UTM 32N, GRS80): central-meridian easting
+    is exactly the false easting; the northing there equals
+    k0 x the GRS80 meridian arc (independent numerical integral of
+    M(phi) = a(1-e^2)/(1-e^2 sin^2 phi)^(3/2)); round trip closes; and
+    the math coincides with the engine's 326xx path (same ellipsoid
+    constants)."""
+    import numpy as np
+
+    from geokit_spark.kernels.srs import (
+        E2,
+        GRS80_A,
+        load_srs,
+        xy_transform,
+    )
+
+    s = load_srs(25832)
+    assert s.lon0 == 9.0 and s.k0 == 0.9996 and s.false_e == 500000.0
+
+    lat = 52.0
+    e, n = xy_transform(np.array([9.0]), np.array([lat]), 4326, s)
+    assert abs(float(e[0]) - 500000.0) < 1e-6
+    phi = np.linspace(0.0, np.radians(lat), 2_000_001)
+    m = GRS80_A * (1 - E2) / (1 - E2 * np.sin(phi) ** 2) ** 1.5
+    arc = float(getattr(np, "trapezoid", getattr(np, "trapz", None))(m, phi))
+    assert abs(float(n[0]) - 0.9996 * arc) < 2e-3, (float(n[0]), 0.9996 * arc)
+
+    lons = np.array([6.1, 9.0, 11.9, 7.7])
+    lats = np.array([47.3, 52.0, 54.9, 50.1])
+    ee, nn = xy_transform(lons, lats, 4326, s)
+    e32, n32 = xy_transform(lons, lats, 4326, load_srs(32632))
+    assert np.allclose(ee, e32, atol=0) and np.allclose(nn, n32, atol=0)
+    lon_b, lat_b = xy_transform(ee, nn, s, 4326)
+    assert np.allclose(lon_b, lons, atol=1e-9)
+    assert np.allclose(lat_b, lats, atol=1e-9)
+
+
+def test_load_srs_unknown_code_lists_supported_set():
+    import pytest
+
+    from geokit_spark.kernels.srs import load_srs
+
+    with pytest.raises(ValueError, match="25828-25838"):
+        load_srs(27700)
