@@ -1212,6 +1212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lines_in_region": q_lines_in_region,
         "rasterize_lines": q_rasterize_lines,
         "stream_dedup_watermark": q_stream_dedup_watermark,
+        # output CHANGED in round 4 (64-bit sketch) — must be inside the
+        # driver's per-round budget, not the already-recorded tail
+        "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
         # --- new in round 3 -------------------------------------------------
         "gradient_raster": q_gradient_raster,
         "rasterize_all_touched": q_rasterize_all_touched,
@@ -1289,8 +1293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "contour_lines": q_contour_lines,
         "sieve": q_sieve,
-        "simhash": q_simhash,
-        "simhash_near": q_simhash_near,
         "indicate_features": q_indicate_features,
     }
 

@@ -144,6 +144,54 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         .collect(),
         n_text,
     )
+
+    # simhash near-dup at the same corpus scale: 64-bit Arrow sketch +
+    # the Hamming-ball (band, lang, len-bucket) equijoin — the round-4
+    # parameter-width fix under measurement, not just planned
+    from geokit_spark.operators.dedup import simhash_near_pairs
+
+    # capped: candidate volume grows ~n^2/65536 on this uniform corpus
+    # (lang/length constant by construction, so only the band key
+    # blocks) — 500k keeps the stage measuring sketch + band join, not
+    # an ever-growing pair explosion
+    n_sn = min(n_text, 500_000)
+    texts_sn = spark.range(0, n_sn, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.repeat(F.md5(F.col("id").cast("string")), 8).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit(256).cast("long").alias("n_chars"),
+    )
+    timed(
+        "simhash_near",
+        lambda: simhash_near_pairs(texts_sn, max_hamming=3).count(),
+        n_sn,
+    )
+
+    # ANN top-k over synthetic embeddings with the scale-aware plane
+    # count (suggest_n_planes keeps expected bucket size bounded) and
+    # the Arrow throughput path (one-pass matmul buckets + broadcast-
+    # matrix re-score; pytest-verified equal to the fold/oracle path)
+    from geokit_spark.operators.similarity import (
+        ann_topk_arrow,
+        suggest_n_planes,
+    )
+
+    # capped: candidate pairs ~ n * n_tables * target_bucket / 2; 50k
+    # vectors at target_bucket=16 keeps ~3M pairs, steady across scales
+    n_vec = min(max(n_docs // 400, 5000), 50_000)
+    emb = spark.range(0, n_vec, 1, parts).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "cast(pmod(hash(id * 64 + d), 1000) as float) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    np_ = suggest_n_planes(n_vec, target_bucket=16)
+    timed(
+        "ann_topk",
+        lambda: ann_topk_arrow(emb, k=5, n_planes=np_).count(),
+        n_vec,
+    )
     return results
 
 
@@ -160,6 +208,7 @@ def main():
     doc_stages = [
         "tiling_cell_counts", "pip_region_semi_join", "pip_zones_join",
         "extract_values", "knn_ring", "minhash_signatures",
+        "simhash_near", "ann_topk",
     ]
     docs_per_sec = {
         k: int(results[k][1] / results[k][0]) for k in doc_stages

@@ -381,3 +381,40 @@ def test_minhash_all_empty_batch(spark, monkeypatch):
     expected = [MH_B[i] % MH_PRIME for i in range(NUM_HASHES)]
     for r in minhash_signatures_fast(df).collect():
         assert list(r["sig"]) == expected
+
+
+def test_ann_arrow_rescore_matches_fold(spark):
+    """The Arrow re-score (pairwise numpy summation) must select the
+    same neighbor sets as the oracle-pinned left-fold dot — sim gaps
+    on the fixture dwarf the ULP-level summation-order differences."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = similarity.ann_topk(emb, k=5, probe_bits=1).toPandas()
+    arrow = similarity.ann_topk(
+        emb, k=5, probe_bits=1, rescore="arrow"
+    ).toPandas()
+    f = fold.groupby("vec_id")["neighbor_id"].apply(set)
+    a = arrow.groupby("vec_id")["neighbor_id"].apply(set)
+    assert (f.index == a.index).all()
+    assert all(f[v] == a[v] for v in f.index)
+
+
+def test_ann_topk_arrow_matches_fold(spark):
+    """ann_topk_arrow (one-pass matmul buckets + broadcast-matrix
+    re-score) must produce the same neighbor sets as the oracle-pinned
+    fold path — divergence is possible only for plane dots or sim ties
+    within one ULP, which real data doesn't hit."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = similarity.ann_topk(emb, k=5, probe_bits=1).toPandas()
+    arrow = similarity.ann_topk_arrow(emb, k=5, probe_bits=1).toPandas()
+    f = fold.groupby("vec_id")["neighbor_id"].apply(set)
+    a = arrow.groupby("vec_id")["neighbor_id"].apply(set)
+    assert (f.index == a.index).all()
+    assert all(f[v] == a[v] for v in f.index)
+
+
+def test_ann_topk_arrow_broadcast_guard(spark):
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        similarity.ann_topk_arrow(emb, k=5, max_broadcast_rows=10)
