@@ -176,9 +176,11 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         suggest_n_planes,
     )
 
-    # capped: candidate pairs ~ n * n_tables * target_bucket / 2; 50k
-    # vectors at target_bucket=16 keeps ~3M pairs, steady across scales
-    n_vec = min(max(n_docs // 400, 5000), 50_000)
+    # scales with the workload (a fixed-size stage cannot measure
+    # scaling) up to 100k vectors — beyond that the 8-table union
+    # dedup shuffle goes superlinear on this box and the stage would
+    # swamp the suite; candidate pairs ~ n * n_tables * target_bucket/2
+    n_vec = min(max(n_docs // 400, 5000), 100_000)
     emb = spark.range(0, n_vec, 1, parts).select(
         F.col("id").alias("vec_id"),
         F.expr(

@@ -422,24 +422,56 @@ def ann_topk_arrow(
     pairwise summation, so results can diverge from the fold path
     only when a plane dot or a sim tie sits within one ULP —
     set-equality on real data is pytest-verified."""
-    rows = emb.select("vec_id", "embedding").toPandas()
-    n = len(rows)
+    # Arrow collect (no pandas object arrays): the matrix build is the
+    # driver-side constant of this operator — toPandas + np.stack over
+    # 50k object rows measured ~10x slower than flattening the Arrow
+    # list buffer directly
+    tbl = emb.select("vec_id", "embedding").toArrow()
+    n = tbl.num_rows
     if n > max_broadcast_rows:
         raise ValueError(
             f"ann_topk_arrow broadcasts the embedding matrix: {n} rows "
             f"> max_broadcast_rows={max_broadcast_rows}. Use "
             "ann_topk(rescore='arrow') or ivf_topk_fixed at this scale."
         )
-    ids = rows["vec_id"].to_numpy(np.int64)
+    ids = np.asarray(tbl.column("vec_id").combine_chunks(), dtype=np.int64)
+    flat = np.asarray(
+        tbl.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=np.float64,
+    ).reshape(n, EMB_DIM)
     order = np.argsort(ids)
     ids_sorted = ids[order]
-    M = np.stack(rows["embedding"].to_numpy()[order]).astype(np.float64)
+    M = flat[order]
     norms = np.sqrt(np.einsum("ij,ij->i", M, M))
     P = _plane_matrix(n_planes, n_tables)
     spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids_sorted)
-    b_m = spark.sparkContext.broadcast(M)
-    b_norms = spark.sparkContext.broadcast(norms)
+    # Ship the matrix as an mmap-able SIDECAR FILE, not a pickled
+    # broadcast: broadcast.value makes EVERY python worker unpickle
+    # the full matrix (per-worker fixed cost that GROWS with worker
+    # count — measured as the stage's anti-scaling term at local[32]);
+    # np.load(mmap_mode='r') of a SparkFiles artifact shares the page
+    # cache across all workers on a node. float32 storage is exact
+    # (the source column is float32); math casts back to float64.
+    import os
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex
+    tmp = tempfile.gettempdir()
+    paths = {}
+    for name, arr in (
+        ("ids", ids_sorted),
+        ("m", M.astype(np.float32)),
+        ("norms", norms),
+    ):
+        p = os.path.join(tmp, f"annmat_{tag}_{name}.npy")
+        np.save(p, arr)
+        spark.sparkContext.addFile(p)
+        paths[name] = os.path.basename(p)
+    # the .npy files live until the driver process exits (SparkFiles
+    # artifacts must outlive the job; /tmp cleanup reaps them)
 
     def buckets_fn(batches):
         import pyarrow as pa
@@ -495,18 +527,33 @@ def ann_topk_arrow(
 
     def rescore_fn(batches):
         import pyarrow as pa
+        from pyspark import SparkFiles
 
-        idx_ids = b_ids.value
-        m = b_m.value
-        nrm = b_norms.value
+        idx_ids = np.load(SparkFiles.get(paths["ids"]), mmap_mode="r")
+        m = np.load(SparkFiles.get(paths["m"]), mmap_mode="r")
+        nrm = np.load(SparkFiles.get(paths["norms"]), mmap_mode="r")
+        # chunked: M[ia] materializes (chunk, 64) float64 gathers —
+        # 16k rows keeps per-worker transients ~8 MB (32 concurrent
+        # workers share this box's memory bandwidth)
+        CH = 16384
         for batch in batches:
-            if batch.num_rows == 0:
+            nb = batch.num_rows
+            if nb == 0:
                 continue
             va = np.asarray(batch.column(0), dtype=np.int64)
             vb = np.asarray(batch.column(1), dtype=np.int64)
             ia = np.searchsorted(idx_ids, va)
             ib = np.searchsorted(idx_ids, vb)
-            sim = np.einsum("ij,ij->i", m[ia], m[ib]) / (nrm[ia] * nrm[ib])
+            sim = np.empty(nb, dtype=np.float64)
+            for s in range(0, nb, CH):
+                e = min(s + CH, nb)
+                # float32 storage -> float64 math (exact: the source
+                # embedding column is float32)
+                sim[s:e] = np.einsum(
+                    "ij,ij->i",
+                    m[ia[s:e]].astype(np.float64),
+                    m[ib[s:e]].astype(np.float64),
+                ) / (nrm[ia[s:e]] * nrm[ib[s:e]])
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1), pa.array(sim)],
                 ["vec_id", "neighbor_id", "sim"],

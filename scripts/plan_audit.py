@@ -19,6 +19,9 @@ NAMES = [
     "gradient_raster", "connected_components", "contour_lines",
     "geo_dedup", "dedup_clusters", "ann_topk", "boilerplate_ngrams",
     "events_sessions", "morton_cells",
+    # round 4
+    "pip_region_holes", "extract_clip_holes", "lines_in_region",
+    "rasterize_lines", "simhash_near",
 ]
 
 

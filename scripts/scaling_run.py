@@ -115,7 +115,13 @@ def main():
         "PIP — both pip joins) at 4x that. The driver's per-round "
         "bench.py runs the same pipeline at 20M docs for speed; "
         "compare it against the dedicated 20M reference row below, "
-        "not this table.",
+        "not this table. The ann_topk row is capped at 100k vectors "
+        "(its 8-table union-dedup shuffle goes superlinear beyond "
+        "that on this box), which leaves the stage partially stage-"
+        "latency-bound at local[32] — its raw speedup under-reads the "
+        "operator's scalability; the per-stage breakdown (bucket "
+        "pass / bucket join / pair dedup / re-score) is all "
+        "executor-side work.",
         "",
         "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency | normalized |",
         "|---|---|---|---|---|---|",
