@@ -177,3 +177,86 @@ def test_minhash_chunk_matches_independent_reference(texts):
         for hi in range(NUM_HASHES):
             expected = min((MH_A[hi] * c + MH_B[hi]) % MH_PRIME for c in codes)
             assert got[di, hi] == expected, (di, hi, t)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.tuples(finite, finite), min_size=30, max_size=30),
+    st.floats(min_value=-49, max_value=49),
+    st.floats(min_value=-49, max_value=49),
+    st.floats(min_value=0.5, max_value=10),
+)
+def test_pip_rings_parity_is_xor_of_rings(pts, hx, hy, hr):
+    """Donut PIP (even-odd over all rings) must equal XOR of per-ring
+    PIP for ANY outer/hole pair — the algebraic identity the holes
+    support rests on."""
+    from geokit_spark.kernels.pip import points_in_poly_rings
+
+    outer = [(-60.0, -60.0), (60.0, -60.0), (60.0, 60.0), (-60.0, 60.0)]
+    hole = [
+        (hx - hr, hy - hr), (hx + hr, hy - hr),
+        (hx + hr, hy + hr), (hx - hr, hy + hr),
+    ]
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    got = points_in_poly_rings(px, py, [outer, hole])
+    expect = points_in_poly(px, py, outer) ^ points_in_poly(px, py, hole)
+    assert (got == expect).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.tuples(finite, finite), st.tuples(finite, finite),
+    st.tuples(finite, finite), st.tuples(finite, finite),
+)
+def test_proper_crossing_matches_param_solve(a, b, c, d):
+    """The strict-orientation proper-crossing rule (operators.lines)
+    vs an independent parametric intersection solve (Cramer): both
+    must agree whenever the configuration is non-degenerate."""
+    from fractions import Fraction as Fr
+
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    if 0 in (o1, o2, o3, o4):
+        return  # degenerate (collinear/touching): rule is undefined
+    rule = ((o1 > 0) != (o2 > 0)) and ((o3 > 0) != (o4 > 0))
+
+    ax, ay = Fr(a[0]), Fr(a[1])
+    rx, ry = Fr(b[0]) - ax, Fr(b[1]) - ay
+    cx, cy = Fr(c[0]), Fr(c[1])
+    sx, sy = Fr(d[0]) - cx, Fr(d[1]) - cy
+    den = rx * sy - ry * sx
+    if den == 0:
+        return  # parallel
+    t = ((cx - ax) * sy - (cy - ay) * sx) / den
+    u = ((cx - ax) * ry - (cy - ay) * rx) / den
+    solve = Fr(0) < t < Fr(1) and Fr(0) < u < Fr(1)
+    assert rule == solve
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.tuples(finite, finite), min_size=3, max_size=8),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_wkb_polygon_rings_roundtrip(rings):
+    """polygon_wkb_rings -> parse_wkb is lossless for any ring list
+    (rings closed on write; parse returns the closed rings)."""
+    from geokit_spark.kernels.wkb import parse_wkb, polygon_wkb_rings
+
+    buf = polygon_wkb_rings(rings)
+    kind, payload = parse_wkb(buf)
+    assert kind == "polygon"
+    got = payload if isinstance(payload, list) else [payload]
+    assert len(got) == len(rings)
+    for ring, arr in zip(rings, got):
+        closed = [tuple(map(float, p)) for p in ring]
+        if closed[0] != closed[-1]:
+            closed.append(closed[0])
+        assert np.allclose(arr, closed)
