@@ -668,6 +668,16 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_line_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline lengths (reference geom Length on line geometries):
+    left-assoc fold of per-segment sqrt in waypoint order — sqrt is
+    IEEE-correctly-rounded on both engines, the fold pins the sum
+    tree, so the row hashes bit-exact."""
+    from geokit_spark.operators.lines import line_lengths
+
+    return line_lengths(spark)
+
+
 def q_extract_clip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extractAndClipFeatures against a CONCAVE star region — general
     non-convex clipping (vector.py:916-931; areaShare goldens
@@ -1212,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lines_in_region": q_lines_in_region,
         "rasterize_lines": q_rasterize_lines,
         "stream_dedup_watermark": q_stream_dedup_watermark,
+        "line_lengths": q_line_lengths,
         # output CHANGED in round 4 (64-bit sketch) — must be inside the
         # driver's per-round budget, not the already-recorded tail
         "simhash": q_simhash,
@@ -1869,6 +1880,27 @@ SELECT nc.line_id, nc.n_cross,
        COALESCE(vin.n_verts_in, 0) AS n_verts_in,
        (nc.n_cross > 0 OR COALESCE(vin.n_verts_in, 0) > 0) AS touches
 FROM nc LEFT JOIN vin ON nc.line_id = vin.line_id
+"""
+
+
+def _o_line_lengths() -> str:
+    """Ordered list_reduce mirror of operators.lines.line_lengths:
+    same per-segment sqrt expression, same left-assoc summation order
+    (list(d ORDER BY i); reduce without init == fold with 0.0 init
+    since 0.0 + d1 == d1 exactly)."""
+    return f"""
+WITH segs(line_id, i, ax, ay, bx, by) AS (VALUES {fixtures.sql_line_seg_idx_values()}),
+attrs(line_id, kind) AS (VALUES {fixtures.sql_line_attr_values()}),
+pre AS (
+  SELECT line_id, i,
+         sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay)) AS d
+  FROM segs
+),
+l AS (
+  SELECT line_id, list(d ORDER BY i) AS ds FROM pre GROUP BY line_id
+)
+SELECT a.line_id, a.kind, list_reduce(l.ds, (x, y) -> x + y) AS length
+FROM attrs a JOIN l ON a.line_id = l.line_id
 """
 
 
@@ -2846,6 +2878,7 @@ def oracle_sql() -> dict[str, str]:
         "lines_in_region": _o_lines_in_region(),
         "rasterize_lines": _o_rasterize_lines(),
         "stream_dedup_watermark": _o_stream_dedup(),
+        "line_lengths": _o_line_lengths(),
         "union_geom": geooracle.union_geom_sql(
             [z["verts"] for z in fixtures.ZONES]
         ),

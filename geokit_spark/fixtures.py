@@ -233,6 +233,28 @@ def _make_lines(n_lines: int = 14, n_pts: int = 5):
 LINES: list[dict] = _make_lines()
 
 
+def sql_line_seg_idx_values(lines=None) -> str:
+    """DuckDB VALUES literal (line_id, i, ax, ay, bx, by) of every
+    polyline segment WITH its 1-based index (ordered fold mirrors)."""
+    rows = []
+    for ln in lines if lines is not None else LINES:
+        p = ln["pts"]
+        for i in range(len(p) - 1):
+            rows.append(
+                f"({int(ln['line_id'])},{i + 1},{_dl(p[i][0])},{_dl(p[i][1])},"
+                f"{_dl(p[i + 1][0])},{_dl(p[i + 1][1])})"
+            )
+    return ",".join(rows)
+
+
+def sql_line_attr_values(lines=None) -> str:
+    """DuckDB VALUES literal (line_id, kind)."""
+    return ",".join(
+        f"({int(ln['line_id'])},'{ln['kind']}')"
+        for ln in (lines if lines is not None else LINES)
+    )
+
+
 def sql_line_verts_values(lines=None) -> str:
     """DuckDB VALUES literal (line_id, px, py) of every waypoint."""
     rows = []

@@ -169,6 +169,24 @@ def lines_in_polygon(
     )
 
 
+def line_lengths(spark: SparkSession, lines=None) -> DataFrame:
+    """(line_id, kind, length): polyline length as the LEFT-ASSOC fold
+    of per-segment sqrt(dx^2 + dy^2) in waypoint order (reference
+    geom Length on lines). sqrt is IEEE-correctly-rounded on both
+    engines and the fold order pins the float summation tree, so the
+    oracle's ordered list_reduce reproduces it bit-for-bit."""
+    feats = lines_feature_df(spark, lines)
+    seg = F.expr(
+        "aggregate(transform(sequence(1, size(xs) - 1), i -> "
+        "sqrt((element_at(xs, i + 1) - element_at(xs, i))"
+        " * (element_at(xs, i + 1) - element_at(xs, i))"
+        " + (element_at(ys, i + 1) - element_at(ys, i))"
+        " * (element_at(ys, i + 1) - element_at(ys, i)))), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return feats.select("line_id", "kind", seg.alias("length"))
+
+
 def rasterize_lines_band(tiles: DataFrame, lines=None) -> DataFrame:
     """(ix, iy, burn): every pixel whose CELL rectangle is intersected
     by a line segment, burn = MAX line_id among hitting lines (a

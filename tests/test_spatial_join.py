@@ -134,3 +134,30 @@ def test_points_in_polygon_donut_vs_brute_force(spark, docs):
         spark, with_geocode(docs.select("doc_id")), rings[0]
     ).count()
     assert len(got) < outer_only
+
+
+def test_points_join_polygons_with_donut_zone(spark, docs):
+    """A {id: ring-list} entry in the polys dict (zone with a hole)
+    routes through the Arrow refine and matches brute-force parity;
+    single-ring zones in the same dict are unaffected."""
+    rings = fixtures.REGION_HOLES_RINGS
+    polys = {
+        1: rings,                       # donut zone
+        2: fixtures.ZONES[0]["verts"],  # plain quad
+    }
+    from geokit_spark.functions.geo import with_geocode
+    from geokit_spark.kernels.pip import points_in_poly_rings
+
+    got = (
+        spatial_join.points_join_polygons(
+            spark, with_geocode(docs.select("doc_id")), polys
+        )
+        .select("doc_id", "zone_id")
+        .toPandas()
+    )
+    ids = docs.select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
+    lon, lat = geocode(ids)
+    for zid, poly in polys.items():
+        expect = set(ids[points_in_poly_rings(lon, lat, poly)].tolist())
+        have = set(got[got.zone_id == zid]["doc_id"].tolist())
+        assert have == expect, zid
