@@ -518,55 +518,73 @@ def ann_topk_arrow(
     else:
         a = buckets
     base = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    # NO distinct here: duplicates across tables survive to the
+    # per-partition pass, which dedupes them vectorized — this is the
+    # plan-shape win over the fold path: bucket-join shuffle +
+    # vec_id repartition = TWO shuffles total, no pair-distinct
+    # exchange and no 10M-row JVM window sort.
     cand = (
         a.join(base, "bucket")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
-        .distinct()
+        .repartition("vec_id")
     )
 
-    def rescore_fn(batches):
+    def topk_fn(batches):
+        """One pass per partition: all candidates of a vec_id are
+        co-partitioned, so dedup + exact re-score + top-k select run
+        vectorized at partition end (lexsort by (vec, -sim, neighbor)
+        == the fold path's ORDER BY sim DESC, neighbor ASC)."""
         import pyarrow as pa
         from pyspark import SparkFiles
 
         idx_ids = np.load(SparkFiles.get(paths["ids"]), mmap_mode="r")
         m = np.load(SparkFiles.get(paths["m"]), mmap_mode="r")
         nrm = np.load(SparkFiles.get(paths["norms"]), mmap_mode="r")
-        # chunked: M[ia] materializes (chunk, 64) float64 gathers —
-        # 16k rows keeps per-worker transients ~8 MB (32 concurrent
-        # workers share this box's memory bandwidth)
-        CH = 16384
+        vas, vbs = [], []
         for batch in batches:
-            nb = batch.num_rows
-            if nb == 0:
-                continue
-            va = np.asarray(batch.column(0), dtype=np.int64)
-            vb = np.asarray(batch.column(1), dtype=np.int64)
-            ia = np.searchsorted(idx_ids, va)
-            ib = np.searchsorted(idx_ids, vb)
-            sim = np.empty(nb, dtype=np.float64)
-            for s in range(0, nb, CH):
-                e = min(s + CH, nb)
-                # float32 storage -> float64 math (exact: the source
-                # embedding column is float32)
-                sim[s:e] = np.einsum(
-                    "ij,ij->i",
-                    m[ia[s:e]].astype(np.float64),
-                    m[ib[s:e]].astype(np.float64),
-                ) / (nrm[ia[s:e]] * nrm[ib[s:e]])
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(0), batch.column(1), pa.array(sim)],
-                ["vec_id", "neighbor_id", "sim"],
-            )
+            if batch.num_rows:
+                vas.append(np.asarray(batch.column(0), dtype=np.int64))
+                vbs.append(np.asarray(batch.column(1), dtype=np.int64))
+        if not vas:
+            return
+        va = np.concatenate(vas)
+        vb = np.concatenate(vbs)
+        # dedup multi-table collisions
+        o = np.lexsort((vb, va))
+        va, vb = va[o], vb[o]
+        keep = np.r_[True, (va[1:] != va[:-1]) | (vb[1:] != vb[:-1])]
+        va, vb = va[keep], vb[keep]
+        ia = np.searchsorted(idx_ids, va)
+        ib = np.searchsorted(idx_ids, vb)
+        nb = len(va)
+        sim = np.empty(nb, dtype=np.float64)
+        CH = 16384  # bounded float64 gather transients (~8 MB/worker)
+        for s in range(0, nb, CH):
+            e = min(s + CH, nb)
+            # float32 storage -> float64 math (exact: source is float32)
+            sim[s:e] = np.einsum(
+                "ij,ij->i",
+                m[ia[s:e]].astype(np.float64),
+                m[ib[s:e]].astype(np.float64),
+            ) / (nrm[ia[s:e]] * nrm[ib[s:e]])
+        order = np.lexsort((vb, -sim, va))
+        sva = va[order]
+        starts = np.flatnonzero(np.r_[True, sva[1:] != sva[:-1]])
+        sizes = np.diff(np.r_[starts, len(sva)])
+        rank = np.arange(len(sva), dtype=np.int64) - np.repeat(starts, sizes)
+        sel = rank < k
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(sva[sel]),
+                pa.array((rank[sel] + 1).astype(np.int32)),
+                pa.array(vb[order][sel]),
+            ],
+            ["vec_id", "rank", "neighbor_id"],
+        )
 
-    scored = cand.mapInArrow(
-        rescore_fn, schema="vec_id long, neighbor_id long, sim double"
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank", "neighbor_id")
+    return cand.mapInArrow(
+        topk_fn, schema="vec_id long, rank int, neighbor_id long"
     )
 
 

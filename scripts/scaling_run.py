@@ -116,12 +116,12 @@ def main():
         "bench.py runs the same pipeline at 20M docs for speed; "
         "compare it against the dedicated 20M reference row below, "
         "not this table. The ann_topk row is capped at 100k vectors "
-        "(its 8-table union-dedup shuffle goes superlinear beyond "
-        "that on this box), which leaves the stage partially stage-"
-        "latency-bound at local[32] — its raw speedup under-reads the "
-        "operator's scalability; the per-stage breakdown (bucket "
-        "pass / bucket join / pair dedup / re-score) is all "
-        "executor-side work.",
+        "(beyond that the bucket-join volume swamps the suite on this "
+        "box); the operator runs the fused two-shuffle plan — bucket "
+        "equijoin, then one vec_id repartition into a single Arrow "
+        "pass that dedupes multi-table collisions, re-scores against "
+        "the mmap sidecar matrix, and selects top-k vectorized (no "
+        "pair-distinct exchange, no JVM window sort).",
         "",
         "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency | normalized |",
         "|---|---|---|---|---|---|",
