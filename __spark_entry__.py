@@ -668,6 +668,19 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts per doc (GPT-2-style splitting
+    approximated by character-class runs: letter runs, digit runs,
+    punctuation chars — the subword-budget estimator of a training
+    pipeline). Pure per-position ascii arithmetic; no engine regex."""
+    from geokit_spark.functions.text import token_class_exprs
+
+    cols = token_class_exprs("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
 def q_line_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polyline lengths (reference geom Length on line geometries):
     left-assoc fold of per-segment sqrt in waypoint order — sqrt is
@@ -1223,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_lines": q_rasterize_lines,
         "stream_dedup_watermark": q_stream_dedup_watermark,
         "line_lengths": q_line_lengths,
+        "token_classes": q_token_classes,
         # output CHANGED in round 4 (64-bit sketch) — must be inside the
         # driver's per-round budget, not the already-recorded tail
         "simhash": q_simhash,
@@ -1881,6 +1895,14 @@ SELECT nc.line_id, nc.n_cross,
        (nc.n_cross > 0 OR COALESCE(vin.n_verts_in, 0) > 0) AS touches
 FROM nc LEFT JOIN vin ON nc.line_id = vin.line_id
 """
+
+
+def _o_token_classes() -> str:
+    from geokit_spark.oracle.textsql import token_class_exprs_sql
+
+    cols = token_class_exprs_sql("text")
+    sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
+    return f"SELECT doc_id, {sel} FROM documents"
 
 
 def _o_line_lengths() -> str:
@@ -2879,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_lines": _o_rasterize_lines(),
         "stream_dedup_watermark": _o_stream_dedup(),
         "line_lengths": _o_line_lengths(),
+        "token_classes": _o_token_classes(),
         "union_geom": geooracle.union_geom_sql(
             [z["verts"] for z in fixtures.ZONES]
         ),

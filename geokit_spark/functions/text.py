@@ -76,6 +76,51 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(tokens_col(text), " "))
 
 
+def token_class_exprs(text_col: str = "text") -> dict:
+    """BPE-ish pre-tokenizer counts (GPT-2-style splitting
+    approximated by character-class runs): maximal ASCII-letter runs,
+    maximal digit runs, and individual punctuation characters each
+    count as one token — the subword-budget estimator of a training
+    pipeline. Pure per-position arithmetic over ascii codes (no engine
+    regex: Java util.regex and DuckDB RE2 differ at the edges, ascii
+    comparisons do not). i = 1 guards the predecessor lookup — Spark
+    treats substring(t, 0, 1) as position 1 while DuckDB returns ''.
+    Returns {name: Column}."""
+    t = text_col
+
+    def a(pos: str) -> str:
+        return f"ascii(substring({t}, {pos}, 1))"
+
+    def is_alpha(pos: str) -> str:
+        return (
+            f"(({a(pos)} >= 65 AND {a(pos)} <= 90)"
+            f" OR ({a(pos)} >= 97 AND {a(pos)} <= 122))"
+        )
+
+    def is_digit(pos: str) -> str:
+        return f"({a(pos)} >= 48 AND {a(pos)} <= 57)"
+
+    def run_starts(pred) -> str:
+        prev = f"CASE WHEN i = 1 THEN FALSE ELSE {pred('i - 1')} END"
+        return (
+            f"aggregate(transform(sequence(1, greatest(length({t}), 1)),"
+            f" i -> CASE WHEN {pred('i')} AND NOT ({prev})"
+            f" THEN 1 ELSE 0 END), 0L, (acc, x) -> acc + x)"
+        )
+
+    punct = (
+        f"aggregate(transform(sequence(1, greatest(length({t}), 1)),"
+        f" i -> CASE WHEN {a('i')} > 32 AND NOT {is_alpha('i')}"
+        f" AND NOT {is_digit('i')} THEN 1 ELSE 0 END),"
+        f" 0L, (acc, x) -> acc + x)"
+    )
+    return {
+        "n_alpha_tokens": F.expr(run_starts(lambda p: is_alpha(p))),
+        "n_num_tokens": F.expr(run_starts(lambda p: is_digit(p))),
+        "n_punct_tokens": F.expr(punct),
+    }
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (

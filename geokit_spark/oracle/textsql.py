@@ -140,3 +140,41 @@ def norm_expr(a: str) -> str:
         f"sqrt(list_reduce(list_transform({a}, "
         f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
     )
+
+
+def token_class_exprs_sql(t: str = "text") -> dict:
+    """DuckDB mirror of functions.text.token_class_exprs: same
+    per-position ascii arithmetic, same i = 1 predecessor guard
+    (DuckDB substr(t, 0, 1) = '' but the guard keeps both engines on
+    the same branch), integer sums cast to BIGINT."""
+
+    def a(pos: str) -> str:
+        return f"ascii(substr({t}, {pos}, 1))"
+
+    def is_alpha(pos: str) -> str:
+        return (
+            f"(({a(pos)} >= 65 AND {a(pos)} <= 90)"
+            f" OR ({a(pos)} >= 97 AND {a(pos)} <= 122))"
+        )
+
+    def is_digit(pos: str) -> str:
+        return f"({a(pos)} >= 48 AND {a(pos)} <= 57)"
+
+    def run_starts(pred) -> str:
+        prev = f"CASE WHEN i = 1 THEN FALSE ELSE {pred('i - 1')} END"
+        return (
+            f"CAST(list_sum([CASE WHEN {pred('i')} AND NOT ({prev})"
+            f" THEN 1 ELSE 0 END"
+            f" for i in range(1, greatest(length({t}), 1) + 1)]) AS BIGINT)"
+        )
+
+    punct = (
+        f"CAST(list_sum([CASE WHEN {a('i')} > 32 AND NOT {is_alpha('i')}"
+        f" AND NOT {is_digit('i')} THEN 1 ELSE 0 END"
+        f" for i in range(1, greatest(length({t}), 1) + 1)]) AS BIGINT)"
+    )
+    return {
+        "n_alpha_tokens": run_starts(lambda p: is_alpha(p)),
+        "n_num_tokens": run_starts(lambda p: is_digit(p)),
+        "n_punct_tokens": punct,
+    }

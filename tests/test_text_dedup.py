@@ -418,3 +418,22 @@ def test_ann_topk_arrow_broadcast_guard(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         similarity.ann_topk_arrow(emb, k=5, max_broadcast_rows=10)
+
+
+def test_token_class_counts_hand_case(spark):
+    from geokit_spark.functions.text import token_class_exprs
+
+    rows = [(1, "abc 123 a.b!"), (2, ""), (3, "x9y"), (4, "...")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = token_class_exprs("text")
+    got = (
+        df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # "abc 123 a.b!": alpha runs abc,a,b; digit runs 123; punct . !
+    assert tuple(got.loc[1]) == (3, 1, 2)
+    assert tuple(got.loc[2]) == (0, 0, 0)
+    # "x9y": runs x, y; 9
+    assert tuple(got.loc[3]) == (2, 1, 0)
+    assert tuple(got.loc[4]) == (0, 0, 3)
