@@ -71,6 +71,31 @@ def parse_wkb(buf: bytes):
         if not rings:
             return "polygon", np.zeros((0, 2))
         return "polygon", (rings[0] if len(rings) == 1 else rings)
+    if gtype == WKB_LINESTRING:
+        n_pts = int.from_bytes(buf[5:9], "little")
+        if len(buf) < 9 + 16 * n_pts:
+            raise ValueError("truncated linestring WKB")
+        coords = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=9)
+        return "linestring", coords.reshape(n_pts, 2)
+    if gtype == WKB_MULTILINESTRING:
+        n_lines = int.from_bytes(buf[5:9], "little")
+        off = 9
+        lines = []
+        for _ in range(n_lines):
+            if buf[off] != _LE or int.from_bytes(
+                buf[off + 1 : off + 5], "little"
+            ) != WKB_LINESTRING:
+                raise ValueError("malformed multilinestring WKB")
+            n_pts = int.from_bytes(buf[off + 5 : off + 9], "little")
+            off += 9
+            if len(buf) < off + 16 * n_pts:
+                raise ValueError("truncated multilinestring WKB")
+            coords = np.frombuffer(
+                buf, dtype="<f8", count=2 * n_pts, offset=off
+            )
+            lines.append(coords.reshape(n_pts, 2))
+            off += 16 * n_pts
+        return "multilinestring", lines
     if gtype == WKB_MULTIPOLYGON:
         n_polys = int.from_bytes(buf[5:9], "little")
         off = 9

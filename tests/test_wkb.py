@@ -88,3 +88,19 @@ def test_wkb_multi_ring_roundtrip_and_area():
     mkind, polys = parse_wkb(mbuf)
     assert mkind == "multipolygon" and len(polys) == 2
     assert len(polys[0]) == 2 and len(polys[1]) == 1
+
+
+def test_wkb_linestring_roundtrip():
+    from geokit_spark.kernels.wkb import (
+        linestring_wkb,
+        multilinestring_wkb,
+        parse_wkb,
+    )
+
+    pts = [(0.0, 1.0), (2.5, -3.0), (4.0, 4.0)]
+    kind, arr = parse_wkb(linestring_wkb(pts))
+    assert kind == "linestring"
+    assert np.allclose(arr, pts)
+    kind, lines = parse_wkb(multilinestring_wkb([pts, pts[:2]]))
+    assert kind == "multilinestring" and len(lines) == 2
+    assert np.allclose(lines[1], pts[:2])
