@@ -681,6 +681,16 @@ def q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-vs-line INTERSECTS join: pairs of fixture polylines with
+    >= 1 proper segment crossing, via the LOSSLESS cell-blocked
+    equijoin (no all-pairs theta join); oracle = plain theta join over
+    the identical strict-orientation expression tree."""
+    from geokit_spark.operators.lines import line_crossing_pairs
+
+    return line_crossing_pairs(spark)
+
+
 def q_line_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polyline lengths (reference geom Length on line geometries):
     left-assoc fold of per-segment sqrt in waypoint order — sqrt is
@@ -1237,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_watermark": q_stream_dedup_watermark,
         "line_lengths": q_line_lengths,
         "token_classes": q_token_classes,
+        "line_crossings": q_line_crossings,
         # output CHANGED in round 4 (64-bit sketch) — must be inside the
         # driver's per-round budget, not the already-recorded tail
         "simhash": q_simhash,
@@ -1903,6 +1914,24 @@ def _o_token_classes() -> str:
     cols = token_class_exprs_sql("text")
     sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
     return f"SELECT doc_id, {sel} FROM documents"
+
+
+def _o_line_crossings() -> str:
+    o1 = "((a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax))"
+    o2 = "((a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax))"
+    o3 = "((b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax))"
+    o4 = "((b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax))"
+    proper = f"(({o1} > 0) <> ({o2} > 0)) AND (({o3} > 0) <> ({o4} > 0))"
+    return f"""
+WITH segs(line_id, i, ax, ay, bx, by) AS (VALUES {fixtures.sql_line_seg_idx_values()}),
+pairs AS (
+  SELECT a.line_id AS id_a, b.line_id AS id_b,
+         CASE WHEN {proper} THEN 1 ELSE 0 END AS c
+  FROM segs a JOIN segs b ON a.line_id < b.line_id
+)
+SELECT id_a, id_b, CAST(SUM(c) AS BIGINT) AS n_cross
+FROM pairs GROUP BY id_a, id_b HAVING SUM(c) > 0
+"""
 
 
 def _o_line_lengths() -> str:
@@ -2902,6 +2931,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_watermark": _o_stream_dedup(),
         "line_lengths": _o_line_lengths(),
         "token_classes": _o_token_classes(),
+        "line_crossings": _o_line_crossings(),
         "union_geom": geooracle.union_geom_sql(
             [z["verts"] for z in fixtures.ZONES]
         ),

@@ -89,15 +89,16 @@ def _edges_df(spark: SparkSession, region) -> DataFrame:
     )
 
 
-def _proper_cross_cond() -> F.Column:
-    """Strict proper-crossing of segment (ax,ay)-(bx,by) vs region
-    edge (ex1,ey1)-(ex2,ey2): endpoints of each segment strictly on
+def _proper_cross_cond(
+    seg=("ax", "ay", "bx", "by"), other=("ex1", "ey1", "ex2", "ey2")
+) -> F.Column:
+    """Strict proper-crossing of segment (ax,ay)-(bx,by) vs segment
+    (ex1,ey1)-(ex2,ey2): endpoints of each segment strictly on
     opposite sides of the other's line. Same +,-,* tree as the SQL
     oracle; valid under general position (no collinearity)."""
-    ax, ay = F.col("ax"), F.col("ay")
-    bx, by = F.col("bx"), F.col("by")
-    cx, cy = F.col("ex1"), F.col("ey1")
-    dx, dy = F.col("ex2"), F.col("ey2")
+    ax, ay, bxn, byn = (F.col(c) for c in seg)
+    cx, cy, dxn, dyn = (F.col(c) for c in other)
+    bx, by, dx, dy = bxn, byn, dxn, dyn
     o1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     o2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
     o3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
@@ -166,6 +167,75 @@ def lines_in_polygon(
                 | (F.coalesce("n_verts_in", F.lit(0)) > 0)
             ).alias("touches"),
         )
+    )
+
+
+def line_crossing_pairs(
+    spark: SparkSession, lines=None, grid_n: int = 64
+) -> DataFrame:
+    """(id_a, id_b, n_cross): line pairs (id_a < id_b) with at least
+    one proper segment crossing — the line-vs-line INTERSECTS join
+    (reference predicates branch per geometry pair).
+
+    Scale shape: a LOSSLESS cell-blocked equijoin, not an all-pairs
+    theta join — each segment explodes to the grid cells its bbox
+    covers (two crossing segments' bboxes overlap, an overlap point's
+    cell is covered by both, so every crossing pair shares >= 1 cell);
+    candidate (segment, segment) pairs dedupe by id before the strict-
+    orientation test. The oracle runs the plain theta join (fixture-
+    sized) over the same expression tree."""
+    from ..constants import XMAX, XMIN, XSPAN, YMAX, YMIN, YSPAN
+
+    segs = _segments_df(spark, lines).withColumn(
+        "sid", F.monotonically_increasing_id()
+    )
+    inv_x = F.lit(grid_n / XSPAN)
+    inv_y = F.lit(grid_n / YSPAN)
+
+    def cells(df):
+        cx0 = F.greatest(
+            F.lit(0),
+            F.floor((F.least("ax", "bx") - F.lit(XMIN)) * inv_x),
+        )
+        cx1 = F.least(
+            F.lit(grid_n - 1),
+            F.floor((F.greatest("ax", "bx") - F.lit(XMIN)) * inv_x),
+        )
+        cy0 = F.greatest(
+            F.lit(0),
+            F.floor((F.least("ay", "by") - F.lit(YMIN)) * inv_y),
+        )
+        cy1 = F.least(
+            F.lit(grid_n - 1),
+            F.floor((F.greatest("ay", "by") - F.lit(YMIN)) * inv_y),
+        )
+        return (
+            df.withColumn("cx", F.explode(F.sequence(cx0, cx1)))
+            .withColumn("cy", F.explode(F.sequence(cy0, cy1)))
+            .withColumn("cell", F.col("cx") * F.lit(grid_n) + F.col("cy"))
+            .drop("cx", "cy")
+        )
+
+    a = cells(segs).select(
+        F.col("line_id").alias("id_a"), F.col("sid").alias("sid_a"),
+        "ax", "ay", "bx", "by", "cell",
+    )
+    b = cells(segs).select(
+        F.col("line_id").alias("id_b"), F.col("sid").alias("sid_b"),
+        F.col("ax").alias("ex1"), F.col("ay").alias("ey1"),
+        F.col("bx").alias("ex2"), F.col("by").alias("ey2"),
+        "cell",
+    )
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("cell")
+        .distinct()  # one test per (segment, segment) pair
+    )
+    return (
+        cand.filter(_proper_cross_cond())
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_cross"))
     )
 
 

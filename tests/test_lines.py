@@ -75,3 +75,37 @@ def test_rasterize_lines_band_covers_segments(spark):
             ix = min(int(np.floor((mx - XMIN) / PIX_DX)), 511)
             iy = min(int(np.floor((YMAX - my) / PIX_DY)), 511)
             assert (ix, iy) in burned, (ln["line_id"], i)
+
+
+def test_line_crossings_blocking_is_lossless(spark):
+    """The cell-blocked crossing join must equal the all-pairs brute
+    force: crossing segments' bboxes overlap, so they always share a
+    covered grid cell — no pair can be lost to blocking."""
+    import itertools
+
+    from geokit_spark.operators.lines import line_crossing_pairs
+
+    got = (
+        line_crossing_pairs(spark)
+        .toPandas()
+        .set_index(["id_a", "id_b"])["n_cross"]
+        .to_dict()
+    )
+
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    expect = {}
+    for la, lb in itertools.combinations(fixtures.LINES, 2):
+        n = 0
+        for i in range(len(la["pts"]) - 1):
+            for j in range(len(lb["pts"]) - 1):
+                a, b = la["pts"][i], la["pts"][i + 1]
+                c, d = lb["pts"][j], lb["pts"][j + 1]
+                o1, o2 = orient(a, b, c), orient(a, b, d)
+                o3, o4 = orient(c, d, a), orient(c, d, b)
+                if ((o1 > 0) != (o2 > 0)) and ((o3 > 0) != (o4 > 0)):
+                    n += 1
+        if n:
+            expect[(la["line_id"], lb["line_id"])] = n
+    assert got == expect
