@@ -681,6 +681,17 @@ def q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_region_mask_area_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegionMask over a DONUT region (interior rings honored by the
+    mask/zonal family): rasterized mask pixel count + geo area. The
+    oracle rasterizes the same even-odd parity over ALL rings' edges
+    on the pixel grid."""
+    from geokit_spark.regionmask import RegionMask
+
+    rm = RegionMask(spark, fixtures.REGION_HOLES_RINGS)
+    return rm.mask_stats(tilesrc.raster_table(spark, "elev"))
+
+
 def q_line_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-vs-line INTERSECTS join: pairs of fixture polylines with
     >= 1 proper segment crossing, via the LOSSLESS cell-blocked
@@ -1248,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_lengths": q_line_lengths,
         "token_classes": q_token_classes,
         "line_crossings": q_line_crossings,
+        "region_mask_area_holes": q_region_mask_area_holes,
         # output CHANGED in round 4 (64-bit sketch) — must be inside the
         # driver's per-round budget, not the already-recorded tail
         "simhash": q_simhash,
@@ -1914,6 +1926,24 @@ def _o_token_classes() -> str:
     cols = token_class_exprs_sql("text")
     sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
     return f"SELECT doc_id, {sel} FROM documents"
+
+
+def _o_region_mask_area_holes() -> str:
+    cross = sqlgen.pip_crossings_expr("p.px", "p.py")
+    edges = fixtures.sql_rings_edges_values(fixtures.REGION_HOLES_RINGS)
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+edges(x1, y1, x2, y2) AS (VALUES {edges}),
+hits AS (
+  SELECT p.ix, p.iy
+  FROM pix p CROSS JOIN edges
+  GROUP BY p.ix, p.iy, p.px, p.py
+  HAVING SUM({cross}) % 2 = 1
+)
+SELECT COUNT(*) AS n_pix,
+  CAST(COUNT(*) AS DOUBLE) * {d(PIX_DX)} * {d(PIX_DY)} AS area
+FROM hits
+"""
 
 
 def _o_line_crossings() -> str:
@@ -2932,6 +2962,7 @@ def oracle_sql() -> dict[str, str]:
         "line_lengths": _o_line_lengths(),
         "token_classes": _o_token_classes(),
         "line_crossings": _o_line_crossings(),
+        "region_mask_area_holes": _o_region_mask_area_holes(),
         "union_geom": geooracle.union_geom_sql(
             [z["verts"] for z in fixtures.ZONES]
         ),

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .. import fixtures
 from ..constants import PIX_DX, PIX_DY, TILE_SIZE, XMIN, YMAX
-from ..kernels.pip import points_in_poly
+from ..kernels.pip import as_rings, points_in_poly_rings
 from ..kernels.raster_fields import pixel_center
 from ..sources.tiles import tile_pixel_indices
 
@@ -61,8 +61,16 @@ def zonal_partials(tiles: DataFrame, zones=None, transform=None) -> DataFrame:
     O(tiles x candidates), not O(tiles x zones). At 10^4+ zones the
     round-1 bbox scan would have been the bottleneck (VERDICT #5)."""
     zones = zones if zones is not None else fixtures.ZONES
+    # rings-aware: a zone's verts may be a ring list [outer, hole, ...]
+    # (donut regions); the tile index uses the OUTER ring's bbox and
+    # membership is even-odd parity over all rings
     zlist = [
-        (z["zone_id"], z["verts"], fixtures.poly_bbox(z["verts"])) for z in zones
+        (
+            z["zone_id"],
+            z["verts"],
+            fixtures.poly_bbox(as_rings(z["verts"])[0]),
+        )
+        for z in zones
     ]
     tspan_x = TILE_SIZE * PIX_DX
     tspan_y = TILE_SIZE * PIX_DY
@@ -91,7 +99,7 @@ def zonal_partials(tiles: DataFrame, zones=None, transform=None) -> DataFrame:
                 px, py = pixel_center(gx, gy)
                 for zi in cand:
                     zid, verts, _ = zlist[zi]
-                    m = points_in_poly(px, py, verts)
+                    m = points_in_poly_rings(px, py, verts)
                     n = int(m.sum())
                     if n == 0:
                         continue

@@ -30,17 +30,33 @@ class RegionMask:
     """
 
     def __init__(self, spark: SparkSession, verts, srs=4326):
+        from .kernels.pip import as_rings
+
         self.spark = spark
         s = load_srs(srs)
-        v = [(float(x), float(y)) for x, y in verts]
-        if len(v) > 1 and v[0] == v[-1]:
-            v = v[:-1]
-        if s is not None and s.kind != "latlon":
-            xs, ys = xy_transform(
-                [p[0] for p in v], [p[1] for p in v], s, 4326
+        rings = []
+        for ring in as_rings(verts):
+            v = [(float(x), float(y)) for x, y in ring]
+            if len(v) > 1 and v[0] == v[-1]:
+                v = v[:-1]
+            if s is not None and s.kind != "latlon":
+                xs, ys = xy_transform(
+                    [p[0] for p in v], [p[1] for p in v], s, 4326
+                )
+                v = list(zip(xs.tolist(), ys.tolist()))
+            rings.append(v)
+        # verts keeps the single-ring contract for outer-only consumers
+        # (tileize/buffer/area/...); rings carries holes for the
+        # mask/zonal/filter family
+        self.rings = rings
+        self.verts = rings[0]
+
+    def _require_no_holes(self, op: str):
+        if len(self.rings) > 1:
+            raise ValueError(
+                f"RegionMask.{op} does not support interior rings; "
+                "mask/zonal/filter operations do"
             )
-            v = list(zip(xs.tolist(), ys.tolist()))
-        self.verts = v
 
     # --- construction helpers (reference RegionMask.fromGeom/fromVector)
 
@@ -48,26 +64,25 @@ class RegionMask:
     def from_wkb(cls, spark: SparkSession, buf: bytes, srs=4326):
         from .kernels.wkb import parse_wkb
 
-        kind, ring = parse_wkb(bytes(buf))
+        kind, payload = parse_wkb(bytes(buf))
         if kind != "polygon":
             raise ValueError("RegionMask needs a polygon")
-        if isinstance(ring, list):
-            raise ValueError(
-                "RegionMask does not support polygons with interior "
-                "rings; use the spatial-join / clip APIs, which accept "
-                "[outer, hole, ...] ring lists"
-            )
-        # pass the ring through unchanged: __init__ strips the closing
+        # pass rings through unchanged: __init__ strips the closing
         # vertex only when first == last, so an unclosed WKB ring does
-        # not silently lose a real vertex
-        return cls(spark, [(x, y) for x, y in ring], srs)
+        # not silently lose a real vertex. Interior rings (holes) are
+        # kept — the mask/zonal/filter family honors them; outer-only
+        # ops (tileize/buffer/area) raise.
+        rings = payload if isinstance(payload, list) else [payload]
+        return cls(spark, [[(x, y) for x, y in r] for r in rings], srs)
 
     @classmethod
     def fixture_region(cls, spark: SparkSession):
         return cls(spark, fixtures.REGION_VERTS)
 
     def _as_zone(self) -> list[dict]:
-        return [{"zone_id": 0, "verts": self.verts}]
+        # ring list passes through: zonal_partials / indicate are
+        # rings-aware (even-odd over all rings)
+        return [{"zone_id": 0, "verts": self.rings}]
 
     # --- mask / area (regionmask.py:504-536)
 
@@ -103,6 +118,7 @@ class RegionMask:
         """indicateFeatures with the optional geometry-buffer method."""
         from .operators.indicate import indicate_features
 
+        self._require_no_holes("indicate_features")
         return indicate_features(
             tiles, designate, region_verts=self.verts,
             buffer_dist=buffer_dist, zones=zones,
@@ -114,17 +130,21 @@ class RegionMask:
         """Semi-join: rows of pts (lon/lat) inside the region."""
         from .operators.spatial_join import points_in_polygon
 
-        return points_in_polygon(self.spark, pts, self.verts)
+        return points_in_polygon(self.spark, pts, self.rings)
 
     # --- tiling (regionmask.py subTiles / subRegions)
 
     def sub_tiles(self, zoom: int):
         from .kernels.tiling import sub_tiles
 
+        self._require_no_holes("sub_tiles")
+
         return list(sub_tiles(self.verts, zoom))
 
     def tileize(self, zoom: int):
         from .kernels.tiling import tileize
+
+        self._require_no_holes("tileize")
 
         return tileize(self.verts, zoom)
 
@@ -134,6 +154,7 @@ class RegionMask:
         """Buffered copy (regionmask.py:1126 buffer option)."""
         from .kernels.buffer import buffer_convex
 
+        self._require_no_holes("buffer")
         return RegionMask(
             self.spark, buffer_convex(self.verts, dist, arc_segments)
         )
@@ -142,4 +163,7 @@ class RegionMask:
         """Shoelace area of the polygon itself (degrees^2)."""
         from .kernels.geom_ops import signed_area
 
-        return abs(signed_area(self.verts))
+        # outer area minus hole areas (proper nesting assumed)
+        return abs(signed_area(self.rings[0])) - sum(
+            abs(signed_area(r)) for r in self.rings[1:]
+        )

@@ -79,3 +79,42 @@ def test_wkb_and_buffer_and_tiles(spark, rm):
     assert grown.area_4326() > rm.area_4326()
     t = rm.sub_tiles(9)
     assert len(t) >= 1 and all(len(x) == 3 for x in t)
+
+
+def test_region_mask_with_holes(spark):
+    """RegionMask accepts ring lists: the mask/zonal/filter family
+    honors holes (donut semantics), outer-only ops raise loudly, and
+    the WKB construction path round-trips interior rings."""
+    import numpy as np
+    import pytest
+
+    from geokit_spark import fixtures
+    from geokit_spark.kernels.geom_ops import signed_area
+    from geokit_spark.kernels.wkb import polygon_wkb_rings
+    from geokit_spark.regionmask import RegionMask
+
+    rings = fixtures.REGION_HOLES_RINGS
+    rm = RegionMask(spark, rings)
+    rm_outer = RegionMask(spark, rings[0])
+    # area subtracts holes
+    assert rm.area_4326() < rm_outer.area_4326()
+    assert np.isclose(
+        rm.area_4326(),
+        abs(signed_area(rings[0]))
+        - sum(abs(signed_area(r)) for r in rings[1:]),
+    )
+    # filter_points honors holes (strictly fewer matches)
+    pts = spark.createDataFrame(
+        [(i, p["lon"], p["lat"]) for i, p in enumerate(fixtures.POINTS)],
+        "id int, lon double, lat double",
+    )
+    assert rm.filter_points(pts).count() <= rm_outer.filter_points(pts).count()
+    # outer-only ops raise loudly
+    with pytest.raises(ValueError, match="interior rings"):
+        rm.buffer(0.1)
+    with pytest.raises(ValueError, match="interior rings"):
+        rm.tileize(8)
+    # WKB donut construction
+    rm2 = RegionMask.from_wkb(spark, polygon_wkb_rings(rings))
+    assert len(rm2.rings) == 3
+    assert rm2.area_4326() == rm.area_4326()
