@@ -103,7 +103,7 @@ def indicate_features(
 
     from .. import fixtures
     from ..kernels.buffer import buffer_convex, buffer_safe
-    from ..kernels.pip import points_in_poly
+    from ..kernels.pip import points_in_poly, points_in_poly_rings
     from ..kernels.raster_fields import pixel_center
     from ..sources.tiles import tile_pixel_indices
     from .zonal import _tile_bbox
@@ -135,7 +135,9 @@ def indicate_features(
                 bx0, by0, bx1, by1 = _tile_bbox(tx, ty)
                 gx, gy = tile_pixel_indices(tx, ty)
                 px, py = pixel_center(gx, gy)
-                in_region = points_in_poly(px, py, region)
+                # the region may carry interior rings (donut):
+                # even-odd parity over all rings
+                in_region = points_in_poly_rings(px, py, region)
                 if not in_region.any():
                     continue
                 covered = np.zeros(len(px), dtype=bool)

@@ -118,9 +118,8 @@ class RegionMask:
         """indicateFeatures with the optional geometry-buffer method."""
         from .operators.indicate import indicate_features
 
-        self._require_no_holes("indicate_features")
         return indicate_features(
-            tiles, designate, region_verts=self.verts,
+            tiles, designate, region_verts=self.rings,
             buffer_dist=buffer_dist, zones=zones,
         )
 

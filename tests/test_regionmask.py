@@ -114,6 +114,17 @@ def test_region_mask_with_holes(spark):
         rm.buffer(0.1)
     with pytest.raises(ValueError, match="interior rings"):
         rm.tileize(8)
+    # indicate_features honors region holes (covered fraction computed
+    # against the donut mask: fewer region pixels than outer-only)
+    from geokit_spark.sources import tiles as tilesrc
+
+    donut_row = rm.indicate_features(
+        tilesrc.raster_table(spark, "elev"), "B"
+    ).collect()[0]
+    outer_row = rm_outer.indicate_features(
+        tilesrc.raster_table(spark, "elev"), "B"
+    ).collect()[0]
+    assert donut_row["n_region_pix"] < outer_row["n_region_pix"]
     # WKB donut construction
     rm2 = RegionMask.from_wkb(spark, polygon_wkb_rings(rings))
     assert len(rm2.rings) == 3
