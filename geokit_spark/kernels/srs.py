@@ -42,13 +42,15 @@ E1 = math.sqrt(E2)
 class SRS:
     """Lightweight SRS descriptor (stands in for osr.SpatialReference)."""
 
-    kind: str  # 'latlon' | 'webmerc' | 'laea' | 'tmerc'
+    kind: str  # 'latlon' | 'webmerc' | 'laea' | 'tmerc' | 'lcc'
     lat0: float = 0.0
     lon0: float = 0.0
     false_e: float = 0.0
     false_n: float = 0.0
     name: str = ""
     k0: float = 1.0  # central-meridian scale (tmerc; UTM = 0.9996)
+    lat1: float = 0.0  # standard parallels (lcc 2SP only)
+    lat2: float = 0.0
 
     @property
     def is_geographic(self) -> bool:
@@ -95,10 +97,22 @@ def load_srs(source) -> SRS:
                 "tmerc", 0.0, float(z * 6 - 183), 500000.0, 0.0,
                 f"EPSG:{source}", 0.9996,
             )
+        # Lambert Conformal Conic 2SP on GRS80 (EPSG method 9802):
+        # RGF93 / Lambert-93 and ETRS89 / LCC Europe
+        if source == 2154:
+            return SRS(
+                "lcc", 46.5, 3.0, 700000.0, 6600000.0, "EPSG:2154",
+                1.0, 44.0, 49.0,
+            )
+        if source == 3034:
+            return SRS(
+                "lcc", 52.0, 10.0, 4000000.0, 2800000.0, "EPSG:3034",
+                1.0, 35.0, 65.0,
+            )
         raise ValueError(
             f"unsupported EPSG code {source}; closed-form set: 4326, "
             "3857, 3035, centeredLAEA, UTM 32601-32660/32701-32760, "
-            "ETRS89-UTM 25828-25838"
+            "ETRS89-UTM 25828-25838, LCC 2154/3034"
         )
     if isinstance(source, str):
         key = source.strip().lower().replace(" ", "")
@@ -324,6 +338,67 @@ def tmerc_inverse(e, n, srs: SRS):
 # generic transform (reference srs.xyTransform: any -> any via 4326)
 
 
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic, 2SP (EPSG method 9802) on GRS80
+
+
+def _lcc_m(phi):
+    return np.cos(phi) / np.sqrt(1.0 - E2 * np.sin(phi) ** 2)
+
+
+def _lcc_t(phi):
+    esin = E1 * np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - esin) / (1.0 + esin)
+    ) ** (E1 / 2.0)
+
+
+def _lcc_consts(srs: SRS):
+    p0 = math.radians(srs.lat0)
+    p1 = math.radians(srs.lat1)
+    p2 = math.radians(srs.lat2)
+    m1, m2 = float(_lcc_m(p1)), float(_lcc_m(p2))
+    t0, t1, t2 = float(_lcc_t(p0)), float(_lcc_t(p1)), float(_lcc_t(p2))
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    fc = m1 / (n * t1 ** n)
+    r0 = GRS80_A * fc * t0 ** n
+    return n, fc, r0
+
+
+def lcc_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters, LCC 2SP."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n, fc, r0 = _lcc_consts(srs)
+    t = _lcc_t(np.radians(lat))
+    r = GRS80_A * fc * np.power(t, n)
+    th = n * np.radians(lon - srs.lon0)
+    return srs.false_e + r * np.sin(th), srs.false_n + r0 - r * np.cos(th)
+
+
+def lcc_inverse(x, y, srs: SRS):
+    """(easting, northing) -> (lon, lat) degrees; conformal-latitude
+    fixpoint iteration (converges quadratically; 10 rounds puts it at
+    float64 roundoff for |lat| < 89)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, fc, r0 = _lcc_consts(srs)
+    dx = x - srs.false_e
+    dy = r0 - (y - srs.false_n)
+    sign = 1.0 if n >= 0 else -1.0
+    r = sign * np.hypot(dx, dy)
+    t = np.power(r / (GRS80_A * fc), 1.0 / n)
+    th = np.arctan2(sign * dx, sign * dy)
+    lon = srs.lon0 + np.degrees(th / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(10):
+        esin = E1 * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - esin) / (1.0 + esin)) ** (E1 / 2.0)
+        )
+    return lon, np.degrees(phi)
+
+
 def _to_latlon(x, y, srs: SRS):
     if srs.kind == "latlon":
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
@@ -333,6 +408,8 @@ def _to_latlon(x, y, srs: SRS):
         return laea_inverse(x, y, srs)
     if srs.kind == "tmerc":
         return tmerc_inverse(x, y, srs)
+    if srs.kind == "lcc":
+        return lcc_inverse(x, y, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 
@@ -345,6 +422,8 @@ def _from_latlon(lon, lat, srs: SRS):
         return laea_forward(lon, lat, srs)
     if srs.kind == "tmerc":
         return tmerc_forward(lon, lat, srs)
+    if srs.kind == "lcc":
+        return lcc_forward(lon, lat, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 

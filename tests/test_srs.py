@@ -213,3 +213,44 @@ def test_load_srs_unknown_code_lists_supported_set():
 
     with pytest.raises(ValueError, match="25828-25838"):
         load_srs(27700)
+
+
+def test_lcc_2sp_lambert93_and_etrs89():
+    """EPSG:2154 / 3034 (LCC 2SP, GRS80). Invariants: the natural
+    origin maps exactly onto the false origin; the scale factor along
+    each STANDARD PARALLEL is 1 (projected arc == a*m(lat_i)*dlambda,
+    the defining property of 2SP); round trips close."""
+    import numpy as np
+
+    from geokit_spark.kernels.srs import (
+        E2,
+        GRS80_A,
+        load_srs,
+        xy_transform,
+    )
+
+    for code, origin in ((2154, (3.0, 46.5)), (3034, (10.0, 52.0))):
+        s = load_srs(code)
+        e, n = xy_transform(
+            np.array([origin[0]]), np.array([origin[1]]), 4326, s
+        )
+        assert abs(float(e[0]) - s.false_e) < 1e-6
+        assert abs(float(n[0]) - s.false_n) < 1e-6
+        for lat_sp in (s.lat1, s.lat2):
+            dlam = 1e-4
+            lons = np.array([origin[0], origin[0] + dlam])
+            lats = np.array([lat_sp, lat_sp])
+            ee, nn = xy_transform(lons, lats, 4326, s)
+            proj = float(np.hypot(ee[1] - ee[0], nn[1] - nn[0]))
+            phi = np.radians(lat_sp)
+            m = float(
+                np.cos(phi) / np.sqrt(1.0 - E2 * np.sin(phi) ** 2)
+            )
+            true_arc = GRS80_A * m * np.radians(dlam)
+            assert abs(proj / true_arc - 1.0) < 1e-9, (code, lat_sp)
+        lons = np.array([-1.2, 2.35, 7.9, 4.4])
+        lats = np.array([42.5, 48.86, 49.9, 46.0])
+        ee, nn = xy_transform(lons, lats, 4326, s)
+        lon_b, lat_b = xy_transform(ee, nn, s, 4326)
+        assert np.allclose(lon_b, lons, atol=1e-9)
+        assert np.allclose(lat_b, lats, atol=1e-9)
