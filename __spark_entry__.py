@@ -415,6 +415,34 @@ def q_srs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_srs_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCC 2SP coverage (EPSG:2154 Lambert-93 + EPSG:3034 ETRS89-LCC):
+    zone centroids through the vectorized conformal-conic kernel,
+    floor-quantized to 0.1 mm. Oracle: an independently written scalar
+    LCC (oracle.geooracle.lcc_forward_fresh — math.*, no shared
+    code)."""
+    from geokit_spark.functions.geo import transform_cols
+    from geokit_spark.operators.mutate import zones_feature_df
+
+    z = zones_feature_df(spark).select(
+        "zone_id",
+        ((F.col("xs")[0] + F.col("xs")[1] + F.col("xs")[2] + F.col("xs")[3])
+         / F.lit(4.0)).alias("cx"),
+        ((F.col("ys")[0] + F.col("ys")[1] + F.col("ys")[2] + F.col("ys")[3])
+         / F.lit(4.0)).alias("cy"),
+    )
+    z = transform_cols(z, 4326, 2154, x="cx", y="cy", out_x="e1", out_y="n1")
+    z = transform_cols(z, 4326, 3034, x="cx", y="cy", out_x="e3", out_y="n3")
+    q = F.lit(10000.0)
+    return z.select(
+        "zone_id",
+        F.floor(F.col("e1") * q).alias("e2154_q"),
+        F.floor(F.col("n1") * q).alias("n2154_q"),
+        F.floor(F.col("e3") * q).alias("e3034_q"),
+        F.floor(F.col("n3") * q).alias("n3034_q"),
+    )
+
+
 def q_wkb_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB binary geometry column -> shoelace areas (SURVEY §1.7 data
     model: BinaryType WKB + Arrow-batched parse; geom.py WKT/WKB
@@ -1260,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_classes": q_token_classes,
         "line_crossings": q_line_crossings,
         "region_mask_area_holes": q_region_mask_area_holes,
+        "srs_transform_lcc": q_srs_transform_lcc,
         # output CHANGED in round 4 (64-bit sketch) — must be inside the
         # driver's per-round budget, not the already-recorded tail
         "simhash": q_simhash,
@@ -2963,6 +2992,9 @@ def oracle_sql() -> dict[str, str]:
         "token_classes": _o_token_classes(),
         "line_crossings": _o_line_crossings(),
         "region_mask_area_holes": _o_region_mask_area_holes(),
+        "srs_transform_lcc": geooracle.srs_transform_lcc_sql(
+            fixtures.ZONES
+        ),
         "union_geom": geooracle.union_geom_sql(
             [z["verts"] for z in fixtures.ZONES]
         ),

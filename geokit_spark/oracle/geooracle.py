@@ -329,6 +329,82 @@ def srs_transform_rows(zones) -> list[tuple]:
     return out
 
 
+def lcc_forward_fresh(
+    lon: float, lat: float,
+    lat0: float, lon0: float, lat1: float, lat2: float,
+    fe: float, fn: float,
+):
+    """Independently written scalar LCC 2SP (EPSG method 9802, GRS80)
+    — math.* only, no shared code with kernels.srs.lcc_forward."""
+    a = 6378137.0
+    rf = 298.257222101
+    f = 1.0 / rf
+    e2 = 2.0 * f - f * f
+    ec = math.sqrt(e2)
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+    def t(phi):
+        es = ec * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - es) / (1.0 + es)
+        ) ** (ec / 2.0)
+
+    p0, p1, p2 = (math.radians(v) for v in (lat0, lat1, lat2))
+    n = (math.log(m(p1)) - math.log(m(p2))) / (
+        math.log(t(p1)) - math.log(t(p2))
+    )
+    big_f = m(p1) / (n * t(p1) ** n)
+    r0 = a * big_f * t(p0) ** n
+    r = a * big_f * t(math.radians(lat)) ** n
+    th = n * math.radians(lon - lon0)
+    return fe + r * math.sin(th), fn + r0 - r * math.cos(th)
+
+
+def srs_transform_lcc_rows(zones) -> list[tuple]:
+    """Golden rows (zone_id, e2154_q, n2154_q, e3034_q, n3034_q),
+    floor-quantized to 0.1 mm like srs_transform_rows."""
+    out = []
+    for z in zones:
+        xs = [float(v[0]) for v in z["verts"]]
+        ys = [float(v[1]) for v in z["verts"]]
+        cx = (((xs[0] + xs[1]) + xs[2]) + xs[3]) / 4.0
+        cy = (((ys[0] + ys[1]) + ys[2]) + ys[3]) / 4.0
+        e1, n1 = lcc_forward_fresh(
+            cx, cy, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0
+        )
+        e3, n3 = lcc_forward_fresh(
+            cx, cy, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0
+        )
+        out.append(
+            (
+                z["zone_id"],
+                math.floor(e1 * 10000.0),
+                math.floor(n1 * 10000.0),
+                math.floor(e3 * 10000.0),
+                math.floor(n3 * 10000.0),
+            )
+        )
+    return out
+
+
+def srs_transform_lcc_sql(zones) -> str:
+    rows = ",".join(
+        f"({zid},{e1},{n1},{e3},{n3})"
+        for zid, e1, n1, e3, n3 in srs_transform_lcc_rows(zones)
+    )
+    return f"""
+WITH golden(zone_id, e2154_q, n2154_q, e3034_q, n3034_q) AS (VALUES {rows})
+SELECT CAST(zone_id AS INT) AS zone_id,
+       CAST(e2154_q AS BIGINT) AS e2154_q,
+       CAST(n2154_q AS BIGINT) AS n2154_q,
+       CAST(e3034_q AS BIGINT) AS e3034_q,
+       CAST(n3034_q AS BIGINT) AS n3034_q
+FROM golden
+"""
+
+
 def srs_transform_sql(zones) -> str:
     rows = ",".join(
         f"({zid},{e},{n},{x},{y})"
