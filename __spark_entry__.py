@@ -115,6 +115,22 @@ def q_pip_zones_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("zone_id").agg(F.count("*").alias("n_docs"))
 
 
+def q_pip_zones_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner spatial join against a zone set containing a DONUT zone
+    (fixtures.ZONES_HOLES_DICT): boundary candidate rows carry their
+    zone's ring list and the even-odd test runs as the unrolled
+    pip_rings_array_col whole-stage-codegen expression — the plan
+    shape no longer degrades to the Arrow-UDF fallback the moment a
+    real zone has a lake (reference accepts holes in every predicate,
+    geom.py:261-345, vector.py:365-434)."""
+    pairs = spatial_join.points_join_polygons(
+        spark,
+        with_geocode(_docs(spark, sf_dir).select("doc_id")),
+        fixtures.ZONES_HOLES_DICT,
+    )
+    return pairs.groupBy("zone_id").agg(F.count("*").alias("n_docs"))
+
+
 def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_geocode(_docs(spark, sf_dir).select("doc_id"))
 
@@ -519,8 +535,8 @@ def q_indicate_values_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming <= 3 on the 16-bit sketch over
-    blocked candidates."""
+    """SimHash near-dup pairs: hamming <= 3 on the 64-bit sketch over
+    (band, lang, len-bucket)-blocked candidates."""
     from geokit_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -995,7 +1011,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 16-bit simhash sketch."""
+    """Per-doc 64-bit simhash sketch (Arrow fast path)."""
     from geokit_spark.operators.dedup import simhash_docs
 
     return simhash_docs(_docs(spark, sf_dir))
@@ -1278,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new operators) run FIRST; the 50 rows already green in
     # CORRECTNESS_r02 follow.
     return {
+        # --- new in round 5 -------------------------------------------------
+        "pip_zones_holes": q_pip_zones_holes,
         # --- new in round 4 -------------------------------------------------
         "pip_region_holes": q_pip_region_holes,
         "extract_clip_holes": q_extract_clip_holes,
@@ -1458,6 +1476,37 @@ def _o_pip_zones_join() -> str:
     return f"""
 WITH {sqlgen.geocode_cte()},
 zedges(zone_id, x1, y1, x2, y2) AS (VALUES {fixtures.sql_zone_edges_values()}),
+zbox(zone_id, bxmin, bymin, bxmax, bymax) AS (
+  SELECT zone_id, MIN(LEAST(x1, x2)), MIN(LEAST(y1, y2)),
+         MAX(GREATEST(x1, x2)), MAX(GREATEST(y1, y2))
+  FROM zedges GROUP BY zone_id
+),
+cand AS (
+  SELECT g.doc_id, g.lon, g.lat, z.zone_id
+  FROM geo g JOIN zbox z
+    ON g.lon >= z.bxmin AND g.lon <= z.bxmax
+   AND g.lat >= z.bymin AND g.lat <= z.bymax
+),
+hits AS (
+  SELECT c.doc_id, c.zone_id
+  FROM cand c JOIN zedges e USING (zone_id)
+  GROUP BY c.doc_id, c.zone_id, c.lon, c.lat
+  HAVING SUM({sqlgen.pip_crossings_expr("c.lon", "c.lat", "e.x1", "e.y1", "e.x2", "e.y2")}) % 2 = 1
+)
+SELECT zone_id, COUNT(*) AS n_docs FROM hits GROUP BY zone_id
+"""
+
+
+def _o_pip_zones_holes() -> str:
+    """Zones join with a donut zone: zedges carries ALL rings' edges
+    under the zone's id (even-odd parity over them = donut PIP), and
+    the per-zone bbox over all edges equals the outer-ring bbox (holes
+    are nested). Same expression tree as _o_pip_zones_join."""
+    cross = sqlgen.pip_crossings_expr("g.lon", "g.lat")
+    edges = fixtures.sql_id_rings_edges_values(fixtures.ZONES_HOLES_DICT)
+    return f"""
+WITH {sqlgen.geocode_cte()},
+zedges(zone_id, x1, y1, x2, y2) AS (VALUES {edges}),
 zbox(zone_id, bxmin, bymin, bxmax, bymax) AS (
   SELECT zone_id, MIN(LEAST(x1, x2)), MIN(LEAST(y1, y2)),
          MAX(GREATEST(x1, x2)), MAX(GREATEST(y1, y2))
@@ -2950,6 +2999,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_region": _o_pip_region(),
         "pip_region2": _o_pip_region2(),
         "pip_zones_join": _o_pip_zones_join(),
+        "pip_zones_holes": _o_pip_zones_holes(),
         "extract_values": _o_extract_values(),
         "interp_bilinear": _o_interp_bilinear(),
         "interp_cubic": _o_interp_cubic(),

@@ -204,6 +204,31 @@ def _make_region_holes() -> list[list[tuple[float, float]]]:
 REGION_HOLES_RINGS: list[list[tuple[float, float]]] = _make_region_holes()
 
 
+def _make_zones_holes() -> dict:
+    """Small {zone_id: verts-or-rings} set where zone 13 is a DONUT
+    (its quad outer ring + a 0.4-scaled centered hole) — the
+    multi-polygon-join analog of REGION_HOLES_RINGS. Exercises the
+    rings-aware JVM fast path of points_join_polygons: a point over
+    the lake must not match zone 13 but may match overlapping
+    neighbors."""
+    outer = ZONES[13]["verts"]
+    cx = (outer[0][0] + outer[1][0] + outer[2][0] + outer[3][0]) / 4.0
+    cy = (outer[0][1] + outer[1][1] + outer[2][1] + outer[3][1]) / 4.0
+    hole = [
+        (cx + 0.4 * (x - cx), cy + 0.4 * (y - cy)) for x, y in outer
+    ]
+    return {
+        7: ZONES[7]["verts"],
+        13: [outer, hole],
+        14: ZONES[14]["verts"],
+        25: ZONES[25]["verts"],
+        26: ZONES[26]["verts"],
+    }
+
+
+ZONES_HOLES_DICT: dict = _make_zones_holes()
+
+
 def _make_lines(n_lines: int = 14, n_pts: int = 5):
     """LINE features (roads analog — the reference's line geometries,
     geom.py:355-391, join subjects in vector.py:365-434): jittered
@@ -351,6 +376,26 @@ def sql_id_edges_values(polys) -> str:
             x1, y1 = v[i]
             x2, y2 = v[(i + 1) % len(v)]
             rows.append(f"({int(pid)},{_dl(x1)},{_dl(y1)},{_dl(x2)},{_dl(y2)})")
+    return ",".join(rows)
+
+
+def sql_id_rings_edges_values(polys) -> str:
+    """Ring-aware variant of sql_id_edges_values: a {poly_id:
+    verts-or-rings} dict emits ALL rings\' directed edges under the
+    polygon\'s id — even-odd parity over them gives donut PIP, and the
+    per-id bbox over all edges equals the outer-ring bbox (holes are
+    nested)."""
+    from .kernels.pip import as_rings
+
+    rows = []
+    for pid, v in polys.items():
+        for ring in as_rings(v):
+            for i in range(len(ring)):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % len(ring)]
+                rows.append(
+                    f"({int(pid)},{_dl(x1)},{_dl(y1)},{_dl(x2)},{_dl(y2)})"
+                )
     return ",".join(rows)
 
 

@@ -207,6 +207,40 @@ def pip_array_col(
     return total % 2 == 1
 
 
+def pip_rings_array_col(
+    lon: Column, lat: Column, rxs: Column, rys: Column,
+    max_rings: int, max_verts: int,
+) -> Column:
+    """Even-odd PIP where each row carries its own polygon as RING-LIST
+    array columns (array<array<double>>, open rings, outer + holes) —
+    donut zones in the multi-polygon join without leaving whole-stage
+    codegen. Parity over ALL rings' edges (a point inside a hole
+    crosses outer odd + hole odd = even -> outside), unrolled to
+    max_rings x max_verts edge terms; rings past the list length and
+    edges past a ring's length contribute 0 via null-propagating
+    guards (F.get null + when() => false, same contract as
+    pip_array_col). Same per-edge expression tree as kernels.pip."""
+    total = F.lit(0)
+    for r in range(max_rings):
+        xs = F.get(rxs, F.lit(r))
+        ys = F.get(rys, F.lit(r))
+        n = F.size(xs)
+        for i in range(max_verts):
+            x1 = F.get(xs, F.lit(i))
+            y1 = F.get(ys, F.lit(i))
+            j = (F.lit(i) + 1) % n
+            x2 = F.get(xs, j)
+            y2 = F.get(ys, j)
+            cross = (
+                (F.lit(i) < n)
+                & (y1 != y2)
+                & ((y1 > lat) != (y2 > lat))
+                & (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)
+            )
+            total = total + F.when(cross, 1).otherwise(0)
+    return total % 2 == 1
+
+
 def morton_col(x: Column, y: Column, bits: int = 16) -> Column:
     """Z-order (Morton) interleave of two non-negative integer cell
     coordinates — the write-layout key of SURVEY §4: sorting a

@@ -35,7 +35,9 @@ def points_in_poly(px: np.ndarray, py: np.ndarray, verts) -> np.ndarray:
         if y1 == y2:
             continue  # horizontal edge never crosses the upward ray test
         straddle = (y1 > py) != (y2 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over=: near-degenerate edges (tiny y2-y1) can overflow the
+        # division to +/-inf, which still orders correctly against px
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xcross = (x2 - x1) * (py - y1) / (y2 - y1) + x1
         inside ^= straddle & (px < xcross)
     return inside

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -36,6 +37,70 @@ GRS80_RF = 298.257222101
 _F = 1.0 / GRS80_RF
 E2 = 2.0 * _F - _F * _F
 E1 = math.sqrt(E2)
+
+# Published defining parameters (a, 1/f) of the ellipsoids the
+# registry's national systems sit on — all public EPSG datum data.
+ELLIPSOIDS = {
+    "GRS80": (6378137.0, 298.257222101),
+    "WGS84": (6378137.0, 298.257223563),
+    "airy": (6377563.396, 299.3249646),  # Airy 1830 (OSGB36)
+    "intl": (6378388.0, 297.0),  # International 1924
+    "bessel": (6377397.155, 299.1528128),
+    "clrk66": (6378206.4, 294.978698214),  # Clarke 1866 (NAD27)
+    "krass": (6378245.0, 298.3),  # Krassowsky 1940
+}
+
+
+@lru_cache(maxsize=None)
+class Ellipsoid:
+    """Per-ellipsoid derived constants (eccentricity, Krüger series).
+    Cached by name so the series coefficients are computed once; the
+    GRS80 instance reproduces the module-level constants bit-for-bit
+    (same expressions, same evaluation order)."""
+
+    def __init__(self, name: str = "GRS80"):
+        if name not in ELLIPSOIDS:
+            raise ValueError(
+                f"unknown ellipsoid {name!r}; supported: "
+                f"{sorted(ELLIPSOIDS)}"
+            )
+        self.name = name
+        self.a, self.rf = ELLIPSOIDS[name]
+        f = 1.0 / self.rf
+        self.f = f
+        self.e2 = 2.0 * f - f * f
+        self.e1 = math.sqrt(self.e2)
+        n3 = f / (2.0 - f)  # third flattening
+        self.n3 = n3
+        self.tm_a = self.a / (1.0 + n3) * (
+            1.0 + n3**2 / 4.0 + n3**4 / 64.0 + n3**6 / 256.0
+        )
+        self.alpha = [
+            n3 / 2.0 - 2.0 * n3**2 / 3.0 + 5.0 * n3**3 / 16.0
+            + 41.0 * n3**4 / 180.0 - 127.0 * n3**5 / 288.0
+            + 7891.0 * n3**6 / 37800.0,
+            13.0 * n3**2 / 48.0 - 3.0 * n3**3 / 5.0 + 557.0 * n3**4 / 1440.0
+            + 281.0 * n3**5 / 630.0 - 1983433.0 * n3**6 / 1935360.0,
+            61.0 * n3**3 / 240.0 - 103.0 * n3**4 / 140.0
+            + 15061.0 * n3**5 / 26880.0 + 167603.0 * n3**6 / 181440.0,
+            49561.0 * n3**4 / 161280.0 - 179.0 * n3**5 / 168.0
+            + 6601661.0 * n3**6 / 7257600.0,
+            34729.0 * n3**5 / 80640.0 - 3418889.0 * n3**6 / 1995840.0,
+            212378941.0 * n3**6 / 319334400.0,
+        ]
+        self.beta = [
+            n3 / 2.0 - 2.0 * n3**2 / 3.0 + 37.0 * n3**3 / 96.0
+            - n3**4 / 360.0 - 81.0 * n3**5 / 512.0
+            + 96199.0 * n3**6 / 604800.0,
+            n3**2 / 48.0 + n3**3 / 15.0 - 437.0 * n3**4 / 1440.0
+            + 46.0 * n3**5 / 105.0 - 1118711.0 * n3**6 / 3870720.0,
+            17.0 * n3**3 / 480.0 - 37.0 * n3**4 / 840.0
+            - 209.0 * n3**5 / 4480.0 + 5569.0 * n3**6 / 90720.0,
+            4397.0 * n3**4 / 161280.0 - 11.0 * n3**5 / 504.0
+            - 830251.0 * n3**6 / 7257600.0,
+            4583.0 * n3**5 / 161280.0 - 108847.0 * n3**6 / 3991680.0,
+            20648693.0 * n3**6 / 638668800.0,
+        ]
 
 
 @dataclass(frozen=True)
@@ -51,10 +116,20 @@ class SRS:
     k0: float = 1.0  # central-meridian scale (tmerc; UTM = 0.9996)
     lat1: float = 0.0  # standard parallels (lcc 2SP only)
     lat2: float = 0.0
+    ellps: str = "GRS80"
+    # 7-parameter Helmert to WGS84 (EPSG position-vector 9606):
+    # (tx, ty, tz [m], rx, ry, rz [arc-sec], ds [ppm]); empty = the
+    # datum is WGS84-equivalent at this engine's accuracy (GRS80
+    # frames: ETRS89, NAD83, GDA94 — standard practice)
+    towgs84: tuple = ()
 
     @property
     def is_geographic(self) -> bool:
         return self.kind == "latlon"
+
+
+def _ell(srs: SRS) -> Ellipsoid:
+    return Ellipsoid(srs.ellps)
 
 
 EPSG4326 = SRS("latlon", name="EPSG:4326")
@@ -109,10 +184,16 @@ def load_srs(source) -> SRS:
                 "lcc", 52.0, 10.0, 4000000.0, 2800000.0, "EPSG:3034",
                 1.0, 35.0, 65.0,
             )
+        srs = _epsg_param(source)
+        if srs is not None:
+            return srs
         raise ValueError(
             f"unsupported EPSG code {source}; closed-form set: 4326, "
             "3857, 3035, centeredLAEA, UTM 32601-32660/32701-32760, "
-            "ETRS89-UTM 25828-25838, LCC 2154/3034"
+            "ETRS89-UTM 25828-25838, LCC 2154/3034, 27700, 2193, 2180, "
+            "NAD83-UTM 26901-26923, RGF93-CC 3942-3950, 4258, 4269 — "
+            "or construct any tmerc/lcc/laea grid with "
+            "kernels.srs.from_params(...)"
         )
     if isinstance(source, str):
         key = source.strip().lower().replace(" ", "")
@@ -128,6 +209,105 @@ def centered_laea(lon: float, lat: float, name: str = "unnamed_m") -> SRS:
     """centeredLAEA (reference srs.py:145-225): LAEA on GRS80 centered
     at (lon, lat), zero false easting/northing."""
     return SRS("laea", float(lat), float(lon), 0.0, 0.0, name)
+
+
+def from_params(
+    proj: str,
+    lat0: float = 0.0,
+    lon0: float = 0.0,
+    fe: float = 0.0,
+    fn: float = 0.0,
+    k0: float = 1.0,
+    lat1: float = 0.0,
+    lat2: float = 0.0,
+    ellps: str = "GRS80",
+    towgs84: tuple = (),
+    name: str = "",
+) -> SRS:
+    """Generic parameterized-SRS constructor (the OSR-free analog of
+    loadSRS on an arbitrary projection definition, reference
+    srs.py:22-76): any Transverse Mercator (EPSG method 9807), Lambert
+    Conformal Conic 2SP (9802) or Lambert Azimuthal Equal Area (1027)
+    on any registered ellipsoid, with an optional 7-parameter Helmert
+    to WGS84 for non-WGS84-equivalent datums. This covers the bulk of
+    national EPSG grids without a PROJ dependency; unknown projection
+    METHODS (oblique stereographic, Albers, ...) still raise."""
+    proj = proj.strip().lower()
+    if proj in ("tmerc", "transverse_mercator"):
+        kind = "tmerc"
+    elif proj in ("lcc", "lambert_conformal_conic_2sp"):
+        kind = "lcc"
+    elif proj in ("laea", "lambert_azimuthal_equal_area"):
+        kind = "laea"
+        if ellps != "GRS80":
+            raise ValueError(
+                "laea is implemented on GRS80 only (every registered "
+                "LAEA grid uses it); pass ellps='GRS80'"
+            )
+    else:
+        raise ValueError(
+            f"unsupported projection method {proj!r}; supported: "
+            "tmerc, lcc (2SP), laea"
+        )
+    Ellipsoid(ellps)  # validate early
+    if towgs84 and len(towgs84) not in (3, 7):
+        raise ValueError("towgs84 must be 3 or 7 parameters")
+    return SRS(
+        kind, float(lat0), float(lon0), float(fe), float(fn),
+        name or f"{kind}({ellps})", float(k0), float(lat1), float(lat2),
+        ellps, tuple(float(v) for v in towgs84),
+    )
+
+
+# OSGB36 -> WGS84 single Helmert (the published 7-parameter set used
+# by PROJ's +towgs84 for EPSG:27700; ~3-5 m vs the grid-file truth,
+# fine for analytics; survey-grade needs OSTN15, a non-goal)
+_OSGB36_TOWGS84 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421,
+                   -20.4894)
+
+
+def _epsg_param(code: int) -> SRS | None:
+    """Parameterized national grids (public EPSG parameter sets) —
+    resolved AFTER the closed-form family ranges in load_srs."""
+    # British National Grid: TM on Airy 1830 + OSGB36 Helmert
+    if code == 27700:
+        return from_params(
+            "tmerc", 49.0, -2.0, 400000.0, -100000.0, 0.9996012717,
+            ellps="airy", towgs84=_OSGB36_TOWGS84, name="EPSG:27700",
+        )
+    # NZGD2000 / New Zealand Transverse Mercator (GRS80)
+    if code == 2193:
+        return from_params(
+            "tmerc", 0.0, 173.0, 1600000.0, 10000000.0, 0.9996,
+            name="EPSG:2193",
+        )
+    # ETRS89 / Poland CS92 (GRS80)
+    if code == 2180:
+        return from_params(
+            "tmerc", 0.0, 19.0, 500000.0, -5300000.0, 0.9993,
+            name="EPSG:2180",
+        )
+    # NAD83 / UTM zones 1N-23N (GRS80; NAD83 ~ WGS84 at this accuracy)
+    if 26901 <= code <= 26923:
+        z = code - 26900
+        return from_params(
+            "tmerc", 0.0, float(z * 6 - 183), 500000.0, 0.0, 0.9996,
+            name=f"EPSG:{code}",
+        )
+    # RGF93 / CC42..CC50 conic zones (LCC 2SP on GRS80): zone i at
+    # lat0 = 42+i, parallels lat0 +/- 0.75, FN = 1200000 + i*1000000
+    if 3942 <= code <= 3950:
+        i = code - 3942
+        lat0 = 42.0 + i
+        return from_params(
+            "lcc", lat0, 3.0, 1700000.0, 1200000.0 + i * 1000000.0,
+            lat1=lat0 - 0.75, lat2=lat0 + 0.75, name=f"EPSG:{code}",
+        )
+    # geographic CRS aliases that are WGS84-equivalent at this
+    # engine's accuracy (ETRS89, NAD83)
+    if code in (4258, 4269):
+        return SRS("latlon", name=f"EPSG:{code}")
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -215,37 +395,6 @@ def laea_inverse(e, n, srs: SRS = EPSG3035):
 # "Transverse Mercator with an accuracy of a few nanometers", 2011;
 # also JHS 154). Exact to well below 1 mm anywhere within a UTM zone.
 
-_N3 = _F / (2.0 - _F)  # third flattening
-_TM_A = GRS80_A / (1.0 + _N3) * (
-    1.0 + _N3**2 / 4.0 + _N3**4 / 64.0 + _N3**6 / 256.0
-)
-_ALPHA = [
-    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 5.0 * _N3**3 / 16.0
-    + 41.0 * _N3**4 / 180.0 - 127.0 * _N3**5 / 288.0
-    + 7891.0 * _N3**6 / 37800.0,
-    13.0 * _N3**2 / 48.0 - 3.0 * _N3**3 / 5.0 + 557.0 * _N3**4 / 1440.0
-    + 281.0 * _N3**5 / 630.0 - 1983433.0 * _N3**6 / 1935360.0,
-    61.0 * _N3**3 / 240.0 - 103.0 * _N3**4 / 140.0
-    + 15061.0 * _N3**5 / 26880.0 + 167603.0 * _N3**6 / 181440.0,
-    49561.0 * _N3**4 / 161280.0 - 179.0 * _N3**5 / 168.0
-    + 6601661.0 * _N3**6 / 7257600.0,
-    34729.0 * _N3**5 / 80640.0 - 3418889.0 * _N3**6 / 1995840.0,
-    212378941.0 * _N3**6 / 319334400.0,
-]
-_BETA = [
-    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 37.0 * _N3**3 / 96.0
-    - _N3**4 / 360.0 - 81.0 * _N3**5 / 512.0 + 96199.0 * _N3**6 / 604800.0,
-    _N3**2 / 48.0 + _N3**3 / 15.0 - 437.0 * _N3**4 / 1440.0
-    + 46.0 * _N3**5 / 105.0 - 1118711.0 * _N3**6 / 3870720.0,
-    17.0 * _N3**3 / 480.0 - 37.0 * _N3**4 / 840.0
-    - 209.0 * _N3**5 / 4480.0 + 5569.0 * _N3**6 / 90720.0,
-    4397.0 * _N3**4 / 161280.0 - 11.0 * _N3**5 / 504.0
-    - 830251.0 * _N3**6 / 7257600.0,
-    4583.0 * _N3**5 / 161280.0 - 108847.0 * _N3**6 / 3991680.0,
-    20648693.0 * _N3**6 / 638668800.0,
-]
-
-
 def utm(zone: int, north: bool = True) -> SRS:
     """UTM zone SRS (EPSG:326xx / 327xx): lon0 = zone*6 - 183,
     k0 = 0.9996, FE 500km, FN 0 / 10000km."""
@@ -269,29 +418,54 @@ def utm_zone_for(lon: float, lat: float) -> SRS:
     return utm(zone, north=float(lat) >= 0.0)
 
 
-def tmerc_forward(lon, lat, srs: SRS):
-    """(lon, lat) degrees -> (easting, northing) meters. Vectorized
-    Krüger series."""
-    lon = np.asarray(lon, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
+def _tm_xi_eta(lon, lat, srs: SRS, ell: Ellipsoid):
+    """Gauss-Schreiber -> Krüger series (xi, eta) for a TM srs."""
     lam = np.radians(lon - srs.lon0)
     phi = np.radians(lat)
     sphi = np.sin(phi)
     # conformal latitude tangent
     t = np.sinh(
         np.arctanh(sphi)
-        - (2.0 * math.sqrt(_N3) / (1.0 + _N3))
-        * np.arctanh((2.0 * math.sqrt(_N3) / (1.0 + _N3)) * sphi)
+        - (2.0 * math.sqrt(ell.n3) / (1.0 + ell.n3))
+        * np.arctanh((2.0 * math.sqrt(ell.n3) / (1.0 + ell.n3)) * sphi)
     )
     xi_p = np.arctan2(t, np.cos(lam))
     eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
     xi = xi_p.copy()
     eta = eta_p.copy()
-    for j, (aj) in enumerate(_ALPHA, start=1):
+    for j, (aj) in enumerate(ell.alpha, start=1):
         xi = xi + aj * np.sin(2.0 * j * xi_p) * np.cosh(2.0 * j * eta_p)
         eta = eta + aj * np.cos(2.0 * j * xi_p) * np.sinh(2.0 * j * eta_p)
-    e = srs.false_e + srs.k0 * _TM_A * eta
-    n = srs.false_n + srs.k0 * _TM_A * xi
+    return xi, eta
+
+
+@lru_cache(maxsize=None)
+def _tm_m0(lat0: float, ellps: str) -> float:
+    """Meridian distance from the equator to lat0 (k0-free): the
+    northing-origin offset of TM systems with a non-equatorial natural
+    origin (27700's 49N etc). Exactly 0.0 for lat0 == 0, keeping the
+    UTM/ETRS expression trees bit-identical to the pre-parameterized
+    form."""
+    if lat0 == 0.0:
+        return 0.0
+    ell = Ellipsoid(ellps)
+    xi0, _ = _tm_xi_eta(
+        np.asarray([0.0]), np.asarray([lat0]),
+        SRS("tmerc", 0.0, 0.0, ellps=ellps), ell,
+    )
+    return float(ell.tm_a * xi0[0])
+
+
+def tmerc_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. Vectorized
+    Krüger series; ellipsoid taken from the srs (default GRS80)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ell = _ell(srs)
+    xi, eta = _tm_xi_eta(lon, lat, srs, ell)
+    m0 = _tm_m0(srs.lat0, srs.ellps)
+    e = srs.false_e + srs.k0 * ell.tm_a * eta
+    n = (srs.false_n - srs.k0 * m0) + srs.k0 * ell.tm_a * xi
     return e, n
 
 
@@ -300,11 +474,13 @@ def tmerc_inverse(e, n, srs: SRS):
     latitude by Newton iteration on the conformal-latitude relation."""
     e = np.asarray(e, dtype=np.float64)
     n = np.asarray(n, dtype=np.float64)
-    xi = (n - srs.false_n) / (srs.k0 * _TM_A)
-    eta = (e - srs.false_e) / (srs.k0 * _TM_A)
+    ell = _ell(srs)
+    m0 = _tm_m0(srs.lat0, srs.ellps)
+    xi = (n - (srs.false_n - srs.k0 * m0)) / (srs.k0 * ell.tm_a)
+    eta = (e - srs.false_e) / (srs.k0 * ell.tm_a)
     xi_p = xi.copy()
     eta_p = eta.copy()
-    for j, bj in enumerate(_BETA, start=1):
+    for j, bj in enumerate(ell.beta, start=1):
         xi_p = xi_p - bj * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
         eta_p = eta_p - bj * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
     tau_p = np.sin(xi_p) / np.sqrt(
@@ -313,19 +489,19 @@ def tmerc_inverse(e, n, srs: SRS):
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
     # Newton on tau (GeographicLib tauf): solve
     # tau' = tau*sqrt(1+sigma^2) - sigma*sqrt(1+tau^2) for tau
-    tau = tau_p / math.sqrt(1.0 - E2)  # first guess
+    tau = tau_p / math.sqrt(1.0 - ell.e2)  # first guess
     for _ in range(5):
         sig = np.sinh(
-            E1 * np.arctanh(E1 * tau / np.sqrt(1.0 + tau * tau))
+            ell.e1 * np.arctanh(ell.e1 * tau / np.sqrt(1.0 + tau * tau))
         )
         taupa = (
             tau * np.sqrt(1.0 + sig * sig)
             - sig * np.sqrt(1.0 + tau * tau)
         )
         tau = tau + (tau_p - taupa) * (
-            1.0 + (1.0 - E2) * tau * tau
+            1.0 + (1.0 - ell.e2) * tau * tau
         ) / (
-            (1.0 - E2)
+            (1.0 - ell.e2)
             * np.sqrt((1.0 + taupa * taupa) * (1.0 + tau * tau))
         )
     return (
@@ -342,26 +518,31 @@ def tmerc_inverse(e, n, srs: SRS):
 # Lambert Conformal Conic, 2SP (EPSG method 9802) on GRS80
 
 
-def _lcc_m(phi):
-    return np.cos(phi) / np.sqrt(1.0 - E2 * np.sin(phi) ** 2)
+def _lcc_m(phi, e2=E2):
+    return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
 
 
-def _lcc_t(phi):
-    esin = E1 * np.sin(phi)
+def _lcc_t(phi, e1=E1):
+    esin = e1 * np.sin(phi)
     return np.tan(np.pi / 4.0 - phi / 2.0) / (
         (1.0 - esin) / (1.0 + esin)
-    ) ** (E1 / 2.0)
+    ) ** (e1 / 2.0)
 
 
 def _lcc_consts(srs: SRS):
+    ell = _ell(srs)
     p0 = math.radians(srs.lat0)
     p1 = math.radians(srs.lat1)
     p2 = math.radians(srs.lat2)
-    m1, m2 = float(_lcc_m(p1)), float(_lcc_m(p2))
-    t0, t1, t2 = float(_lcc_t(p0)), float(_lcc_t(p1)), float(_lcc_t(p2))
+    m1, m2 = float(_lcc_m(p1, ell.e2)), float(_lcc_m(p2, ell.e2))
+    t0, t1, t2 = (
+        float(_lcc_t(p0, ell.e1)),
+        float(_lcc_t(p1, ell.e1)),
+        float(_lcc_t(p2, ell.e1)),
+    )
     n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
     fc = m1 / (n * t1 ** n)
-    r0 = GRS80_A * fc * t0 ** n
+    r0 = ell.a * fc * t0 ** n
     return n, fc, r0
 
 
@@ -369,9 +550,10 @@ def lcc_forward(lon, lat, srs: SRS):
     """(lon, lat) degrees -> (easting, northing) meters, LCC 2SP."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
+    ell = _ell(srs)
     n, fc, r0 = _lcc_consts(srs)
-    t = _lcc_t(np.radians(lat))
-    r = GRS80_A * fc * np.power(t, n)
+    t = _lcc_t(np.radians(lat), ell.e1)
+    r = ell.a * fc * np.power(t, n)
     th = n * np.radians(lon - srs.lon0)
     return srs.false_e + r * np.sin(th), srs.false_n + r0 - r * np.cos(th)
 
@@ -382,21 +564,96 @@ def lcc_inverse(x, y, srs: SRS):
     float64 roundoff for |lat| < 89)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
+    ell = _ell(srs)
     n, fc, r0 = _lcc_consts(srs)
     dx = x - srs.false_e
     dy = r0 - (y - srs.false_n)
     sign = 1.0 if n >= 0 else -1.0
     r = sign * np.hypot(dx, dy)
-    t = np.power(r / (GRS80_A * fc), 1.0 / n)
+    t = np.power(r / (ell.a * fc), 1.0 / n)
     th = np.arctan2(sign * dx, sign * dy)
     lon = srs.lon0 + np.degrees(th / n)
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
     for _ in range(10):
-        esin = E1 * np.sin(phi)
+        esin = ell.e1 * np.sin(phi)
         phi = np.pi / 2.0 - 2.0 * np.arctan(
-            t * ((1.0 - esin) / (1.0 + esin)) ** (E1 / 2.0)
+            t * ((1.0 - esin) / (1.0 + esin)) ** (ell.e1 / 2.0)
         )
     return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# datum bridge: 7-parameter Helmert via geocentric coordinates (EPSG
+# position-vector convention, method 9606); applied when an SRS
+# declares towgs84 (non-WGS84-equivalent datum, e.g. OSGB36)
+
+_AS2RAD = math.pi / (180.0 * 3600.0)
+
+
+def _geodetic_to_ecef(lon, lat, ell: Ellipsoid):
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = np.sin(phi)
+    nu = ell.a / np.sqrt(1.0 - ell.e2 * s * s)
+    return (
+        nu * np.cos(phi) * np.cos(lam),
+        nu * np.cos(phi) * np.sin(lam),
+        nu * (1.0 - ell.e2) * s,
+    )
+
+
+def _ecef_to_geodetic(X, Y, Z, ell: Ellipsoid):
+    lon = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1.0 - ell.e2))
+    for _ in range(6):  # h=0-seeded fixpoint; mm-level in <=6 rounds
+        s = np.sin(phi)
+        nu = ell.a / np.sqrt(1.0 - ell.e2 * s * s)
+        h = p / np.cos(phi) - nu
+        phi = np.arctan2(Z, p * (1.0 - ell.e2 * nu / (nu + h)))
+    return np.degrees(lon), np.degrees(phi)
+
+
+def _helmert(X, Y, Z, params, inverse: bool = False):
+    if len(params) == 3:
+        tx, ty, tz = params
+        rx = ry = rz = ds = 0.0
+    else:
+        tx, ty, tz, rx, ry, rz, ds = params
+    rx, ry, rz = rx * _AS2RAD, ry * _AS2RAD, rz * _AS2RAD
+    m = 1.0 + ds * 1e-6
+    if not inverse:
+        return (
+            tx + m * (X - rz * Y + ry * Z),
+            ty + m * (rz * X + Y - rx * Z),
+            tz + m * (-ry * X + rx * Y + Z),
+        )
+    # exact inverse of the small-angle forward matrix is an O(rot^2)
+    # approximation with sign-flipped params — adequate: arc-second
+    # rotations squared are ~1e-11 rad, micrometers on Earth radius
+    Xs, Ys, Zs = (X - tx) / m, (Y - ty) / m, (Z - tz) / m
+    return (
+        Xs + rz * Ys - ry * Zs,
+        -rz * Xs + Ys + rx * Zs,
+        ry * Xs - rx * Ys + Zs,
+    )
+
+
+_WGS84_ELL = Ellipsoid("WGS84")
+
+
+def datum_to_wgs84(lon, lat, srs: SRS):
+    """Datum-internal geographic -> WGS84 geographic (h=0)."""
+    X, Y, Z = _geodetic_to_ecef(lon, lat, _ell(srs))
+    return _ecef_to_geodetic(*_helmert(X, Y, Z, srs.towgs84), _WGS84_ELL)
+
+
+def datum_from_wgs84(lon, lat, srs: SRS):
+    """WGS84 geographic -> datum-internal geographic (h=0)."""
+    X, Y, Z = _geodetic_to_ecef(lon, lat, _WGS84_ELL)
+    return _ecef_to_geodetic(
+        *_helmert(X, Y, Z, srs.towgs84, inverse=True), _ell(srs)
+    )
 
 
 def _to_latlon(x, y, srs: SRS):
@@ -429,9 +686,15 @@ def _from_latlon(lon, lat, srs: SRS):
 
 def xy_transform(x, y, from_srs, to_srs):
     """Vectorized point transform between any two supported SRS
-    (reference srs.xyTransform); routes through EPSG:4326."""
+    (reference srs.xyTransform); routes through EPSG:4326 (WGS84),
+    bridging datums with the SRS's declared Helmert when one side is
+    not WGS84-equivalent."""
     fs, ts = load_srs(from_srs), load_srs(to_srs)
     if fs == ts:
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
     lon, lat = _to_latlon(x, y, fs)
+    if fs.towgs84 and fs.towgs84 != ts.towgs84:
+        lon, lat = datum_to_wgs84(lon, lat, fs)
+    if ts.towgs84 and fs.towgs84 != ts.towgs84:
+        lon, lat = datum_from_wgs84(lon, lat, ts)
     return _from_latlon(lon, lat, ts)

@@ -64,24 +64,47 @@ def parse_wkb(buf: bytes):
     if endian != _LE:
         raise ValueError("big-endian WKB not supported")
     if gtype == WKB_POINT:
+        if len(buf) < 21:
+            raise ValueError("truncated point WKB")
         x, y = struct.unpack_from("<dd", buf, 5)
         return "point", (x, y)
     if gtype == WKB_POLYGON:
+        if len(buf) < 9:
+            raise ValueError("truncated polygon WKB")
         rings, _ = _parse_polygon_rings(buf, 5)
         if not rings:
             return "polygon", np.zeros((0, 2))
         return "polygon", (rings[0] if len(rings) == 1 else rings)
+    if gtype in (WKB_LINESTRING, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
+                 WKB_MULTIPOINT) and len(buf) < 9:
+        raise ValueError("truncated WKB (missing element count)")
     if gtype == WKB_LINESTRING:
         n_pts = int.from_bytes(buf[5:9], "little")
         if len(buf) < 9 + 16 * n_pts:
             raise ValueError("truncated linestring WKB")
         coords = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=9)
         return "linestring", coords.reshape(n_pts, 2)
+    if gtype == WKB_MULTIPOINT:
+        n_pts = int.from_bytes(buf[5:9], "little")
+        off = 9
+        pts = np.empty((n_pts, 2), dtype=np.float64)
+        for i in range(n_pts):
+            if len(buf) < off + 21:
+                raise ValueError("truncated multipoint WKB")
+            if buf[off] != _LE or int.from_bytes(
+                buf[off + 1 : off + 5], "little"
+            ) != WKB_POINT:
+                raise ValueError("malformed multipoint WKB")
+            pts[i] = struct.unpack_from("<dd", buf, off + 5)
+            off += 21
+        return "multipoint", pts
     if gtype == WKB_MULTILINESTRING:
         n_lines = int.from_bytes(buf[5:9], "little")
         off = 9
         lines = []
         for _ in range(n_lines):
+            if len(buf) < off + 9:
+                raise ValueError("truncated multilinestring WKB")
             if buf[off] != _LE or int.from_bytes(
                 buf[off + 1 : off + 5], "little"
             ) != WKB_LINESTRING:
@@ -101,6 +124,8 @@ def parse_wkb(buf: bytes):
         off = 9
         polys = []
         for _ in range(n_polys):
+            if len(buf) < off + 9:
+                raise ValueError("truncated multipolygon WKB")
             endian_p = buf[off]
             gtype_p = int.from_bytes(buf[off + 1 : off + 5], "little")
             if endian_p != _LE or gtype_p != WKB_POLYGON:
@@ -172,6 +197,16 @@ def multilinestring_wkb(lines) -> bytes:
 
 
 WKB_MULTIPOLYGON = 6
+WKB_MULTIPOINT = 4
+
+
+def multipoint_wkb(pts) -> bytes:
+    """MULTIPOINT from [(x, y), ...] — completes the reference's
+    first-class geometry-type enum (each member is a full WKB point,
+    per the OGC spec's nested-geometry encoding)."""
+    parts = [struct.pack("<BII", _LE, WKB_MULTIPOINT, len(pts))]
+    parts += [point_wkb(float(x), float(y)) for x, y in pts]
+    return b"".join(parts)
 
 
 def multipolygon_wkb(polygons) -> bytes:

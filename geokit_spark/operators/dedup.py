@@ -388,7 +388,11 @@ def simhash_docs(
     Arrow-vectorized pass (same parsing fast paths as minhash —
     zero-copy UTF-8 buffer when the batch is ASCII, codepoint-exact
     fallback otherwise). extra_cols are forwarded through the batch so
-    callers (simhash_near_pairs) avoid a join back to the docs table."""
+    callers (simhash_near_pairs) avoid a join back to the docs table.
+
+    NULL text sketches to 0 — the same value the JVM closed form
+    simhash_col yields for NULL (empty string, by contrast, keeps its
+    well-defined nonzero sketch in both paths)."""
     CHUNK = int(os.environ.get("GEOKIT_MH_CHUNK", "512"))
 
     def fn(batches):
@@ -416,11 +420,20 @@ def simhash_docs(
             for i in range(0, n, CHUNK):
                 if ascii_ok:
                     seg, st, ns = _shingle_seg_bytes(data, offs[i : i + CHUNK + 1])
+                    outs.append(_simhash_from_seg(seg, st, ns, sim_bits))
                 else:
+                    chunk = lst[i : i + CHUNK]
                     seg, st, ns = _shingle_seg(
-                        [x or "" for x in lst[i : i + CHUNK]]
+                        [x if x is not None else "" for x in chunk]
                     )
-                outs.append(_simhash_from_seg(seg, st, ns, sim_bits))
+                    sk = _simhash_from_seg(seg, st, ns, sim_bits)
+                    # NULL -> 0, matching the JVM closed form (not the
+                    # empty-string sketch the '' placeholder computed)
+                    nulls = np.fromiter(
+                        (x is None for x in chunk), dtype=bool, count=len(chunk)
+                    )
+                    sk[nulls] = 0
+                    outs.append(sk)
             sketch = pa.array(np.concatenate(outs))
             cols = [batch.column(0), sketch] + [
                 batch.column(2 + k) for k in range(len(extra_cols))

@@ -388,6 +388,30 @@ def ivf_topk(
     )
 
 
+_ANN_SIDECARS: list[str] = []  # staged .npy copies awaiting reap
+
+
+def _reap_sidecars():
+    """Delete sidecar matrices staged by PRIOR ann_topk_arrow calls
+    (their jobs are assumed consumed — materialize each result before
+    re-invoking). Keeps long-lived sessions from accumulating one
+    matrix copy per invocation in the SparkFiles directory."""
+    import os
+
+    while _ANN_SIDECARS:
+        p = _ANN_SIDECARS.pop()
+        try:
+            os.unlink(p)
+        except OSError:
+            pass  # already reaped / never materialized
+
+
+def reap_ann_sidecars():
+    """Public hook for service loops: reclaim all staged ANN sidecar
+    files once outstanding ann_topk_arrow results are consumed."""
+    _reap_sidecars()
+
+
 def _plane_matrix(n_planes: int, n_tables: int) -> np.ndarray:
     """All tables' hyperplanes as one (n_tables * n_planes, EMB_DIM)
     float64 matrix (same _lcg_plane stream as the fold path)."""
@@ -444,7 +468,22 @@ def ann_topk_arrow(
     order = np.argsort(ids)
     ids_sorted = ids[order]
     M = flat[order]
-    norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+    # Sidecar precision follows the SOURCE column: float32 storage is
+    # lossless only when the column is array<float>; double columns
+    # (e.g. synthetic benches computing /1000.0) keep float64 so the
+    # sidecar never rounds. Norms are computed FROM THE STORED matrix
+    # either way, so numerator and denominator of each sim are always
+    # consistent (a float32 sidecar with float64-derived norms skewed
+    # sims ~1e-7 on double inputs and could flip near-tie ranks).
+    elem_type = emb.schema["embedding"].dataType.elementType
+    store_dtype = (
+        np.float32 if isinstance(elem_type, T.FloatType) else np.float64
+    )
+    M_store = M.astype(store_dtype)
+    norms = np.sqrt(
+        np.einsum("ij,ij->i", M_store.astype(np.float64),
+                  M_store.astype(np.float64))
+    )
     P = _plane_matrix(n_planes, n_tables)
     spark = emb.sparkSession
     # Ship the matrix as an mmap-able SIDECAR FILE, not a pickled
@@ -452,26 +491,37 @@ def ann_topk_arrow(
     # the full matrix (per-worker fixed cost that GROWS with worker
     # count — measured as the stage's anti-scaling term at local[32]);
     # np.load(mmap_mode='r') of a SparkFiles artifact shares the page
-    # cache across all workers on a node. float32 storage is exact
-    # (the source column is float32); math casts back to float64.
+    # cache across all workers on a node.
     import os
     import tempfile
     import uuid
 
+    _reap_sidecars()
     tag = uuid.uuid4().hex
     tmp = tempfile.gettempdir()
     paths = {}
     for name, arr in (
         ("ids", ids_sorted),
-        ("m", M.astype(np.float32)),
+        ("m", M_store),
         ("norms", norms),
     ):
         p = os.path.join(tmp, f"annmat_{tag}_{name}.npy")
         np.save(p, arr)
         spark.sparkContext.addFile(p)
         paths[name] = os.path.basename(p)
-    # the .npy files live until the driver process exits (SparkFiles
-    # artifacts must outlive the job; /tmp cleanup reaps them)
+    # Both the originals and the staged SparkFiles copies must outlive
+    # THIS job (the returned DataFrame is lazy, and executors fetch
+    # from the original URI at first task) — they are reaped at the
+    # START of the next ann_topk_arrow call (consume each result
+    # before re-invoking) or via reap_ann_sidecars() from a long-lived
+    # service loop.
+    from pyspark import SparkFiles
+
+    root = SparkFiles.getRootDirectory()
+    _ANN_SIDECARS.extend(
+        os.path.join(tmp, f"annmat_{tag}_{name}.npy") for name in paths
+    )
+    _ANN_SIDECARS.extend(os.path.join(root, b) for b in paths.values())
 
     def buckets_fn(batches):
         import pyarrow as pa
@@ -562,7 +612,8 @@ def ann_topk_arrow(
         CH = 16384  # bounded float64 gather transients (~8 MB/worker)
         for s in range(0, nb, CH):
             e = min(s + CH, nb)
-            # float32 storage -> float64 math (exact: source is float32)
+            # stored precision -> float64 math (norms were computed
+            # from the same stored matrix, so num/den are consistent)
             sim[s:e] = np.einsum(
                 "ij,ij->i",
                 m[ia[s:e]].astype(np.float64),

@@ -296,6 +296,73 @@ def _points_join_polygons_udf(
     return interior.unionByName(fine_in).unionByName(exact)
 
 
+def _points_join_polygons_rings_jvm(
+    spark: SparkSession,
+    pts: DataFrame,
+    polys: dict,
+    ringed: dict,
+    max_rings: int,
+    max_ring_verts: int,
+    refine: bool,
+) -> DataFrame:
+    """Donut-zone fast path: same one-scan broadcast-join plan as the
+    flat-array form, with boundary candidate rows carrying their
+    zone's ring list and the exact test as the unrolled
+    pip_rings_array_col codegen expression — no Python stage for
+    bounded ring sets (reference accepts holes in every predicate,
+    geom.py:261-345 / vector.py:365-434)."""
+    from ..functions.geo import pip_rings_array_col
+
+    cpdf = _poly_candidates_pdf(polys)
+    is_b = cpdf["cell_class"].to_numpy() == BOUNDARY
+    zid = cpdf["zone_id"].to_numpy()
+    rows = [
+        (
+            int(c), int(z), int(k),
+            [[x for x, _ in ring] for ring in ringed[int(z)]] if b else None,
+            [[y for _, y in ring] for ring in ringed[int(z)]] if b else None,
+        )
+        for c, z, k, b in zip(
+            cpdf["cell_id"].to_numpy(), zid,
+            cpdf["cell_class"].to_numpy(), is_b,
+        )
+    ]
+    cand = spark.createDataFrame(
+        rows,
+        "cell_id long, zone_id int, cell_class int, "
+        "_rxs array<array<double>>, _rys array<array<double>>",
+    )
+    keyed = pts.withColumn("cell_id", join_cell_id(F.col("lon"), F.col("lat")))
+    pairs = keyed.join(F.broadcast(cand), "cell_id", "inner")
+    drop_aux = ["cell_class", "_rxs", "_rys"]
+    exact_jvm = pip_rings_array_col(
+        F.col("lon"), F.col("lat"), F.col("_rxs"), F.col("_rys"),
+        max_rings=max_rings, max_verts=max_ring_verts,
+    )
+    if not refine:
+        return pairs.filter(
+            (F.col("cell_class") == IN)
+            | ((F.col("cell_class") == BOUNDARY) & exact_jvm)
+        ).drop(*drop_aux)
+    interior = pairs.filter(F.col("cell_class") == IN).drop(*drop_aux)
+    fine_map = spark.createDataFrame(_poly_fine_pdf(polys))
+    bnd = (
+        pairs.filter(F.col("cell_class") == BOUNDARY)
+        .drop("cell_class")
+        .withColumn("fine_id", _fine_cell_col())
+        .join(F.broadcast(fine_map), ["fine_id", "zone_id"], "left")
+    )
+    fine_in = bnd.filter(F.col("fine_class") == IN).drop(
+        "fine_id", "fine_class", "_rxs", "_rys"
+    )
+    exact = (
+        bnd.filter(F.col("fine_class") == BOUNDARY)
+        .filter(exact_jvm)
+        .drop("fine_id", "fine_class", "_rxs", "_rys")
+    )
+    return interior.unionByName(fine_in).unionByName(exact)
+
+
 def points_join_polygons(
     spark: SparkSession, pts: DataFrame, polys: dict, refine: bool = False
 ) -> DataFrame:
@@ -322,10 +389,24 @@ def points_join_polygons(
     # second join in the boundary band (round-1's normalized-0.61
     # scaling miss was that band's pandas-UDF throughput)
     if any(len(as_rings(v)) > 1 for v in polys.values()):
-        # polygons with holes: the vertex-array JVM form carries one
-        # ring per row — route donut zones through the Arrow-UDF
-        # refine (points_in_poly_rings handles the parity)
-        return _points_join_polygons_udf(spark, pts, polys, refine)
+        # polygons with holes: boundary rows carry RING LISTS
+        # (array<array<double>>) and the parity test unrolls to
+        # rings x verts codegen edge terms — the donut analog of the
+        # flat-array fast path. Oversized ring sets (term count past
+        # the codegen budget) take the Arrow-UDF boundary band.
+        ringed = {
+            int(pid): [_open(r) for r in as_rings(v)]
+            for pid, v in polys.items()
+        }
+        max_rings = max(len(rs) for rs in ringed.values())
+        max_ring_verts = max(
+            len(r) for rs in ringed.values() for r in rs
+        )
+        if max_rings * max_ring_verts > _JVM_PIP_MAX_VERTS:
+            return _points_join_polygons_udf(spark, pts, polys, refine)
+        return _points_join_polygons_rings_jvm(
+            spark, pts, polys, ringed, max_rings, max_ring_verts, refine
+        )
     opened = {int(pid): _open(v) for pid, v in polys.items()}
     max_verts = max(len(v) for v in opened.values())
     if max_verts > _JVM_PIP_MAX_VERTS:

@@ -54,6 +54,10 @@ def transform_geoms(
     opaque binary payload for Catalyst (metadata columns prune it)."""
     from ..kernels.srs import load_srs, xy_transform
     from ..kernels.wkb import (
+        linestring_wkb,
+        multilinestring_wkb,
+        multipoint_wkb,
+        multipolygon_wkb,
         parse_wkb,
         point_wkb,
         polygon_wkb,
@@ -74,6 +78,18 @@ def transform_geoms(
             if kind == "point":
                 tx, ty = xy_transform(data[0], data[1], fs, ts)
                 out_.append(point_wkb(float(tx), float(ty)))
+            elif kind == "multipoint":
+                out_.append(multipoint_wkb(_tf_ring(data)))
+            elif kind == "linestring":
+                out_.append(linestring_wkb(_tf_ring(data)))
+            elif kind == "multilinestring":
+                out_.append(multilinestring_wkb(
+                    [_tf_ring(ln) for ln in data]
+                ))
+            elif kind == "multipolygon":
+                out_.append(multipolygon_wkb(
+                    [[_tf_ring(r) for r in rings] for rings in data]
+                ))
             elif kind == "polygon" and isinstance(data, list):
                 # holes transform ring-wise, nesting preserved
                 out_.append(polygon_wkb_rings([_tf_ring(r) for r in data]))
@@ -82,3 +98,54 @@ def transform_geoms(
         return pd.Series(out_)
 
     return df.withColumn(out, tf(F.col(col)))
+
+
+def _wkb_bounds(buf: bytes):
+    """(xmin, ymin, xmax, ymax) of any supported WKB geometry."""
+    from ..kernels.wkb import parse_wkb
+
+    kind, data = parse_wkb(bytes(buf))
+    if kind == "point":
+        return data[0], data[1], data[0], data[1]
+    if kind in ("polygon",) and isinstance(data, list):
+        arrs = data
+    elif kind == "multipolygon":
+        arrs = [r for rings in data for r in rings]
+    elif kind == "multilinestring":
+        arrs = data
+    else:  # single ndarray: polygon ring, linestring, multipoint
+        arrs = [data]
+    import numpy as np
+
+    xs = np.concatenate([a[:, 0] for a in arrs])
+    ys = np.concatenate([a[:, 1] for a in arrs])
+    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+def wkb_vector_info(df: DataFrame, geom_col: str = "geom") -> dict:
+    """vectorInfo over a WKB geometry column (reference vectorInfo,
+    vector.py:205-256, which reports count/attributes/bounds for any
+    OGR layer regardless of geometry type — including MULTIPOINT):
+    one Arrow-batched bounds pass + a JVM min/max aggregate."""
+    @F.pandas_udf("struct<x0: double, y0: double, x1: double, y1: double>")
+    def bnd(geoms: pd.Series) -> pd.DataFrame:
+        rows = [_wkb_bounds(b) for b in geoms]
+        return pd.DataFrame(rows, columns=["x0", "y0", "x1", "y1"])
+
+    row = (
+        df.withColumn("_b", bnd(F.col(geom_col)))
+        .select(
+            F.count("*").alias("n"),
+            F.min("_b.x0").alias("xmin"),
+            F.min("_b.y0").alias("ymin"),
+            F.max("_b.x1").alias("xmax"),
+            F.max("_b.y1").alias("ymax"),
+        )
+        .collect()[0]
+    )
+    attrs = [c for c in df.columns if c != geom_col]
+    return {
+        "count": row["n"],
+        "attributes": attrs,
+        "bounds": (row["xmin"], row["ymin"], row["xmax"], row["ymax"]),
+    }

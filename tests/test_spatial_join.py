@@ -161,3 +161,80 @@ def test_points_join_polygons_with_donut_zone(spark, docs):
         expect = set(ids[points_in_poly_rings(lon, lat, poly)].tolist())
         have = set(got[got.zone_id == zid]["doc_id"].tolist())
         assert have == expect, zid
+
+
+def test_zones_holes_jvm_fast_path_plan_and_parity(spark):
+    """Donut zones within the codegen budget run with NO Python stage
+    (the round-4 silent degradation is closed), and the rings-JVM
+    result equals the Arrow-UDF fallback row-for-row."""
+    from pyspark.sql import functions as F
+
+    from geokit_spark import fixtures
+    from geokit_spark.functions.geo import with_geocode
+    from geokit_spark.operators.spatial_join import (
+        _points_join_polygons_udf,
+        points_join_polygons,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pts = with_geocode(docs.select("doc_id"))
+    fast = points_join_polygons(
+        spark, pts, fixtures.ZONES_HOLES_DICT
+    ).select("doc_id", "zone_id")
+    got = fast.toPandas()
+    # AQE finalizes THIS Dataset's physical plan only after execution
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInArrow" not in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
+    assert "*(" in plan and "BroadcastHashJoin" in plan
+    ref = (
+        _points_join_polygons_udf(
+            spark, pts, fixtures.ZONES_HOLES_DICT, refine=False
+        )
+        .select("doc_id", "zone_id")
+        .toPandas()
+    )
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))  # noqa: E731
+    assert key(got) == key(ref)
+    assert len(got) > 0
+    # the donut zone must reject points over its hole: probe with the
+    # hole's centroid (inside hole -> OUT) and a point in the annulus
+    outer, hole = fixtures.ZONES_HOLES_DICT[13]
+    hx = sum(x for x, _ in hole) / len(hole)
+    hy = sum(y for _, y in hole) / len(hole)
+    # annulus probe: midpoint between outer vertex 0 and hole vertex 0
+    ax = (outer[0][0] + hole[0][0]) / 2
+    ay = (outer[0][1] + hole[0][1]) / 2
+    probes = spark.createDataFrame(
+        [(1, hx, hy), (2, ax, ay)], "doc_id long, lon double, lat double"
+    )
+    hits = points_join_polygons(spark, probes, fixtures.ZONES_HOLES_DICT)
+    matched = {
+        r["doc_id"] for r in hits.filter(F.col("zone_id") == 13).collect()
+    }
+    assert matched == {2}
+
+
+def test_zones_holes_oversized_rings_fall_back_to_udf(spark):
+    """Ring sets past the codegen budget (rings x verts > 12) route to
+    the Arrow-UDF boundary band and still produce donut semantics."""
+    from geokit_spark import fixtures
+    from geokit_spark.functions.geo import with_geocode
+    from geokit_spark.operators.spatial_join import points_join_polygons
+
+    # 8-vertex outer + 8-vertex hole: 2 x 8 = 16 terms > 12
+    outer = fixtures.REGION_HOLES_RINGS[0]
+    hole = fixtures.REGION_HOLES_RINGS[1]
+    assert len(outer) > 4
+    polys = {1: [outer, hole]}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pts = with_geocode(docs.select("doc_id"))
+    joined = points_join_polygons(spark, pts, polys)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan or "ArrowEvalPython" in plan
+    # cross-check against the single-region rings semi-join (same rings)
+    from geokit_spark.operators.spatial_join import points_in_polygon
+
+    semi = points_in_polygon(spark, pts, [outer, hole])
+    assert sorted(r["doc_id"] for r in joined.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in semi.select("doc_id").collect())

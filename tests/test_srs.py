@@ -211,8 +211,11 @@ def test_load_srs_unknown_code_lists_supported_set():
 
     from geokit_spark.kernels.srs import load_srs
 
-    with pytest.raises(ValueError, match="25828-25838"):
-        load_srs(27700)
+    # 28992 (Dutch RD New) is oblique stereographic — a projection
+    # METHOD outside the closed-form set (27700 etc. now resolve via
+    # the parameterized registry)
+    with pytest.raises(ValueError, match="from_params"):
+        load_srs(28992)
 
 
 def test_lcc_2sp_lambert93_and_etrs89():
@@ -254,3 +257,92 @@ def test_lcc_2sp_lambert93_and_etrs89():
         lon_b, lat_b = xy_transform(ee, nn, s, 4326)
         assert np.allclose(lon_b, lons, atol=1e-9)
         assert np.allclose(lat_b, lats, atol=1e-9)
+
+
+def test_epsg27700_osgb_worked_example():
+    """British National Grid (TM on Airy 1830, EPSG method 9807): the
+    published OS 'A guide to coordinate systems in Great Britain'
+    worked example — 52°39'27.2531"N 1°43'4.5177"E ->
+    E 651409.903, N 313177.270 (datum-internal, so it pins the
+    projection math independently of the Helmert bridge)."""
+    from geokit_spark.kernels.srs import load_srs, tmerc_forward, tmerc_inverse
+
+    s = load_srs(27700)
+    assert s.ellps == "airy" and s.k0 == 0.9996012717
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = tmerc_forward([lon], [lat], s)
+    assert abs(e[0] - 651409.903) < 2e-3
+    assert abs(n[0] - 313177.270) < 2e-3
+    lo, la = tmerc_inverse(e, n, s)
+    assert abs(lo[0] - lon) < 1e-12 and abs(la[0] - lat) < 1e-12
+
+
+def test_epsg27700_helmert_datum_bridge():
+    """4326 -> 27700 applies the OSGB36 7-parameter Helmert: the
+    transform round-trips to ~1e-8 deg and differs from the
+    datum-blind projection by the expected ~100 m."""
+    from geokit_spark.kernels.srs import load_srs, tmerc_forward, xy_transform
+
+    lon, lat = -0.1278, 51.5074  # London
+    x, y = xy_transform([lon], [lat], 4326, 27700)
+    # BNG places central London near (530000, 180000)
+    assert abs(x[0] - 530000) < 1500 and abs(y[0] - 180000) < 1500
+    bx, by = xy_transform(x, y, 27700, 4326)
+    assert abs(bx[0] - lon) < 1e-7 and abs(by[0] - lat) < 1e-7
+    # ignoring the datum shift is a ~50-120 m error — the bridge is
+    # doing real work
+    e2, n2 = tmerc_forward([lon], [lat], load_srs(27700))
+    assert 30 < abs(e2[0] - x[0]) < 300
+    assert 30 < abs(n2[0] - y[0]) < 300
+
+
+def test_parameterized_registry_roundtrips():
+    """Every parameterized national grid round-trips 4326 -> code ->
+    4326 at float precision, and from_params validates its inputs."""
+    import pytest
+
+    from geokit_spark.kernels.srs import from_params, load_srs, xy_transform
+
+    cases = {
+        2193: (173.5, -41.2),  # NZTM2000
+        2180: (19.5, 52.2),  # Poland CS92
+        26910: (-122.4, 37.77),  # NAD83 / UTM 10N
+        3945: (3.2, 45.1),  # RGF93 / CC45
+        27700: (-2.5, 53.0),  # British National Grid (Helmert)
+    }
+    for code, (lon, lat) in cases.items():
+        x, y = xy_transform([lon], [lat], 4326, code)
+        bx, by = xy_transform(x, y, code, 4326)
+        assert abs(bx[0] - lon) < 1e-7, code
+        assert abs(by[0] - lat) < 1e-7, code
+    # geographic aliases resolve to latlon
+    assert load_srs(4258).is_geographic and load_srs(4269).is_geographic
+    # CC zone parameters follow the published pattern
+    cc45 = load_srs(3945)
+    assert (cc45.lat0, cc45.lat1, cc45.lat2) == (45.0, 44.25, 45.75)
+    assert cc45.false_n == 1200000.0 + 3 * 1000000.0
+    # from_params validation
+    with pytest.raises(ValueError, match="projection method"):
+        from_params("sterea")
+    with pytest.raises(ValueError, match="ellipsoid"):
+        from_params("tmerc", ellps="nope")
+    with pytest.raises(ValueError, match="towgs84"):
+        from_params("tmerc", towgs84=(1.0, 2.0))
+    with pytest.raises(ValueError, match="GRS80"):
+        from_params("laea", ellps="airy")
+
+
+def test_grs80_parity_after_parameterization():
+    """The Ellipsoid('GRS80') constants must equal the module-level
+    GRS80 constants bit-for-bit — the oracle rows (srs_transform,
+    srs_transform_lcc) pin transform output hashes on them."""
+    from geokit_spark.kernels import srs as S
+
+    ell = S.Ellipsoid("GRS80")
+    assert ell.a == S.GRS80_A
+    assert ell.e2 == S.E2 and ell.e1 == S.E1
+    # UTM northing/easting identical through the parameterized path
+    e, n = S.tmerc_forward([6.083], [50.775], S.load_srs(32632))
+    e2, n2 = S.xy_transform([6.083], [50.775], 4326, 32632)
+    assert e[0] == e2[0] and n[0] == n2[0]

@@ -437,3 +437,74 @@ def test_token_class_counts_hand_case(spark):
     # "x9y": runs x, y; 9
     assert tuple(got.loc[3]) == (2, 1, 0)
     assert tuple(got.loc[4]) == (0, 0, 3)
+
+
+def test_simhash_null_text_matches_jvm(spark):
+    """ADVICE r4: NULL text must sketch identically in the Arrow fast
+    path and the JVM closed form (0), and differently from '' (which
+    keeps its well-defined empty-string sketch in both paths). A
+    non-ASCII doc in the batch forces the codepoint fallback where the
+    old '' placeholder produced the wrong (nonzero) sketch for NULLs."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, None), (2, ""), (3, "café con leche"), (4, "plain ascii")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    jvm = (
+        df.withColumn("sh", dedup.shingle_codes_expr("text"))
+        .select("doc_id", dedup.simhash_col().alias("simhash"))
+        .toPandas().set_index("doc_id")["simhash"]
+    )
+    fast = dedup.simhash_docs(df).toPandas().set_index("doc_id")["simhash"]
+    assert (jvm.sort_index().values == fast.sort_index().values).all()
+    assert fast[1] == 0
+
+
+def test_ann_sidecars_reaped_across_calls(spark):
+    """Repeated ann_topk_arrow invocations must not accumulate sidecar
+    .npy files: each call reaps the previous call's staged matrices."""
+    import glob
+    import os
+
+    from pyspark import SparkFiles
+
+    import tempfile
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = SparkFiles.getRootDirectory()
+    tmp = tempfile.gettempdir()
+    # delta-based: /tmp may hold annmat files from OTHER processes
+    pre_tmp = set(glob.glob(os.path.join(tmp, "annmat_*.npy")))
+    for _ in range(10):
+        similarity.ann_topk_arrow(emb, k=3).count()
+    live = glob.glob(os.path.join(root, "annmat_*.npy"))
+    # only the LAST call's three sidecars (ids, m, norms) may remain
+    assert len(live) <= 3
+    similarity.reap_ann_sidecars()
+    assert not glob.glob(os.path.join(root, "annmat_*.npy"))
+    # and no NEW originals left behind in tempdir
+    post_tmp = set(glob.glob(os.path.join(tmp, "annmat_*.npy")))
+    assert post_tmp - pre_tmp == set()
+
+
+def test_ann_topk_arrow_double_input_matches_fold(spark):
+    """ADVICE r4: array<double> inputs (e.g. synthetic bench
+    embeddings) must keep a float64 sidecar — the float32 rounding +
+    float64-norm mismatch skewed sims ~1e-7. With consistent storage
+    the arrow path equals the fold path on double columns too."""
+    from pyspark.sql import functions as F
+
+    n = 3000
+    emb = spark.range(0, n, 1, 8).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "cast(pmod(hash(id * 64 + d), 1000) as float) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    assert dict(emb.dtypes)["embedding"] == "array<double>"
+    fold = similarity.ann_topk(emb, k=5).toPandas()
+    arrow = similarity.ann_topk_arrow(emb, k=5).toPandas()
+    f = fold.groupby("vec_id")["neighbor_id"].apply(set)
+    a = arrow.groupby("vec_id")["neighbor_id"].apply(set)
+    assert (f.index == a.index).all()
+    assert all(f[v] == a[v] for v in f.index)

@@ -104,3 +104,78 @@ def test_wkb_linestring_roundtrip():
     kind, lines = parse_wkb(multilinestring_wkb([pts, pts[:2]]))
     assert kind == "multilinestring" and len(lines) == 2
     assert np.allclose(lines[1], pts[:2])
+
+
+def test_wkb_multipoint_roundtrip_and_guards():
+    from geokit_spark.kernels.wkb import multipoint_wkb, parse_wkb
+
+    pts = [(0.5, 1.5), (-2.0, 3.25), (6.083, 50.775)]
+    buf = multipoint_wkb(pts)
+    kind, arr = parse_wkb(buf)
+    assert kind == "multipoint" and np.allclose(arr, pts)
+    # truncated member header / body must raise, not IndexError
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wkb(buf[:-8])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wkb(buf[:10])
+
+
+def test_wkb_truncated_multi_headers_raise():
+    """ADVICE r4: sub-geometry header reads must bounds-check — a
+    truncated buffer raises ValueError, never IndexError."""
+    from geokit_spark.kernels.wkb import (
+        linestring_wkb,
+        multilinestring_wkb,
+        multipolygon_wkb,
+        parse_wkb,
+    )
+
+    ml = multilinestring_wkb([[(0, 0), (1, 1)], [(2, 2), (3, 3)]])
+    mp = multipolygon_wkb([[[(0, 0), (4, 0), (4, 4), (0, 4)]]])
+    for buf in (ml, mp):
+        for cut in (7, 9, 12, len(buf) - 3):
+            try:
+                parse_wkb(buf[:cut])
+            except ValueError:
+                pass  # the documented contract
+    # headerless member (count says 2, only 1 present)
+    short = ml[:5] + (3).to_bytes(4, "little") + ml[9:]
+    with pytest.raises(ValueError):
+        parse_wkb(short)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wkb(linestring_wkb([(0, 0), (1, 1)])[:8])
+
+
+def test_wkb_vector_info_multipoint_and_transform(spark):
+    """vector_info accepts MULTIPOINT via the WKB path; transform_geoms
+    round-trips every geometry kind through an SRS pair."""
+    from geokit_spark.kernels.wkb import (
+        linestring_wkb,
+        multipoint_wkb,
+        parse_wkb,
+    )
+    from geokit_spark.operators.wkbops import transform_geoms, wkb_vector_info
+
+    rows = [
+        (1, bytearray(multipoint_wkb([(6.0, 50.0), (6.2, 50.4)]))),
+        (2, bytearray(point_wkb(5.9, 50.6))),
+        (3, bytearray(linestring_wkb([(6.1, 50.1), (6.3, 50.2)]))),
+    ]
+    df = spark.createDataFrame(rows, "fid int, geom binary")
+    info = wkb_vector_info(df)
+    assert info["count"] == 3 and info["attributes"] == ["fid"]
+    x0, y0, x1, y1 = info["bounds"]
+    assert (x0, y0, x1, y1) == (5.9, 50.0, 6.3, 50.6)
+
+    out = transform_geoms(df, 4326, 3857).select("fid", "geom_t").collect()
+    kinds = {r["fid"]: parse_wkb(bytes(r["geom_t"]))[0] for r in out}
+    assert kinds == {1: "multipoint", 2: "point", 3: "linestring"}
+    # and back: 3857 -> 4326 restores coordinates to float tolerance
+    back = transform_geoms(
+        transform_geoms(df, 4326, 3857), 3857, 4326, col="geom_t", out="g2"
+    ).collect()
+    for r in back:
+        k0, d0 = parse_wkb(bytes(r["geom"]))
+        k1, d1 = parse_wkb(bytes(r["g2"]))
+        assert k0 == k1
+        assert np.allclose(np.asarray(d0), np.asarray(d1), atol=1e-9)
