@@ -522,6 +522,24 @@ def q_indicate_features_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_indicate_features_buffered_holes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """indicateFeatures with BOTH the geometry-buffer method and a
+    DONUT region mask (reference buffers arbitrary geometries and
+    masks any region, regionmask.py:1409-1440): 'B' zones grown by
+    BUFFER_DIST, covered fraction computed against the
+    REGION_HOLES_RINGS mask (even-odd over all rings) — the last
+    hole-blind RegionMask corner closed and oracle-checked."""
+    from geokit_spark.operators.indicate import indicate_features
+
+    return indicate_features(
+        tilesrc.raster_table(spark, "elev"), "B",
+        region_verts=fixtures.REGION_HOLES_RINGS,
+        buffer_dist=BUFFER_DIST,
+    )
+
+
 def q_indicate_values_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """indicateValues with the buffer path: DSL classify, dilate the
     indicator by a 2-px disc via the halo-exchange kernel, per-zone
@@ -812,6 +830,37 @@ def q_box_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geokit_spark.operators.predicates import box_predicates
 
     return box_predicates(spark, 1.0, 1.0, 3.0, 3.0)
+
+
+def q_box_predicates_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touches/Overlaps with BOUNDARY-ONLY contact (the edge cases the
+    reference warns about, vector.py:365-434): the filter box
+    (1, 0, 3, 1) meets harry along the x=1 edge and ron along the y=1
+    edge — touches=TRUE (closed-interval bbox contact) while
+    overlaps=FALSE (interiors disjoint, neither contains the other)."""
+    from geokit_spark.operators.predicates import box_predicates
+
+    return box_predicates(spark, 1.0, 0.0, 3.0, 1.0)
+
+
+def q_extract_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extractFeature exactly-one semantics (reference
+    vector.py:591-685: the filter must match exactly one feature, else
+    error): extract zone 'Z0042' and return its scalar attributes as a
+    one-row DataFrame. The !=1-match error contract is pytest-pinned
+    (tests/test_skew_vectorio.py)."""
+    from geokit_spark.operators.mutate import zones_feature_df
+    from geokit_spark.sources.vector_io import extract_feature
+
+    feat = extract_feature(
+        zones_feature_df(spark), F.col("site_code") == "Z0042"
+    )
+    return spark.createDataFrame(
+        [(feat["zone_id"], feat["site_code"], feat["year"],
+          feat["designate"], len(feat["xs"]))],
+        "zone_id int, site_code string, year int, designate string, "
+        "n_verts int",
+    )
 
 
 def q_mutate_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,6 +1345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 -------------------------------------------------
         "pip_zones_holes": q_pip_zones_holes,
+        "indicate_features_buffered_holes": q_indicate_features_buffered_holes,
+        "box_predicates_boundary": q_box_predicates_boundary,
+        "extract_feature": q_extract_feature,
         # --- new in round 4 -------------------------------------------------
         "pip_region_holes": q_pip_region_holes,
         "extract_clip_holes": q_extract_clip_holes,
@@ -2386,6 +2438,28 @@ def _o_box_predicates() -> str:
     return sql_box_predicates(1.0, 1.0, 3.0, 3.0)
 
 
+def _o_box_predicates_boundary() -> str:
+    from geokit_spark.operators.predicates import sql_box_predicates
+
+    return sql_box_predicates(1.0, 0.0, 3.0, 1.0)
+
+
+def _o_extract_feature() -> str:
+    """The exactly-one extraction as SQL: literal zone-attribute rows,
+    filtered to the same site_code (DuckDB enforces nothing about
+    cardinality — the engine's !=1 error contract is pytest-pinned)."""
+    rows = ",".join(
+        f"({z['zone_id']},'{z['site_code']}',{z['year']},"
+        f"'{z['designate']}',{len(z['verts'])})"
+        for z in fixtures.ZONES
+    )
+    return f"""
+WITH zattr(zone_id, site_code, year, designate, n_verts) AS (VALUES {rows})
+SELECT zone_id, site_code, year, designate, n_verts
+FROM zattr WHERE site_code = 'Z0042'
+"""
+
+
 def _o_mutate_vector() -> str:
     from geokit_spark.operators.mutate import sql_scale_zones
 
@@ -2759,6 +2833,56 @@ SELECT (SELECT COUNT(*) FROM rmask) AS n_region_pix,
 """
 
 
+def _o_indicate_features_buffered_holes() -> str:
+    """Buffered-zones coverage against the DONUT region mask: rmask
+    parity runs over ALL rings' edges (outer + holes); the buffered
+    zone side is identical to _o_indicate_features_buffered (the
+    buffer runs driver-side, so both engines see the same ring
+    literals)."""
+    from geokit_spark.kernels.buffer import buffer_convex
+
+    cross_r = sqlgen.pip_crossings_expr("p.px", "p.py")
+    buffered = {
+        z["zone_id"]: buffer_convex(z["verts"], BUFFER_DIST)
+        for z in fixtures.ZONES
+        if z["designate"] == "B"
+    }
+    zed = fixtures.sql_id_edges_values(buffered)
+    boxes = []
+    for zid, verts in buffered.items():
+        b = fixtures.poly_bbox(verts)
+        boxes.append(
+            f"({zid},{d(b[0])},{d(b[1])},{d(b[2])},{d(b[3])})"
+        )
+    redges = fixtures.sql_rings_edges_values(fixtures.REGION_HOLES_RINGS)
+    return f"""
+WITH {sqlgen.pixel_grid_cte()},
+redges(x1, y1, x2, y2) AS (VALUES {redges}),
+rmask AS (
+  SELECT p.ix, p.iy, p.px, p.py
+  FROM pix p CROSS JOIN redges
+  GROUP BY p.ix, p.iy, p.px, p.py
+  HAVING SUM({cross_r}) % 2 = 1
+),
+zedges(zone_id, x1, y1, x2, y2) AS (VALUES {zed}),
+zbox(zone_id, bxmin, bymin, bxmax, bymax) AS (VALUES {','.join(boxes)}),
+cov AS (
+  SELECT m.ix, m.iy
+  FROM rmask m JOIN zbox z
+    ON m.px >= z.bxmin AND m.px <= z.bxmax
+   AND m.py >= z.bymin AND m.py <= z.bymax
+  JOIN zedges e ON e.zone_id = z.zone_id
+  GROUP BY m.ix, m.iy, m.px, m.py, z.zone_id
+  HAVING SUM({sqlgen.pip_crossings_expr("m.px", "m.py", "e.x1", "e.y1", "e.x2", "e.y2")}) % 2 = 1
+),
+covu AS (SELECT ix, iy FROM cov GROUP BY ix, iy)
+SELECT (SELECT COUNT(*) FROM rmask) AS n_region_pix,
+       (SELECT COUNT(*) FROM covu) AS n_covered,
+       CAST((SELECT COUNT(*) FROM covu) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM rmask) AS DOUBLE) AS frac
+"""
+
+
 def _o_indicate_values_buffered() -> str:
     from geokit_spark.operators.indicate import sql_classifier_expr
 
@@ -3087,6 +3211,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near": _o_simhash_near(),
         "indicate_features": _o_indicate_features(),
         "indicate_features_buffered": _o_indicate_features_buffered(),
+        "indicate_features_buffered_holes": _o_indicate_features_buffered_holes(),
+        "box_predicates_boundary": _o_box_predicates_boundary(),
+        "extract_feature": _o_extract_feature(),
         "indicate_values_buffered": _o_indicate_values_buffered(),
         "lang_zone_cube": _o_lang_zone_cube(),
         "wkb_areas": _o_wkb_areas(),

@@ -122,6 +122,77 @@ def _shrink_convex(vx: np.ndarray, vy: np.ndarray, dist: float):
     return poly
 
 
+def _point_in_ring(px: float, py: float, ring) -> bool:
+    from .pip import points_in_poly
+
+    return bool(points_in_poly(
+        np.array([px]), np.array([py]), ring
+    )[0])
+
+
+def buffer_rings(rings, dist: float, arc_segments: int = 8,
+                 method: str = "safe"):
+    """Ring-aware buffer of a polygon WITH HOLES ([outer, hole, ...],
+    reference buffers arbitrary geometries in indicateFeatures' buffer
+    path, regionmask.py:1409-1440): growing the region grows the outer
+    ring and SHRINKS each hole; shrinking does the reverse. Returns a
+    ring list (holes that collapse vanish).
+
+    Hole shrink uses the half-plane erosion (_shrink_convex): exact
+    for convex holes, a conservative subset of the true erosion for
+    non-convex holes (each inward-offset edge LINE cuts at least as
+    much as its segment would). Topology changes the offset cannot
+    represent — a grown hole breaching the outer ring or two holes
+    merging — raise loudly instead of returning a corrupt ring set."""
+    rings = [[(float(x), float(y)) for x, y in r] for r in rings]
+    if dist == 0:
+        return rings
+    grow = buffer_safe if method == "safe" else buffer_convex
+    if dist > 0:
+        outer = grow(rings[0], dist, arc_segments)
+        holes = []
+        for h in rings[1:]:
+            vx, vy = _ccw_ring(h)
+            shrunk = _shrink_convex(vx, vy, dist)
+            if shrunk:
+                holes.append([(float(x), float(y)) for x, y in shrunk])
+        return [outer, *holes]
+    # negative: outer shrinks (convex-only, buffer_convex contract),
+    # holes grow via the any-distance union composition
+    outer = buffer_convex(rings[0], dist, arc_segments)
+    if not outer:
+        return []
+    holes = [grow(h, -dist, arc_segments) for h in rings[1:]]
+    # loud topology guards: every grown hole must stay inside the
+    # shrunk outer ring, and no two grown holes may overlap (bbox
+    # disjointness is the conservative test — bbox overlap of actual
+    # merged holes is certain, of near-miss holes possible, and a
+    # false raise beats a silently self-intersecting ring set)
+    for i, h in enumerate(holes):
+        for x, y in h:
+            if not _point_in_ring(x, y, outer):
+                raise ValueError(
+                    "buffer_rings: grown hole breaches the shrunk outer "
+                    "ring (topology change the ring offset cannot "
+                    "represent)"
+                )
+        bx0 = min(x for x, _ in h)
+        bx1 = max(x for x, _ in h)
+        by0 = min(y for _, y in h)
+        by1 = max(y for _, y in h)
+        for j in range(i):
+            ox0 = min(x for x, _ in holes[j])
+            ox1 = max(x for x, _ in holes[j])
+            oy0 = min(y for _, y in holes[j])
+            oy1 = max(y for _, y in holes[j])
+            if bx0 <= ox1 and ox0 <= bx1 and by0 <= oy1 and oy0 <= by1:
+                raise ValueError(
+                    "buffer_rings: grown holes overlap (would merge); "
+                    "re-run with a smaller |dist|"
+                )
+    return [outer, *holes]
+
+
 def buffer_safe(verts, dist: float, arc_segments: int = 8):
     """Positive buffer valid for ANY distance, including distances
     where the miter offset of buffer_convex would self-intersect

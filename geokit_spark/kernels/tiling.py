@@ -85,33 +85,70 @@ def tile_bounds_3857(xi: int, yi: int, zoom: int):
     return xmin, ymin, xmax, ymax
 
 
+def _rings_3857(verts_lonlat):
+    """Normalize a polygon parameter (ring or ring list) to open
+    4326 rings + their EPSG:3857 projections."""
+    from .pip import as_rings
+
+    rings, rings_m = [], []
+    for ring in as_rings(verts_lonlat):
+        v = [(float(x), float(y)) for x, y in ring]
+        if v[0] == v[-1]:
+            v = v[:-1]
+        mx, my = merc_forward(
+            np.array([p[0] for p in v]), np.array([p[1] for p in v])
+        )
+        rings.append(v)
+        rings_m.append(list(zip(mx.tolist(), my.tolist())))
+    return rings, rings_m
+
+
+def _clip_rings_box(rings_3857, box):
+    """Per-ring Sutherland-Hodgman clip; returns (pieces, net_area)
+    where pieces = [outer_piece, hole_piece, ...] (empty clips
+    dropped) and net_area = |outer ∩ box| - sum |hole ∩ box| (holes
+    are nested inside the outer, so the difference is the true
+    region-tile intersection area)."""
+    from .pip import clip_poly_box, poly_area
+
+    out = clip_poly_box(rings_3857[0], box)
+    if len(out) < 3:
+        return [], 0.0
+    net = poly_area(out)
+    if net <= 0.0:
+        return [], 0.0
+    pieces = [out]
+    for hole in rings_3857[1:]:
+        hc = clip_poly_box(hole, box)
+        if len(hc) >= 3:
+            a = poly_area(hc)
+            if a > 0.0:
+                pieces.append(hc)
+                net -= a
+    return pieces, net
+
+
 def sub_tiles(verts_lonlat, zoom: int, check_intersect: bool = True):
     """Tiles covering a polygon (reference geom.subTiles, geom.py:195-241).
 
-    verts_lonlat: [(lon, lat), ...] ring (open or closed).
-    Yields (xi, yi, zoom) in the reference's iteration order
+    verts_lonlat: [(lon, lat), ...] ring (open or closed) or a ring
+    list [outer, hole, ...] — tiles fully inside a hole are excluded
+    (net intersection area = 0), matching the reference's any-geometry
+    contract. Yields (xi, yi, zoom) in the reference's iteration order
     (xi-major, then yi).
     """
-    from .pip import clip_poly_box, poly_area
-
-    verts = [(float(x), float(y)) for x, y in verts_lonlat]
-    if verts[0] == verts[-1]:
-        verts = verts[:-1]
-    lons = [v[0] for v in verts]
-    lats = [v[1] for v in verts]
+    rings, rings_m = _rings_3857(verts_lonlat)
+    lons = [v[0] for v in rings[0]]
+    lats = [v[1] for v in rings[0]]
     tl_xi, tl_yi = deg2num(max(lats), min(lons), zoom)
     br_xi, br_yi = deg2num(min(lats), max(lons), zoom)
-
-    if check_intersect:
-        mx, my = merc_forward(np.array(lons), np.array(lats))
-        verts_3857 = list(zip(mx.tolist(), my.tolist()))
 
     for xi in range(tl_xi, br_xi + 1):
         for yi in range(tl_yi, br_yi + 1):
             if check_intersect:
                 box = tile_bounds_3857(xi, yi, zoom)
-                clipped = clip_poly_box(verts_3857, box)
-                if len(clipped) < 3 or poly_area(clipped) <= 0.0:
+                _, net = _clip_rings_box(rings_m, box)
+                if net <= 0.0:
                     continue
             yield (xi, yi, zoom)
 
@@ -119,18 +156,14 @@ def sub_tiles(verts_lonlat, zoom: int, check_intersect: bool = True):
 def tileize(verts_lonlat, zoom: int):
     """Split a polygon into per-tile intersections in EPSG:3857
     (reference geom.tileize, geom.py:244-251). Yields
-    ((xi, yi, zoom), clipped_verts_3857)."""
-    from .pip import clip_poly_box, poly_area
-
-    verts = [(float(x), float(y)) for x, y in verts_lonlat]
-    if verts[0] == verts[-1]:
-        verts = verts[:-1]
-    mx, my = merc_forward(
-        np.array([v[0] for v in verts]), np.array([v[1] for v in verts])
-    )
-    verts_3857 = list(zip(mx.tolist(), my.tolist()))
-    for xi, yi, z in sub_tiles(verts, zoom, check_intersect=False):
+    ((xi, yi, zoom), clipped_verts_3857) for a single ring; for a ring
+    list [outer, hole, ...] the piece is itself a ring list
+    [outer_piece, hole_piece, ...] whose net (outer - holes) areas sum
+    to the donut's 3857 area."""
+    rings, rings_m = _rings_3857(verts_lonlat)
+    single = len(rings) == 1
+    for xi, yi, z in sub_tiles(rings[0], zoom, check_intersect=False):
         box = tile_bounds_3857(xi, yi, z)
-        clipped = clip_poly_box(verts_3857, box)
-        if len(clipped) >= 3 and poly_area(clipped) > 0.0:
-            yield (xi, yi, z), clipped
+        pieces, net = _clip_rings_box(rings_m, box)
+        if pieces and net > 0.0:
+            yield (xi, yi, z), (pieces[0] if single else pieces)

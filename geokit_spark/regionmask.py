@@ -51,13 +51,6 @@ class RegionMask:
         self.rings = rings
         self.verts = rings[0]
 
-    def _require_no_holes(self, op: str):
-        if len(self.rings) > 1:
-            raise ValueError(
-                f"RegionMask.{op} does not support interior rings; "
-                "mask/zonal/filter operations do"
-            )
-
     # --- construction helpers (reference RegionMask.fromGeom/fromVector)
 
     @classmethod
@@ -131,32 +124,35 @@ class RegionMask:
 
         return points_in_polygon(self.spark, pts, self.rings)
 
-    # --- tiling (regionmask.py subTiles / subRegions)
+    # --- tiling (regionmask.py subTiles / subRegions; rings-aware —
+    # tiles fully inside a hole are excluded, donut pieces carry their
+    # hole clips, reference tiles any region regionmask.py:1641-1662)
 
     def sub_tiles(self, zoom: int):
         from .kernels.tiling import sub_tiles
 
-        self._require_no_holes("sub_tiles")
-
-        return list(sub_tiles(self.verts, zoom))
+        return list(sub_tiles(self.rings, zoom))
 
     def tileize(self, zoom: int):
         from .kernels.tiling import tileize
 
-        self._require_no_holes("tileize")
-
-        return tileize(self.verts, zoom)
+        return tileize(self.rings, zoom)
 
     # --- geometry derivatives
 
-    def buffer(self, dist: float, arc_segments: int = 8) -> "RegionMask":
-        """Buffered copy (regionmask.py:1126 buffer option)."""
-        from .kernels.buffer import buffer_convex
+    def buffer(
+        self, dist: float, arc_segments: int = 8, method: str = "safe"
+    ) -> "RegionMask":
+        """Buffered copy (regionmask.py:1126 buffer option; reference
+        buffers arbitrary geometries regionmask.py:1409-1440): growing
+        grows the outer ring and shrinks the holes, shrinking the
+        reverse (kernels.buffer.buffer_rings; topology changes raise)."""
+        from .kernels.buffer import buffer_rings
 
-        self._require_no_holes("buffer")
-        return RegionMask(
-            self.spark, buffer_convex(self.verts, dist, arc_segments)
-        )
+        out = buffer_rings(self.rings, dist, arc_segments, method=method)
+        if not out:
+            raise ValueError("RegionMask.buffer: region collapsed")
+        return RegionMask(self.spark, out)
 
     def area_4326(self) -> float:
         """Shoelace area of the polygon itself (degrees^2)."""

@@ -109,11 +109,37 @@ def test_region_mask_with_holes(spark):
         "id int, lon double, lat double",
     )
     assert rm.filter_points(pts).count() <= rm_outer.filter_points(pts).count()
-    # outer-only ops raise loudly
-    with pytest.raises(ValueError, match="interior rings"):
-        rm.buffer(0.1)
-    with pytest.raises(ValueError, match="interior rings"):
-        rm.tileize(8)
+    # buffer is rings-aware: growing grows the outer ring and shrinks
+    # the holes (kept as holes), net area grows
+    grown = rm.buffer(0.01)
+    assert len(grown.rings) == len(rm.rings)
+    assert grown.area_4326() > rm.area_4326()
+    assert abs(signed_area(grown.rings[1])) < abs(signed_area(rings[1]))
+    # a grow distance past half the hole width collapses the holes
+    # (they vanish rather than inverting)
+    swallowed = rm.buffer(0.2)
+    assert len(swallowed.rings) == 1
+    # tileize is rings-aware: net piece areas (outer - hole clips) sum
+    # to the donut's 3857 area; sub_tiles excludes hole-interior tiles
+    from geokit_spark.kernels.pip import poly_area
+    from geokit_spark.kernels.srs import xy_transform
+
+    pieces = list(rm.tileize(11))
+    net = sum(
+        poly_area(p[0]) - sum(poly_area(h) for h in p[1:])
+        for _, p in pieces
+    )
+    ring_area_3857 = []
+    for r in rings:
+        mx, my = xy_transform(
+            [v[0] for v in r], [v[1] for v in r], 4326, 3857
+        )
+        ring_area_3857.append(poly_area(list(zip(mx, my))))
+    want = ring_area_3857[0] - sum(ring_area_3857[1:])
+    assert abs(net - want) / want < 1e-9
+    donut_tiles = set(rm.sub_tiles(14))
+    outer_tiles = set(rm_outer.sub_tiles(14))
+    assert donut_tiles < outer_tiles  # strict: hole-interior tiles drop
     # indicate_features honors region holes (covered fraction computed
     # against the donut mask: fewer region pixels than outer-only)
     from geokit_spark.sources import tiles as tilesrc
