@@ -1332,6 +1332,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BEYOND-the-broadcast-cap ANN path: bucket-local gemm +
+    per-bucket partial top-k + vec_id merge — no driver matrix, no
+    sidecar, embeddings cross the wire once per table. Deterministic
+    (bucket contents are partition-invariant, merge dedup keeps the
+    order-independent max), so it hash-compares against the same
+    multi-table LSH SQL as the fold path (probe_bits=0)."""
+    from geokit_spark.operators.similarity import ann_topk_bucketed
+
+    return ann_topk_bucketed(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: count geocoded pages per zone at sf0.001."""
     return q_pip_zones_join(spark, "/root/testdata/sf0.001")
@@ -1344,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "ann_topk_bucketed": q_ann_topk_bucketed,
         "pip_zones_holes": q_pip_zones_holes,
         "indicate_features_buffered_holes": q_indicate_features_buffered_holes,
         "box_predicates_boundary": q_box_predicates_boundary,
@@ -2969,6 +2984,16 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_ann_topk_bucketed() -> str:
+    # same candidate semantics as the fold path with probe_bits=0:
+    # the bucketed operator's per-bucket partial top-k union provably
+    # contains the global top-k (any same-bucket neighbor ranking
+    # <= k globally ranks <= k inside that bucket too)
+    from geokit_spark.oracle import annsql
+
+    return annsql.ann_topk_sql(k=5, probe_bits=0)
+
+
 def _o_ivf_topk() -> str:
     from geokit_spark.oracle import annsql
 
@@ -3123,6 +3148,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_region": _o_pip_region(),
         "pip_region2": _o_pip_region2(),
         "pip_zones_join": _o_pip_zones_join(),
+        "ann_topk_bucketed": _o_ann_topk_bucketed(),
         "pip_zones_holes": _o_pip_zones_holes(),
         "extract_values": _o_extract_values(),
         "interp_bilinear": _o_interp_bilinear(),

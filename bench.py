@@ -194,7 +194,109 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         lambda: ann_topk_arrow(emb, k=5, n_planes=np_).count(),
         n_vec,
     )
+
+    # ANN BEYOND the broadcast cap: ann_topk_bucketed at 2M vectors —
+    # no driver-side matrix, no sidecar; embeddings cross the wire
+    # once per table as fixed-stride BINARY cells (the layout a 100-TB
+    # embedding store uses). Partition count pinned (64) so the 8- vs
+    # 32-core scaling runs compare the identical job.
+    from geokit_spark.operators.similarity import ann_topk_bucketed
+
+    n_large = int(os.environ.get("GEOKIT_BENCH_ANN_LARGE", "2000000"))
+    npl = suggest_n_planes(n_large, target_bucket=64)
+    seq = iter(range(100))  # vary the id offset so reps can't be
+    # served by plan/result reuse (bench pitfall: identical plans may
+    # short-circuit on re-collect)
+    timed(
+        "ann_topk_large",
+        lambda: ann_topk_bucketed(
+            _synth_emb_binary(spark, n_large, parts, offset=next(seq)),
+            k=5, n_planes=npl, n_tables=2, n_partitions=64,
+            binary_dtype="float32",
+        ).count(),
+        n_large,
+    )
     return results
+
+
+def _synth_emb_binary(spark, n: int, parts: int, offset: int = 0):
+    """Deterministic 64-dim float32 embeddings PACKED AS BINARY cells
+    (splitmix64 per (vec, dim) counter): the generation path never
+    materializes per-element array rows, mirroring a binary-column
+    embedding store."""
+    import numpy as np
+
+    from geokit_spark.operators.similarity import EMB_DIM
+
+    def gen(batches):
+        import pyarrow as pa
+
+        mask = (1 << 64) - 1
+        for batch in batches:
+            ids = np.asarray(batch.column(0), dtype=np.uint64)
+            nb = len(ids)
+            if nb == 0:
+                continue
+            base = ids[:, None] * np.uint64(EMB_DIM) + np.arange(
+                EMB_DIM, dtype=np.uint64
+            )[None, :]
+            x = (
+                base * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x94D049BB)
+            ) & np.uint64(mask)
+            x ^= x >> np.uint64(30)
+            x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(mask)
+            x ^= x >> np.uint64(27)
+            vals = (
+                ((x >> np.uint64(33)).astype(np.float64) / float(1 << 30))
+                - 1.0
+            ).astype(np.float32)
+            stride = EMB_DIM * 4
+            offs = pa.py_buffer(
+                np.arange(0, (nb + 1) * stride, stride, dtype=np.int32)
+                .tobytes()
+            )
+            arr = pa.Array.from_buffers(
+                pa.binary(), nb, [None, offs, pa.py_buffer(vals.tobytes())]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), arr], ["vec_id", "embedding"]
+            )
+
+    return (
+        spark.range(offset, n + offset, 1, parts)
+        .withColumnRenamed("id", "vec_id")
+        .mapInArrow(gen, schema="vec_id long, embedding binary")
+    )
+
+
+def _burn_cpu(_):
+    import numpy as np
+
+    a = np.arange(200_000, dtype=np.int64)
+    for _i in range(200):
+        (1103515245 * a + 12345) % 2147483647
+    return 0
+
+
+def calibrate_quick(n_procs: int) -> dict:
+    """Self-calibration sentinel emitted with every bench JSON: the
+    machine's CURRENT pure-CPU throughput (tasks/s at the bench's own
+    process count, same cache-resident burn as scripts/scaling_run).
+    A load-contaminated run (another tenant on the shared VM) shows up
+    as a LOW calibration value next to slow queries — distinguishing
+    contamination from a real regression without re-running
+    (BENCH_r04's uniform ~1.25x inflation was exactly this failure
+    mode). Reference idle values on this VM: ~19 tasks/s at 8 procs,
+    ~42 at 32."""
+    import multiprocessing as mp
+    import time as _t
+
+    with mp.Pool(n_procs) as p:
+        p.map(_burn_cpu, range(n_procs))  # warm the pool
+        t0 = _t.perf_counter()
+        p.map(_burn_cpu, range(64))
+        rate = 64 / (_t.perf_counter() - t0)
+    return {"procs": n_procs, "tasks_per_sec": round(rate, 2)}
 
 
 def main():
@@ -202,6 +304,7 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "20000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    cal = calibrate_quick(cpus)
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
     results = bench_queries(spark, sf_dir, n_docs, cpus)
@@ -210,7 +313,7 @@ def main():
     doc_stages = [
         "tiling_cell_counts", "pip_region_semi_join", "pip_zones_join",
         "extract_values", "knn_ring", "minhash_signatures",
-        "simhash_near", "ann_topk",
+        "simhash_near", "ann_topk", "ann_topk_large",
     ]
     docs_per_sec = {
         k: int(results[k][1] / results[k][0]) for k in doc_stages
@@ -225,6 +328,7 @@ def main():
         "cpus": cpus,
         "docs_per_sec": docs_per_sec,
         "tiles_per_sec": int(results["zonal_stats"][1] / results["zonal_stats"][0]),
+        "calibration": cal,
     }
     spark.stop()
     print(json.dumps(out))

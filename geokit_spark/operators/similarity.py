@@ -639,6 +639,263 @@ def ann_topk_arrow(
     )
 
 
+def ann_topk_bucketed(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    n_partitions: int | None = None,
+    binary_dtype: str | None = None,
+) -> DataFrame:
+    """ANN top-k BEYOND the broadcast cap: no driver-side matrix, no
+    sidecar file, no embedding-array joins — the shape that holds at
+    any corpus size. Same multi-table random-hyperplane LSH candidate
+    semantics as ann_topk(probe_bits=0) / ann_topk_arrow.
+
+    Physical plan (2 shuffles):
+      1. one Arrow pass computes every table's bucket and ships each
+         embedding to its buckets (n x n_tables rows — embeddings
+         cross the wire ONCE per table, vs once per CANDIDATE in the
+         join-based rescore);
+      2. bucket-partitioned Arrow pass scores each bucket's all-pairs
+         locally (one small gemm per bucket, memory = bucket contents,
+         bounded by suggest_n_planes sizing) and emits only a PARTIAL
+         top-k per member — the map-side combine for top-k: the global
+         top-k neighbor of v shares some bucket with v and ranks <= k
+         inside it, so the union of per-bucket top-ks contains the
+         global answer;
+      3. vec_id-partitioned Arrow pass dedupes multi-table collisions
+         (keep max sim — gemm summation order can differ by an ULP
+         across tables) and selects the global top-k.
+
+    Exchange volume: n*n_tables embedding rows + <= n*n_tables*k
+    24-byte partial rows; candidate pairs NEVER cross the wire.
+    Skewed buckets cost compute (bucket_size^2 sims), not memory
+    blowup — size n_planes with suggest_n_planes(n).
+
+    Sims use numpy gemm (pairwise summation) like ann_topk_arrow:
+    neighbor-SET equality with the fold path is pytest-verified;
+    probe_bits is not offered here (probe rows would ship embeddings
+    again — use ann_topk_arrow under the cap when probing matters)."""
+    spark = emb.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    P = _plane_matrix(n_planes, n_tables)
+    # ship embeddings at their SOURCE precision, packed as ONE BINARY
+    # CELL per row (fixed stride): a 64-float list column costs Arrow
+    # per-element offsets + UnsafeRow array headers at every exchange;
+    # raw bytes shuffle ~2x cheaper and decode zero-copy via frombuffer.
+    # A BinaryType embedding column (the storage layout a 100-TB corpus
+    # would use anyway) is accepted directly: pass binary_dtype
+    # 'float32'/'float64' and NO list materialization happens anywhere.
+    in_dt = emb.schema["embedding"].dataType
+    binary_in = isinstance(in_dt, T.BinaryType)
+    if binary_in:
+        if binary_dtype not in ("float32", "float64"):
+            raise ValueError(
+                "binary embedding column: pass binary_dtype='float32' "
+                "or 'float64' (the packed element type)"
+            )
+        elem_f32 = binary_dtype == "float32"
+    else:
+        elem_f32 = isinstance(in_dt.elementType, T.FloatType)
+    ship_dtype = "<f4" if elem_f32 else "<f8"
+    np_store = np.float32 if elem_f32 else np.float64
+    stride = EMB_DIM * (4 if elem_f32 else 8)
+
+    def _pack_binary(mat_rows: np.ndarray):
+        import pyarrow as pa
+
+        rows = mat_rows.shape[0]
+        offs = pa.py_buffer(
+            np.arange(0, (rows + 1) * stride, stride, dtype=np.int32)
+            .tobytes()
+        )
+        return pa.Array.from_buffers(
+            pa.binary(), rows, [None, offs, pa.py_buffer(mat_rows.tobytes())]
+        )
+
+    def _unpack_binary(arr):
+        """Zero-copy view of a fixed-stride binary array as an
+        (n, EMB_DIM) matrix at STORED precision — big float64
+        inflations here measured as 32-worker allocator thrash (the
+        round-2 'large per-batch temporaries' pitfall); callers upcast
+        per small group."""
+        b = arr
+        offs = np.frombuffer(b.buffers()[1], np.int32)[
+            b.offset : b.offset + len(b) + 1
+        ]
+        data = np.frombuffer(b.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        try:
+            return data.view(ship_dtype).reshape(len(b), EMB_DIM)
+        except ValueError:  # unaligned slice: fall back to one copy
+            return np.frombuffer(data.tobytes(), dtype=ship_dtype).reshape(
+                len(b), EMB_DIM
+            )
+
+    def bucket_ship_fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            earr = batch.column(1)
+            if binary_in:
+                flat = _unpack_binary(earr).astype(np.float64)
+            else:
+                flat = np.asarray(
+                    earr.flatten().to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                ).reshape(nb, EMB_DIM)
+            dots = flat @ P.T
+            bits = (dots > 0).astype(np.int64)
+            weights = np.tile(
+                1 << np.arange(n_planes, dtype=np.int64), n_tables
+            )
+            per = bits * weights
+            tb = np.add.reduceat(
+                per, np.arange(0, n_tables * n_planes, n_planes), axis=1
+            )
+            tb = tb + (np.arange(n_tables, dtype=np.int64) << n_planes)[None, :]
+            rep = np.repeat(np.arange(nb, dtype=np.int64), n_tables)
+            if binary_in:
+                packed = earr.take(pa.array(rep))  # raw bytes pass through
+            else:
+                packed = _pack_binary(
+                    np.ascontiguousarray(flat.astype(np_store)[rep])
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tb.ravel()),
+                    batch.column(0).take(pa.array(rep)),
+                    packed,
+                ],
+                ["bucket", "vec_id", "emb"],
+            )
+
+    shipped = emb.select("vec_id", "embedding").mapInArrow(
+        bucket_ship_fn,
+        schema="bucket long, vec_id long, emb binary",
+    )
+
+    def bucket_score_fn(batches):
+        import pyarrow as pa
+
+        bks, vids, mats = [], [], []
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            bks.append(np.asarray(batch.column(0), dtype=np.int64))
+            vids.append(np.asarray(batch.column(1), dtype=np.int64))
+            mats.append(_unpack_binary(batch.column(2)))
+        if not bks:
+            return
+        PAD = 16  # argpartition tie-pad (see below)
+        bk = np.concatenate(bks)
+        vid = np.concatenate(vids)
+        M = np.concatenate(mats)  # STORED precision; upcast per group
+        # sort ONLY the key arrays by (bucket, vec_id); the matrix is
+        # gathered per small group — reordering the full float64 matrix
+        # was measured as 32-worker page-fault thrash, not compute.
+        # Per-group columns come out neighbor-ascending, so a STABLE
+        # argsort on -sim yields the (sim DESC, neighbor ASC) order of
+        # the fold path.
+        o = np.lexsort((vid, bk))
+        bk = bk[o]
+        vid = vid[o]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_v, out_n, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            # stored precision -> float64 math; norms from the same
+            # gathered matrix (num/den consistent)
+            Mg = M[o[s:e]].astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", Mg, Mg))
+            S = (Mg @ Mg.T) / np.outer(nrm, nrm)
+            np.fill_diagonal(S, -np.inf)
+            kk = min(k, g - 1)
+            if g > kk + PAD:
+                # argpartition prefilter (full per-row argsort measured
+                # 10x the gemm cost at bucket~256): keep kk+PAD
+                # candidates unordered, then exact (sim DESC, neighbor
+                # ASC) ordering among them. A boundary tie deeper than
+                # PAD identical sims (> PAD exactly-equal embeddings in
+                # one bucket) could differ from the fold path's pick —
+                # beyond any real corpus's exact-duplicate multiplicity.
+                part = np.argpartition(-S, kk + PAD - 1, axis=1)[:, : kk + PAD]
+                sub = np.take_along_axis(-S, part, axis=1)
+                # per-row lexsort (primary: -sim ascending = sim DESC,
+                # secondary: neighbor position ascending) restores the
+                # fold path's exact tie-break among the kept candidates
+                oo = np.lexsort((part, sub), axis=1)[:, :kk]
+                idx = np.take_along_axis(part, oo, axis=1)
+            else:
+                idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            gi = vid[s:e]
+            out_v.append(np.repeat(gi, kk))
+            out_n.append(gi[idx.ravel()])
+            out_s.append(np.take_along_axis(S, idx, axis=1).ravel())
+        if not out_v:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_v)),
+                pa.array(np.concatenate(out_n)),
+                pa.array(np.concatenate(out_s)),
+            ],
+            ["vec_id", "neighbor_id", "sim"],
+        )
+
+    partial = shipped.repartition(n_partitions, "bucket").mapInArrow(
+        bucket_score_fn, schema="vec_id long, neighbor_id long, sim double"
+    )
+
+    def merge_fn(batches):
+        import pyarrow as pa
+
+        vas, vbs, sims = [], [], []
+        for batch in batches:
+            if batch.num_rows:
+                vas.append(np.asarray(batch.column(0), dtype=np.int64))
+                vbs.append(np.asarray(batch.column(1), dtype=np.int64))
+                sims.append(np.asarray(batch.column(2), dtype=np.float64))
+        if not vas:
+            return
+        va = np.concatenate(vas)
+        vb = np.concatenate(vbs)
+        sim = np.concatenate(sims)
+        # dedup multi-table duplicates keeping the MAX sim (an ULP can
+        # separate the same pair's gemm across bucket shapes; max is
+        # order-independent, so the result is deterministic)
+        o1 = np.lexsort((-sim, vb, va))
+        va, vb, sim = va[o1], vb[o1], sim[o1]
+        keep = np.r_[True, (va[1:] != va[:-1]) | (vb[1:] != vb[:-1])]
+        va, vb, sim = va[keep], vb[keep], sim[keep]
+        o2 = np.lexsort((vb, -sim, va))
+        va, vb, sim = va[o2], vb[o2], sim[o2]
+        starts = np.flatnonzero(np.r_[True, va[1:] != va[:-1]])
+        sizes = np.diff(np.r_[starts, len(va)])
+        rank = np.arange(len(va), dtype=np.int64) - np.repeat(starts, sizes)
+        sel = rank < k
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(va[sel]),
+                pa.array((rank[sel] + 1).astype(np.int32)),
+                pa.array(vb[sel]),
+            ],
+            ["vec_id", "rank", "neighbor_id"],
+        )
+
+    return partial.repartition(n_partitions, "vec_id").mapInArrow(
+        merge_fn, schema="vec_id long, rank int, neighbor_id long"
+    )
+
+
 def _dot_arrow_udf():
     """Arrow-vectorized float64 dot product for the candidate
     re-score: numpy pairwise summation instead of the JVM left fold —

@@ -508,3 +508,56 @@ def test_ann_topk_arrow_double_input_matches_fold(spark):
     a = arrow.groupby("vec_id")["neighbor_id"].apply(set)
     assert (f.index == a.index).all()
     assert all(f[v] == a[v] for v in f.index)
+
+
+def test_ann_topk_bucketed_matches_fold(spark):
+    """ann_topk_bucketed (bucket-local gemm + partial top-k + merge;
+    NO driver matrix, no sidecar) must produce the same neighbor sets
+    as the oracle-pinned fold path on both float32 (parquet) and
+    float64 (synthetic) inputs, and be deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    emb32 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb64 = spark.range(0, 2500, 1, 8).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "cast(pmod(hash(id * 64 + d), 1000) as float) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    for emb in (emb32, emb64):
+        fold = similarity.ann_topk(emb, k=5).toPandas()
+        b1 = similarity.ann_topk_bucketed(emb, k=5).toPandas()
+        f = fold.groupby("vec_id")["neighbor_id"].apply(set)
+        a = b1.groupby("vec_id")["neighbor_id"].apply(set)
+        assert (f.index == a.index).all()
+        assert all(f[v] == a[v] for v in f.index)
+        # deterministic including ranks
+        b2 = similarity.ann_topk_bucketed(emb, k=5).toPandas()
+        key = ["vec_id", "rank", "neighbor_id"]
+        assert (
+            b1.sort_values(key).reset_index(drop=True)[key]
+            == b2.sort_values(key).reset_index(drop=True)[key]
+        ).all().all()
+
+
+def test_ann_topk_bucketed_no_driver_state(spark):
+    """The bucketed path must not stage sidecar files or collect the
+    matrix: plan is scan -> mapInArrow -> exchange(bucket) ->
+    mapInArrow -> exchange(vec_id) -> mapInArrow."""
+    import glob
+    import os
+
+    from pyspark import SparkFiles
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.reap_ann_sidecars()
+    pre = set(glob.glob(os.path.join(SparkFiles.getRootDirectory(), "annmat_*")))
+    out = similarity.ann_topk_bucketed(emb, k=3)
+    n = out.count()
+    assert n > 0
+    assert set(
+        glob.glob(os.path.join(SparkFiles.getRootDirectory(), "annmat_*"))
+    ) == pre
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2 or "REPARTITION" in plan
