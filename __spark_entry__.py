@@ -1332,6 +1332,35 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-specified input shape (BASELINE.json input_hint):
+    (url, warc_ts, html binary, text, lang) pages derived
+    deterministically from documents, then the REAL byte-level
+    html->text extractor runs over the binary column and the per-row
+    byte-identity invariant is audited per source (n_byte_exact must
+    equal n_pages), alongside exact html byte totals and the warc_ts
+    epoch range."""
+    from geokit_spark.sources.pages import extraction_report, pages_from_docs
+
+    return extraction_report(pages_from_docs(_docs(spark, sf_dir)))
+
+
+def q_pages_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship spatial semi-join expressed over the input_hint page
+    table end-to-end: doc ids are parsed BACK from the url column
+    (roundtrip of the url template), geocoded, and PIP-tested against
+    the region polygon — same join path as pip_region but consuming
+    (url, lang) instead of (doc_id, lang)."""
+    from geokit_spark.sources.pages import pages_from_docs, url_doc_id
+
+    pages = pages_from_docs(_docs(spark, sf_dir))
+    docsish = pages.select(
+        url_doc_id().alias("doc_id"), "lang"
+    )
+    inside = spatial_join.docs_in_region(spark, docsish)
+    return inside.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
 def q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BEYOND-the-broadcast-cap ANN path: bucket-local gemm +
     per-bucket partial top-k + vec_id merge — no driver matrix, no
@@ -1358,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "pages_extract": q_pages_extract,
+        "pages_pip": q_pages_pip,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "pip_zones_holes": q_pip_zones_holes,
         "indicate_features_buffered_holes": q_indicate_features_buffered_holes,
@@ -2984,6 +3015,22 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_pages_extract() -> str:
+    from geokit_spark.oracle import pagesql
+
+    return pagesql.pages_extract_sql()
+
+
+def _o_pages_pip() -> str:
+    from geokit_spark.oracle import pagesql
+
+    return pagesql.pages_pip_sql(
+        sqlgen.pip_crossings_expr,
+        sqlgen.geocode_cte,
+        fixtures.sql_region_edges_values,
+    )
+
+
 def _o_ann_topk_bucketed() -> str:
     # same candidate semantics as the fold path with probe_bits=0:
     # the bucketed operator's per-bucket partial top-k union provably
@@ -3148,6 +3195,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_region": _o_pip_region(),
         "pip_region2": _o_pip_region2(),
         "pip_zones_join": _o_pip_zones_join(),
+        "pages_extract": _o_pages_extract(),
+        "pages_pip": _o_pages_pip(),
         "ann_topk_bucketed": _o_ann_topk_bucketed(),
         "pip_zones_holes": _o_pip_zones_holes(),
         "extract_values": _o_extract_values(),

@@ -1,0 +1,235 @@
+"""Common-Crawl-style web-page table — the driver-specified input
+shape (`BASELINE.json` `input_hint`):
+
+    (url string, warc_ts timestamp, html binary, text string,
+     lang string)
+
+`pages_from_docs` derives that table deterministically from the
+`documents` fixture entirely in JVM expressions (url and warc_ts are
+pure functions of doc_id; html is a deterministic markup wrapping
+whose ``<p>`` blocks carry the escaped text), so the same rows are
+reproducible at any scale on any engine — no external data.
+
+`extract_text` is the real operator the north star names: a byte-level
+main-content extractor over the BINARY html column (block ``<p>``
+scan between ``<body>``/``</body>``, inline-tag strip, ``<br>`` →
+newline, HTML-entity decode) run as one narrow mapInArrow pass — no
+shuffle, no per-element Arrow lists, bytes stay bytes. The per-row
+invariant (reference contract, `BASELINE.json` input_hint: byte-
+identical extracted text per url) is verified corpus-wide by
+`q_pages_extract` against the DuckDB oracle and per-byte in
+tests/test_pages.py.
+
+Reference parity anchor: the reference loads whole vector layers and
+trusts OGR's decode (`/root/reference/geokit/core/vector.py:30-53`);
+here the "decode" is the html→text extraction and the invariant makes
+it auditable row-by-row at 100-TB scale (a count of byte-exact rows
+per source partition is a one-pass map-side-combinable aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# epoch base for warc_ts: 2020-09-13T12:26:40Z; each doc_id offsets by
+# one second, so timestamps are distinct, sorted by doc_id, and the
+# epoch arithmetic stays exact integer math on both engines
+WARC_EPOCH = 1_600_000_000
+
+_PRE = "<!doctype html><html><head><title>"
+_MID1 = "</title></head><body><h1>"
+_MID2 = "</h1><p>"
+_POST = "</p><footer>crawl</footer></body></html>"
+
+
+def _escape_expr(col):
+    """HTML-escape a text column: ``&`` first (so later entities are
+    not double-escaped), then ``<``/``>``. Mirrored literally in the
+    oracle SQL (oracle/pagesql.py)."""
+    e = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    e = F.replace(e, F.lit("<"), F.lit("&lt;"))
+    return F.replace(e, F.lit(">"), F.lit("&gt;"))
+
+
+def pages_from_docs(docs: DataFrame) -> DataFrame:
+    """Derive the input_hint page table from the documents table —
+    pure whole-stage-codegen expressions (concat/replace/encode), one
+    narrow projection, no UDF, no shuffle."""
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    html_str = F.concat(
+        F.lit(_PRE),
+        F.col("source"),
+        F.lit(" #"),
+        F.col("doc_id").cast("string"),
+        F.lit(_MID1),
+        F.col("source"),
+        F.lit(_MID2),
+        _escape_expr(F.col("text")),
+        F.lit(_POST),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(WARC_EPOCH) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def url_doc_id(col=None):
+    """Parse the doc_id back out of a page url (the deterministic
+    inverse of pages_from_docs' url template) — JVM split, no UDF."""
+    if col is None:
+        col = F.col("url")
+    return F.element_at(F.split(col, "/"), -1).cast("long")
+
+
+# --------------------------------------------------------------------------
+# byte-level main-content extraction (the decode operator)
+
+# decode order matters: every non-amp entity first, ``&amp;`` LAST, so
+# the literal text "&amp;lt;" decodes to "&lt;" (one level), never "<"
+_ENTITIES = (
+    (b"&lt;", b"<"),
+    (b"&gt;", b">"),
+    (b"&quot;", b'"'),
+    (b"&#39;", b"'"),
+    (b"&amp;", b"&"),
+)
+
+
+def _decode_entities(x: bytes) -> bytes:
+    if b"&" not in x:
+        return x
+    for ent, ch in _ENTITIES:
+        x = x.replace(ent, ch)
+    return x
+
+
+def _strip_inline(seg: bytes) -> bytes:
+    """Drop inline tags inside a <p> block (``<b>``, ``<a href=..>``,
+    …), turning ``<br>``/``<br/>`` into a newline, then decode
+    entities. All scanning is bytes.find — C speed per row."""
+    if b"<" not in seg:
+        return _decode_entities(seg)
+    parts = []
+    i, n = 0, len(seg)
+    while i < n:
+        lt = seg.find(b"<", i)
+        if lt == -1:
+            parts.append(seg[i:])
+            break
+        parts.append(seg[i:lt])
+        gt = seg.find(b">", lt)
+        if gt == -1:  # dangling '<': literal text
+            parts.append(seg[lt:])
+            break
+        tag = seg[lt + 1 : gt].strip().lower()
+        if tag in (b"br", b"br/", b"br /"):
+            parts.append(b"\n")
+        i = gt + 1
+    return _decode_entities(b"".join(parts))
+
+
+def extract_main_text(b: bytes) -> bytes:
+    """Main-content contract: the concatenation of all ``<p>`` block
+    contents between <body> and </body> (whole document if no body
+    tag), blocks joined by a newline; inline markup stripped, entities
+    decoded. Deterministic and total — malformed html degrades to
+    best-effort, never raises."""
+    lo = b.find(b"<body")
+    if lo == -1:
+        start = 0
+    else:
+        gt = b.find(b">", lo)
+        start = gt + 1 if gt != -1 else lo + 5
+    hi = b.find(b"</body>", start)
+    if hi == -1:
+        hi = len(b)
+    out = []
+    i = start
+    while True:
+        p = b.find(b"<p", i)
+        if p == -1 or p >= hi:
+            break
+        nxt = b[p + 2 : p + 3]
+        if nxt not in (b">", b" "):  # <pre>, <param>, ...
+            i = p + 2
+            continue
+        cs = b.find(b">", p)
+        if cs == -1:
+            break
+        cs += 1
+        ce = b.find(b"</p>", cs)
+        if ce == -1 or ce > hi:
+            ce = hi
+        out.append(_strip_inline(b[cs:ce]))
+        i = ce + 4
+    return b"\n".join(out)
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """(url, text_extracted) for every page — ONE narrow mapInArrow
+    pass over (url, html); html bytes are read straight from the Arrow
+    binary buffers and never converted to Python strings until the
+    per-row scan. At cluster scale this pipelines with the parquet
+    scan: no exchange, no driver state."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            html = batch.column(1)
+            texts = [
+                extract_main_text(v.as_py() if v.is_valid else b"")
+                for v in html
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(texts, type=pa.binary())],
+                ["url", "text_extracted"],
+            )
+
+    return pages.select("url", "html").mapInArrow(
+        fn, schema="url string, text_extracted binary"
+    )
+
+
+def extraction_report(pages: DataFrame) -> DataFrame:
+    """Per-source audit of the byte-identity invariant: n_pages,
+    n_byte_exact (extracted == text, BYTE compare), total html bytes,
+    and the warc_ts epoch range. The join back to the page row is on
+    url within the same narrow pipeline (extract_text preserves
+    partitioning, so AQE plans a single exchange for the join + one
+    for the final agg)."""
+    ext = extract_text(pages)
+    src = F.element_at(
+        F.split(F.element_at(F.split(F.col("url"), "/"), 3), "\\."), 1
+    ).alias("source")
+    joined = pages.join(ext, "url")
+    return (
+        joined.select(
+            src,
+            (
+                F.col("text_extracted") == F.encode(F.col("text"), "UTF-8")
+            ).cast("long").alias("exact"),
+            F.octet_length("html").cast("long").alias("html_bytes"),
+            F.unix_timestamp("warc_ts").alias("epoch"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("exact").alias("n_byte_exact"),
+            F.sum("html_bytes").alias("html_bytes"),
+            F.min("epoch").alias("min_epoch"),
+            F.max("epoch").alias("max_epoch"),
+        )
+    )

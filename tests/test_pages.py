@@ -1,0 +1,121 @@
+"""Input-hint page table (url, warc_ts, html binary, text, lang):
+builder determinism, byte-level extraction contract, and the per-row
+byte-identity invariant (BASELINE.json input_hint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geokit_spark.sources import pages as P
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from geokit_spark.session import get_spark
+
+    return get_spark("test-pages", cores=4, shuffle_partitions=4)
+
+
+# ---------------------------------------------------------------------------
+# pure-kernel extraction contract
+
+
+def test_extract_basic():
+    h = b"<html><body><p>hello world</p></body></html>"
+    assert P.extract_main_text(h) == b"hello world"
+
+
+def test_extract_skips_non_p_content():
+    h = (b"<html><head><title>t</title></head><body><h1>head</h1>"
+         b"<p>keep</p><footer>drop</footer></body></html>")
+    assert P.extract_main_text(h) == b"keep"
+
+
+def test_extract_multiple_p_joined_by_newline():
+    h = b"<body><p>one</p><div>x</div><p>two</p></body>"
+    assert P.extract_main_text(h) == b"one\ntwo"
+
+
+def test_extract_p_with_attributes_and_inline_tags():
+    h = (b'<body><p class="main">a <b>bold</b> and '
+         b'<a href="http://x/">link</a> end</p></body>')
+    assert P.extract_main_text(h) == b"a bold and link end"
+
+
+def test_extract_pre_is_not_p():
+    h = b"<body><pre>code</pre><p>real</p></body>"
+    assert P.extract_main_text(h) == b"real"
+
+
+def test_extract_br_becomes_newline():
+    h = b"<body><p>l1<br>l2<br/>l3</p></body>"
+    assert P.extract_main_text(h) == b"l1\nl2\nl3"
+
+
+def test_extract_entities_single_level():
+    # "&amp;lt;" is the LITERAL text "&lt;" — must decode exactly once
+    h = b"<body><p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;lt;</p></body>"
+    assert P.extract_main_text(h) == b'a & b <tag> "q" \'s\' &lt;'
+
+
+def test_extract_no_body_scans_whole_doc():
+    assert P.extract_main_text(b"<p>x</p>") == b"x"
+
+
+def test_extract_malformed_never_raises():
+    for h in (b"", b"<body>", b"<p>", b"<body><p>unclosed",
+              b"<p attr", b"a < b", b"<body><p>t</p"):
+        P.extract_main_text(h)  # total function
+    assert P.extract_main_text(b"<body><p>unclosed") == b"unclosed"
+    # dangling '<' inside a block is literal text
+    assert P.extract_main_text(b"<body><p>a < b</p></body>") == b"a < b"
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+
+
+def test_invariant_byte_identical_sf0001(spark):
+    """Every page at sf0.001: real extractor output == text column,
+    BYTE compare — the north-rule per-row invariant."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = P.pages_from_docs(docs)
+    rep = P.extraction_report(pages).toPandas()
+    assert (rep.n_byte_exact == rep.n_pages).all()
+    assert rep.n_pages.sum() == docs.count()
+
+
+def test_schema_matches_input_hint(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = P.pages_from_docs(docs)
+    assert [(f.name, f.dataType.simpleString()) for f in pages.schema] == [
+        ("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+        ("text", "string"), ("lang", "string"),
+    ]
+
+
+def test_url_roundtrip_and_builder_is_narrow(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = P.pages_from_docs(docs)
+    back = pages.select(P.url_doc_id().alias("doc_id"))
+    ids = {r.doc_id for r in back.collect()}
+    assert ids == {r.doc_id for r in docs.select("doc_id").collect()}
+    # builder + extractor pipeline is shuffle-free
+    plan = (
+        P.extract_text(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_escape_roundtrips_special_chars(spark):
+    """Docs whose text contains markup characters survive the
+    build->extract roundtrip byte-exactly."""
+    tricky = spark.createDataFrame(
+        [
+            (1, "a < b & c > d", "en", "srcx", 13),
+            (2, 'plain "quoted" text', "en", "srcx", 19),
+            (3, "&amp; already escaped", "en", "srcx", 21),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = P.extraction_report(P.pages_from_docs(tricky)).toPandas()
+    assert int(rep.n_byte_exact.sum()) == 3
