@@ -1332,6 +1332,44 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher repetition signals (top/dup n-gram character
+    fractions for n=2,3): one explode + hash-agg on (doc_id, n, gram),
+    exact-integer numerators with a single double division."""
+    from geokit_spark.operators.quality import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher composite quality gate — fully narrow per-row JVM
+    expressions (word-count bounds, mean word length, stopword
+    presence) with the first failing rule named per doc."""
+    from geokit_spark.operators.quality import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 (count DESC, word ASC total order):
+    map-side-combined hash-agg + TakeOrdered, no global sort."""
+    from geokit_spark.operators.quality import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=50)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal WITH text reconstruction:
+    word positions covered by corpus-hot 5-grams (df >= 20) are
+    dropped and the rebuilt text is md5-audited cross-engine.
+    min_df=3 here (production default 20) so the sf0.01 corpus —
+    where the max 5-gram df is 3 — actually exercises removal (74 hot
+    grams) instead of hashing every text unchanged."""
+    from geokit_spark.operators.quality import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), min_df=3)
+
+
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver-specified input shape (BASELINE.json input_hint):
     (url, warc_ts, html binary, text, lang) pages derived
@@ -1389,6 +1427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 -------------------------------------------------
         "pages_extract": q_pages_extract,
         "pages_pip": q_pages_pip,
+        "gopher_repetition": q_gopher_repetition,
+        "quality_filter": q_quality_filter,
+        "vocab_topk": q_vocab_topk,
+        "span_dedup": q_span_dedup,
         "ann_topk_bucketed": q_ann_topk_bucketed,
         "pip_zones_holes": q_pip_zones_holes,
         "indicate_features_buffered_holes": q_indicate_features_buffered_holes,
@@ -3015,6 +3057,30 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_gopher_repetition() -> str:
+    from geokit_spark.oracle import qualitysql
+
+    return qualitysql.gopher_repetition_sql()
+
+
+def _o_quality_filter() -> str:
+    from geokit_spark.oracle import qualitysql
+
+    return qualitysql.quality_filter_sql()
+
+
+def _o_vocab_topk() -> str:
+    from geokit_spark.oracle import qualitysql
+
+    return qualitysql.vocab_topk_sql(k=50)
+
+
+def _o_span_dedup() -> str:
+    from geokit_spark.oracle import qualitysql
+
+    return qualitysql.span_dedup_sql(min_df=3)
+
+
 def _o_pages_extract() -> str:
     from geokit_spark.oracle import pagesql
 
@@ -3087,8 +3153,9 @@ totals AS (
 )
 SELECT t.doc_id, t.n_ngrams,
        CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
-       CAST(COALESCE(p.n_boiler, 0) AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE)
-         AS boiler_ratio
+       CASE WHEN t.n_ngrams > 0 THEN
+         CAST(COALESCE(p.n_boiler, 0) AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE)
+       END AS boiler_ratio
 FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 """
 
@@ -3197,6 +3264,10 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "gopher_repetition": _o_gopher_repetition(),
+        "quality_filter": _o_quality_filter(),
+        "vocab_topk": _o_vocab_topk(),
+        "span_dedup": _o_span_dedup(),
         "ann_topk_bucketed": _o_ann_topk_bucketed(),
         "pip_zones_holes": _o_pip_zones_holes(),
         "extract_values": _o_extract_values(),

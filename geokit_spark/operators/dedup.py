@@ -599,8 +599,13 @@ def ngram_doc_freq(docs: DataFrame, n: int = BOILER_N) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
-                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {n}))))"
+                f"if(size(split(text, ' ')) >= {n},"
+                # IF guard, not greatest(..., 0): Spark sequence(1, 0)
+                # is the DESCENDING [1, 0] and slice(_, 0, _) throws —
+                # an unguarded bound crashes on any doc under n words
+                f" transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {n})))),"
+                f" array())"
             )
         ).alias("ngram_md5"),
     )
@@ -633,8 +638,13 @@ def boilerplate_flags(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
-                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {n}))))"
+                f"if(size(split(text, ' ')) >= {n},"
+                # IF guard, not greatest(..., 0): Spark sequence(1, 0)
+                # is the DESCENDING [1, 0] and slice(_, 0, _) throws —
+                # an unguarded bound crashes on any doc under n words
+                f" transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {n})))),"
+                f" array())"
             )
         ).alias("ngram_md5"),
     )
@@ -655,9 +665,12 @@ def boilerplate_flags(
             "doc_id",
             "n_ngrams",
             F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
-            (
+            # NULL ratio for docs with no n-grams (ANSI division would
+            # throw on 0; the oracle mirrors the CASE)
+            F.when(
+                F.col("n_ngrams") > 0,
                 F.coalesce("n_boiler", F.lit(0)).cast("double")
-                / F.col("n_ngrams").cast("double")
+                / F.col("n_ngrams").cast("double"),
             ).alias("boiler_ratio"),
         )
     )

@@ -1,0 +1,249 @@
+"""Corpus-quality operators for LLM training-data curation — the
+Gopher/C4-style pipeline stages (repetition statistics, composite
+quality filtering, corpus vocabulary, duplicated-span removal) over
+the documents/pages text column. All candidate generation and
+aggregation is built-in JVM expressions (split / transform / slice /
+explode / hash-agg); nothing here runs Python per row.
+
+100-TB shapes:
+- gopher_repetition: one explode + hash-agg on (doc_id, n, gram) —
+  partial-aggregated map-side, then one per-doc combine; the window
+  that picks each doc's top gram partitions on the SAME (doc_id, n)
+  key, so AQE reuses the exchange.
+- quality_filter: fully narrow (per-row expressions only) — pipelines
+  with the scan, no shuffle at any scale.
+- vocab_topk: hash-agg on word (Zipf skew is absorbed by map-side
+  partial aggregation — the hot word arrives at the reducer as one
+  partial row per map task, not one row per occurrence) + TakeOrdered.
+- span_dedup: reuses the boilerplate hot-set (dedup.ngram_doc_freq);
+  the hot set joins via the size-aware broadcast hint and position
+  cover sets stay per-doc arrays — never a corpus-wide shuffle of
+  text bytes.
+
+The reference has no text-curation surface (geospatial library); these
+graft the webtext payload onto the engine per the task mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokens_col
+
+# quality_filter thresholds (documented contract; tuned so the
+# synthetic corpus exercises every branch)
+MIN_WORDS = 15
+MAX_WORDS = 10_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 8.0
+
+SPAN_N = 5  # words per span-dedup n-gram (= dedup.BOILER_N)
+SPAN_DF = 20  # corpus document-frequency threshold (= dedup.BOILER_DF)
+
+
+def _grams_expr(n: int, words: str = "split(text, ' ')") -> str:
+    """SQL-expression array of word n-grams (space-joined). The
+    short-doc guard must be an IF, not greatest(..., 0): Spark's
+    sequence(1, 0) is the DESCENDING [1, 0] (DuckDB's range(1, 1) is
+    empty), so an unguarded upper bound crashes slice() on any doc
+    shorter than n words."""
+    return (
+        f"if(size({words}) >= {n},"
+        f" transform(sequence(1, size({words}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({words}, i, {n}))), array())"
+    )
+
+
+def gopher_repetition(docs: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Per-doc within-document repetition statistics (the Gopher
+    repetition-removal signals): for each n in `ns`,
+
+    - top{n}_gram / top{n}_cnt: the most frequent word n-gram (ties
+      broken lexicographically ascending) and its occurrence count;
+    - top{n}_frac: characters covered by occurrences of that gram,
+      ``top_cnt * length(gram) / length(text)``;
+    - dup{n}_frac: characters covered by ALL duplicated n-grams,
+      ``sum(cnt * length(gram) for grams with cnt >= 2) / length(text)``.
+
+    Both fractions are a single double division of exact integers, so
+    they hash-compare bit-exactly cross-engine. Docs shorter than n
+    words report 0 counts, '' gram, 0.0 fractions."""
+    structs = ", ".join(
+        f"transform({_grams_expr(n)}, g -> struct({n} AS n, g AS gram))"
+        for n in ns
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(f"concat({structs})")).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+
+    cnts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per = cnts.groupBy("doc_id", "n").agg(
+        F.sum(
+            F.when(
+                F.col("cnt") >= 2, F.col("cnt") * F.length("gram")
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("dup_chars"),
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    top = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n",
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_cnt"),
+            (F.col("cnt") * F.length("gram")).cast("long").alias("top_chars"),
+        )
+    )
+    stats = per.join(top, ["doc_id", "n"])
+    base = docs.select("doc_id", F.length("text").cast("long").alias("nc"))
+    out = base
+    for n in ns:
+        s_n = stats.filter(F.col("n") == n).select(
+            "doc_id",
+            F.col("top_gram").alias(f"top{n}_gram"),
+            F.col("top_cnt").alias(f"top{n}_cnt"),
+            F.col("top_chars").alias(f"_tc{n}"),
+            F.col("dup_chars").alias(f"_dc{n}"),
+        )
+        out = out.join(s_n, "doc_id", "left")
+    cols = [F.col("doc_id")]
+    for n in ns:
+        cols += [
+            F.coalesce(F.col(f"top{n}_gram"), F.lit("")).alias(f"top{n}_gram"),
+            F.coalesce(F.col(f"top{n}_cnt"), F.lit(0)).cast("long").alias(
+                f"top{n}_cnt"
+            ),
+            (
+                F.coalesce(F.col(f"_tc{n}"), F.lit(0)).cast("double")
+                / F.col("nc").cast("double")
+            ).alias(f"top{n}_frac"),
+            (
+                F.coalesce(F.col(f"_dc{n}"), F.lit(0)).cast("double")
+                / F.col("nc").cast("double")
+            ).alias(f"dup{n}_frac"),
+        ]
+    return out.select(*cols)
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """C4/Gopher-style composite per-document quality gate — pure
+    per-row JVM expressions (no shuffle): word-count bounds, mean
+    word length bounds, stopword presence. Emits the decision AND the
+    first failing rule so downstream stages can stratify rejects.
+
+    mean_word_len = (chars - (n_words - 1)) / n_words — exact for the
+    single-space tokenized corpus; expression tree mirrored in the
+    oracle."""
+    toks = tokens_col(F.col("text"))
+    nw = F.size(toks)
+    mean_len = (
+        (F.length(F.trim("text")) - (nw - F.lit(1))).cast("double")
+        / nw.cast("double")
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    reason = (
+        F.when(nw < F.lit(MIN_WORDS), F.lit("too_short"))
+        .when(nw > F.lit(MAX_WORDS), F.lit("too_long"))
+        .when(mean_len < F.lit(MIN_MEAN_WORD_LEN), F.lit("word_len_low"))
+        .when(mean_len > F.lit(MAX_MEAN_WORD_LEN), F.lit("word_len_high"))
+        .when(n_stop == F.lit(0), F.lit("no_stopword"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        reason.alias("reason"),
+        (reason == F.lit("ok")).alias("keep"),
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus word-frequency top-k with a total deterministic order
+    (count DESC, word ASC). groupBy(word) partial-aggregates map-side
+    — the Zipf head never travels as raw occurrences — and the final
+    top-k is a TakeOrdered, not a global sort."""
+    words = docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(k)
+    )
+
+
+def span_dedup(
+    docs: DataFrame, n: int = SPAN_N, min_df: int = SPAN_DF
+) -> DataFrame:
+    """C4-style duplicated-span REMOVAL with text reconstruction: any
+    word position covered by an occurrence of a corpus-hot n-gram
+    (document frequency >= min_df — the boilerplate hot set) is
+    dropped, and the document text is rebuilt from the surviving
+    words. Returns (doc_id, n_words, n_dropped, clean_md5) where
+    clean_md5 = md5 of the rebuilt text ('' if everything dropped) —
+    the hash makes the reconstruction byte-auditable cross-engine
+    without shipping rebuilt text to the driver.
+
+    Plan: hot set via dedup.ngram_doc_freq (size-aware broadcast),
+    gram-position explode + semi-join, per-doc position cover as a
+    collect_set array, rebuild via JVM filter/transform lambdas."""
+    from ..plans.hints import size_aware_broadcast
+    from .dedup import ngram_doc_freq
+
+    hot = size_aware_broadcast(
+        ngram_doc_freq(docs, n)
+        .filter(F.col("df") >= min_df)
+        .select("ngram_md5")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"if(size(split(text, ' ')) >= {n},"
+                f" transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                f" i -> struct(i AS i, md5(concat_ws(' ', slice(split(text, ' '), i, {n}))) AS g)),"
+                f" array())"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("ngram_md5"))
+    cover = (
+        grams.join(hot, "ngram_md5", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(i, i + {n - 1})")
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("dropped"))
+    )
+    rebuilt = (
+        docs.join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("size(split(text, ' '))").cast("long").alias("n_words"),
+            F.coalesce(
+                F.size("dropped").cast("long"), F.lit(0).cast("long")
+            ).alias("n_dropped"),
+            F.md5(
+                F.when(
+                    F.col("dropped").isNull(), F.col("text")
+                ).otherwise(
+                    F.expr(
+                        "concat_ws(' ', transform(filter("
+                        "  transform(split(text, ' '), (w, i) -> struct(i + 1 AS p, w AS w)),"
+                        "  s -> NOT array_contains(dropped, s.p)), s -> s.w))"
+                    )
+                )
+            ).alias("clean_md5"),
+        )
+    )
+    return rebuilt

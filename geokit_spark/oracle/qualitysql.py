@@ -1,0 +1,164 @@
+"""DuckDB oracle SQL for operators.quality (Gopher repetition,
+C4-style quality filter, corpus vocabulary, span dedup).
+
+Parity conventions (oracle/sqlgen.py docstring): all compared values
+are exact-integer arithmetic plus at most ONE double division of
+integers, so value hashes match bit-exactly. Gram arrays use
+``string_split(text, ' ')`` (the dedup convention); token-level stats
+use ``string_split_regex(trim(text), ' +')`` (the functions.text
+convention) — each mirrors its engine counterpart.
+"""
+
+from __future__ import annotations
+
+from ..functions.text import STOPWORDS
+from ..operators.quality import (
+    MAX_MEAN_WORD_LEN,
+    MAX_WORDS,
+    MIN_MEAN_WORD_LEN,
+    MIN_WORDS,
+    SPAN_DF,
+    SPAN_N,
+)
+from .sqlgen import d
+from .textsql import tokens
+
+
+def _gram_union(ns: tuple[int, ...]) -> str:
+    parts = []
+    for n in ns:
+        parts.append(
+            f"SELECT doc_id, {n} AS n, array_to_string(w[i:i + {n - 1}], ' ') AS gram\n"
+            f"  FROM words, UNNEST(range(1, GREATEST(len(w) - {n - 1}, 0) + 1)) AS t(i)"
+        )
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+def gopher_repetition_sql(ns: tuple[int, ...] = (2, 3)) -> str:
+    sel = ["d.doc_id"]
+    joins = []
+    for n in ns:
+        a = f"s{n}"
+        joins.append(
+            f"LEFT JOIN stats {a} ON {a}.doc_id = d.doc_id AND {a}.n = {n}"
+        )
+        sel += [
+            f"COALESCE({a}.top_gram, '') AS top{n}_gram",
+            f"CAST(COALESCE({a}.top_cnt, 0) AS BIGINT) AS top{n}_cnt",
+            f"CAST(COALESCE({a}.top_chars, 0) AS DOUBLE)"
+            f" / CAST(length(d.text) AS DOUBLE) AS top{n}_frac",
+            f"CAST(COALESCE({a}.dup_chars, 0) AS DOUBLE)"
+            f" / CAST(length(d.text) AS DOUBLE) AS dup{n}_frac",
+        ]
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  {_gram_union(ns)}
+),
+cnts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT doc_id, n,
+    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)
+      AS BIGINT) AS dup_chars
+  FROM cnts GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, n, gram AS top_gram, CAST(cnt AS BIGINT) AS top_cnt,
+    CAST(cnt * length(gram) AS BIGINT) AS top_chars
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn
+    FROM cnts
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT p.doc_id, p.n, p.dup_chars, t.top_gram, t.top_cnt, t.top_chars
+  FROM per p JOIN top t ON p.doc_id = t.doc_id AND p.n = t.n
+)
+SELECT {", ".join(sel)}
+FROM documents d
+{chr(10).join(joins)}
+"""
+
+
+def quality_filter_sql() -> str:
+    toks = tokens()
+    lst = ",".join(f"'{w}'" for w in STOPWORDS)
+    nw = f"len({toks})"
+    mean = (
+        f"CAST(length(trim(text)) - ({nw} - 1) AS DOUBLE)"
+        f" / CAST({nw} AS DOUBLE)"
+    )
+    nstop = f"len(list_filter({toks}, x -> x IN ({lst})))"
+    reason = f"""CASE
+    WHEN {nw} < {MIN_WORDS} THEN 'too_short'
+    WHEN {nw} > {MAX_WORDS} THEN 'too_long'
+    WHEN {mean} < {d(MIN_MEAN_WORD_LEN)} THEN 'word_len_low'
+    WHEN {mean} > {d(MAX_MEAN_WORD_LEN)} THEN 'word_len_high'
+    WHEN {nstop} = 0 THEN 'no_stopword'
+    ELSE 'ok' END"""
+    return f"""
+SELECT doc_id,
+  CAST({nw} AS BIGINT) AS n_words,
+  {mean} AS mean_word_len,
+  CAST({nstop} AS BIGINT) AS n_stopwords,
+  {reason} AS reason,
+  ({reason}) = 'ok' AS keep
+FROM documents
+"""
+
+
+def vocab_topk_sql(k: int = 50) -> str:
+    return f"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT UNNEST({tokens()}) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT {k}
+"""
+
+
+def span_dedup_sql(n: int = SPAN_N, min_df: int = SPAN_DF) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i, md5(array_to_string(w[i:i + {n - 1}], ' ')) AS g
+  FROM words, UNNEST(range(1, GREATEST(len(w) - {n - 1}, 0) + 1)) AS t(i)
+),
+hot AS (
+  SELECT g FROM (
+    SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g
+  ) WHERE df >= {min_df}
+),
+cover AS (
+  SELECT DISTINCT gr.doc_id, gr.i + o.o AS p
+  FROM grams gr JOIN hot USING (g), UNNEST(range(0, {n})) AS o(o)
+),
+poswords AS (
+  SELECT doc_id, i AS p, w[i] AS word
+  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+kept AS (
+  SELECT pw.doc_id, pw.p, pw.word
+  FROM poswords pw LEFT JOIN cover c
+    ON c.doc_id = pw.doc_id AND c.p = pw.p
+  WHERE c.p IS NULL
+),
+cleaned AS (
+  SELECT doc_id, COUNT(*) AS kept_n,
+    string_agg(word, ' ' ORDER BY p) AS s
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+  CAST(len(string_split(d.text, ' ')) - COALESCE(c.kept_n, 0) AS BIGINT)
+    AS n_dropped,
+  md5(COALESCE(c.s, '')) AS clean_md5
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
+"""

@@ -1,0 +1,118 @@
+"""operators.quality: Gopher repetition, C4 quality filter, vocab
+top-k, span dedup — hand-computed contracts + plan shapes."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from geokit_spark.operators import quality as Q
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from geokit_spark.session import get_spark
+
+    return get_spark("test-quality", cores=4, shuffle_partitions=4)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_gopher_repetition_hand_case(spark):
+    # grams(n=2): 'a b' x2, 'b a' x2, 'a c' x1 -> top tie broken
+    # lexicographically ascending -> 'a b'
+    out = Q.gopher_repetition(_docs(spark, ["a b a b a c"])).collect()[0]
+    assert out.top2_gram == "a b"
+    assert out.top2_cnt == 2
+    assert out.top2_frac == 2 * 3 / 11
+    assert out.dup2_frac == (2 * 3 + 2 * 3) / 11
+    # n=3: 'a b a' x2? grams: 'a b a','b a b','a b a','b a c' -> 'a b a' x2
+    assert out.top3_gram == "a b a"
+    assert out.top3_cnt == 2
+    assert out.dup3_frac == (2 * 5) / 11
+
+
+def test_gopher_repetition_short_doc_zeroes(spark):
+    out = Q.gopher_repetition(_docs(spark, ["single"])).collect()[0]
+    assert out.top2_gram == "" and out.top2_cnt == 0
+    assert out.top2_frac == 0.0 and out.dup3_frac == 0.0
+
+
+def test_quality_filter_reasons(spark):
+    rows = [
+        "the " + " ".join(f"word{i}" for i in range(20)),  # ok
+        "tiny doc",  # too_short
+        " ".join("ab" for _ in range(30)),  # word_len_low (mean 2)
+        " ".join("the" if i % 2 else "extraordinarily" for i in range(30)),
+        " ".join(f"plain{i}" for i in range(30)),  # no_stopword
+    ]
+    out = {r.doc_id: r for r in Q.quality_filter(_docs(spark, rows)).collect()}
+    assert out[0].reason == "ok" and out[0].keep
+    assert out[1].reason == "too_short" and not out[1].keep
+    assert out[2].reason == "word_len_low"
+    assert out[3].reason == "word_len_high"
+    assert out[4].reason == "no_stopword"
+
+
+def test_quality_filter_is_narrow(spark):
+    plan = (
+        Q.quality_filter(_docs(spark, ["a b c"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_vocab_topk_order_and_ties(spark):
+    out = Q.vocab_topk(_docs(spark, ["b a b c a b", "c a"]), k=3).collect()
+    # counts: b=3, a=3, c=2 -> (3,'a'), (3,'b'), (2,'c')
+    assert [(r.word, r.n) for r in out] == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_span_dedup_reconstruction(spark):
+    shared = "one two three four five"
+    rows = [
+        f"x {shared} y",
+        f"p q {shared}",
+        f"{shared} tail words here",
+        "no hot grams in this document at all",
+    ]
+    out = {
+        r.doc_id: r
+        for r in Q.span_dedup(_docs(spark, rows), min_df=3).collect()
+    }
+    # the shared 5-gram has df=3 -> its 5 positions drop in docs 0-2
+    exp = {0: "x y", 1: "p q", 2: "tail words here",
+           3: "no hot grams in this document at all"}
+    for i, txt in exp.items():
+        assert out[i].clean_md5 == hashlib.md5(txt.encode()).hexdigest()
+    assert out[0].n_dropped == 5 and out[3].n_dropped == 0
+    assert out[3].n_words == 8
+
+
+def test_short_doc_gram_builders_do_not_crash(spark):
+    """Regression: Spark sequence(1, 0) is the DESCENDING [1, 0], so
+    the gram builders' old greatest(..., 0) bound crashed slice() on
+    any doc shorter than n words (a 100-TB corpus always has some)."""
+    from geokit_spark.operators.dedup import boilerplate_flags
+
+    docs = _docs(spark, ["single", "two words", "a b c d e"])
+    out = {r.doc_id: r for r in boilerplate_flags(docs).collect()}
+    assert out[0].n_ngrams == 0 and out[0].n_boiler == 0
+    rep = {r.doc_id: r for r in Q.span_dedup(docs, min_df=2).collect()}
+    assert rep[0].n_dropped == 0
+
+
+def test_span_dedup_full_drop(spark):
+    doc = "one two three four five"
+    out = {
+        r.doc_id: r
+        for r in Q.span_dedup(_docs(spark, [doc, doc]), min_df=2).collect()
+    }
+    for r in out.values():
+        assert r.n_dropped == 5
+        assert r.clean_md5 == hashlib.md5(b"").hexdigest()
