@@ -22,6 +22,9 @@ NAMES = [
     # round 4
     "pip_region_holes", "extract_clip_holes", "lines_in_region",
     "rasterize_lines", "simhash_near",
+    # round 5
+    "pip_zones_holes", "ann_topk_bucketed", "pages_extract", "pages_pip",
+    "gopher_repetition", "quality_filter", "vocab_topk", "span_dedup",
 ]
 
 
