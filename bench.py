@@ -145,6 +145,31 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         n_text,
     )
 
+    # input_hint decode stage: build the page table (JVM concat/encode,
+    # no shuffle) and run the byte-level html→text extractor over the
+    # BINARY column — the north star's per-row-invariant operator at
+    # corpus scale. Text carries entities so the decode path is hot.
+    from geokit_spark.sources.pages import extract_text, pages_from_docs
+
+    pdocs = spark.range(0, n_text, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.repeat(F.md5(F.col("id").cast("string")), 4),
+            F.lit(" a&b <c> 'q'"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), (F.col("id") % 10).cast("string")).alias(
+            "source"
+        ),
+    )
+    timed(
+        "html_extract",
+        lambda: extract_text(pages_from_docs(pdocs))
+        .select(F.sum(F.octet_length("text_extracted")))
+        .collect(),
+        n_text,
+    )
+
     # simhash near-dup at the same corpus scale: 64-bit Arrow sketch +
     # the Hamming-ball (band, lang, len-bucket) equijoin — the round-4
     # parameter-width fix under measurement, not just planned
@@ -313,7 +338,7 @@ def main():
     doc_stages = [
         "tiling_cell_counts", "pip_region_semi_join", "pip_zones_join",
         "extract_values", "knn_ring", "minhash_signatures",
-        "simhash_near", "ann_topk", "ann_topk_large",
+        "html_extract", "simhash_near", "ann_topk", "ann_topk_large",
     ]
     docs_per_sec = {
         k: int(results[k][1] / results[k][0]) for k in doc_stages
