@@ -63,8 +63,14 @@ def _burn_mem(_):
 
 # stages whose wall time is dominated by data motion (Arrow IPC +
 # shuffle bytes) rather than cache-resident compute: normalized
-# against the bandwidth ceiling
-DATA_MOTION_STAGES = {"ann_topk_large"}
+# against the bandwidth ceiling.
+# - ann_topk_large: 2M binary embeddings cross the python boundary
+#   three times (bucket, gather, re-score)
+# - html_extract: measured — the pure-python kernel does 234k rows/s
+#   per core (so 8 compute-bound cores would be ~1.9M rows/s) but the
+#   stage observes 0.84M at local[8]: >55% of wall is Arrow transfer
+#   of the html bytes, and the 8->32 marginal limiter is bandwidth
+DATA_MOTION_STAGES = {"ann_topk_large", "html_extract"}
 
 
 def calibrate() -> dict:
