@@ -23,6 +23,7 @@ from geokit_spark.operators import (
     zonal,
 )
 from geokit_spark.oracle import geooracle, sqlgen
+from geokit_spark.oracle import webgraphsql as _wg
 from geokit_spark.oracle.sqlgen import d
 from geokit_spark.sources import tiles as tilesrc
 
@@ -1399,6 +1400,143 @@ def q_pages_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inside.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization cardinality audit over the three-crawl
+    revisit table: every raw url is distinct, canonical_url collapses
+    the case/default-port/fragment/query-order variant into the base,
+    and the SURT key (scheme + www dropped, host reversed) collapses
+    all three crawls of a doc into ONE revisit key. The oracle derives
+    the collapse counts closed-form from divisibility; the Spark side
+    earns them by building the urls and canonicalizing with pure
+    codegen string expressions (functions/url.py)."""
+    from geokit_spark.functions.url import canonical_url, surt_key
+    from geokit_spark.sources.pages import pages_multicrawl
+
+    pages = pages_multicrawl(_docs(spark, sf_dir))
+    return (
+        pages.select(
+            "lang",
+            "url",
+            canonical_url(F.col("url")).alias("canon"),
+            surt_key(F.col("url")).alias("surt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("url").alias("n_raw"),
+            F.countDistinct("canon").alias("n_canon"),
+            F.countDistinct("surt").alias("n_surt"),
+        )
+    )
+
+
+def q_pages_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-revision-wins url dedup (the crawl-archive revisit
+    workload): group by SURT key, keep max(warc_ts). ONE shuffle with
+    map-side partial max/count — no window sort, the shape that holds
+    at 10^12 rows. The kept crawl index is recovered arithmetically
+    from the kept epoch and cross-checked against the oracle's
+    closed-form highest-crawl-present rule."""
+    from geokit_spark.functions.url import surt_key, url_path_id
+    from geokit_spark.sources.pages import (
+        CRAWL_STRIDE,
+        WARC_EPOCH,
+        pages_multicrawl,
+    )
+
+    pages = pages_multicrawl(_docs(spark, sf_dir))
+    keyed = pages.select(
+        surt_key(F.col("url")).alias("surt"),
+        url_path_id(F.col("url")).alias("doc_id"),
+        F.unix_timestamp("warc_ts").alias("epoch"),
+        "lang",
+    )
+    per_key = keyed.groupBy("surt").agg(
+        F.max("epoch").alias("kept_epoch"),
+        F.count("*").alias("n_rev"),
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+    )
+    kept_rev = F.expr(
+        f"(kept_epoch - {WARC_EPOCH} - doc_id) div {CRAWL_STRIDE}"
+    )
+    return per_key.groupBy("lang").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("n_rev").alias("n_revisions"),
+        F.sum("kept_epoch").alias("sum_kept_epoch"),
+        F.sum(kept_rev).alias("sum_kept_rev"),
+    )
+
+
+def q_host_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup over all crawl rows: hosts rotate
+    .example / .co.uk / .net suffix shapes and crawl 2 adds a www.
+    prefix, so the rollup must fold www and recognize the multi-label
+    co.uk suffix. Narrow parse + one hash aggregation."""
+    from geokit_spark.functions.url import registrable_domain, url_path_id
+    from geokit_spark.sources.pages import pages_multicrawl
+
+    pages = pages_multicrawl(_docs(spark, sf_dir))
+    return (
+        pages.select(
+            registrable_domain(F.col("url")).alias("domain"),
+            url_path_id(F.col("url")).alias("doc_id"),
+            "lang",
+            F.octet_length("html").cast("long").alias("hb"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("hb").alias("html_bytes"),
+        )
+    )
+
+
+def q_page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-link extraction audit: the html of every page carries a
+    deterministic <nav> of /p/<id> anchors; the byte-level Arrow
+    parser (operators/webgraph.extract_links) recovers the edge set
+    in one narrow pass and the per-lang edge count / distinct-target
+    / integer-checksum totals must match the formula-regenerated
+    oracle edges."""
+    from geokit_spark.operators.webgraph import extract_links, link_stats
+    from geokit_spark.sources.pages import pages_with_links
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return link_stats(extract_links(pages_with_links(docs, n)))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer PageRank (3 iterations) over the parsed page
+    graph: scores are int64 with truncating division, so the
+    distributed join/agg loop is bit-identical at any parallelism and
+    must match DuckDB's sequential chained-CTE evaluation. Edges come
+    from the REAL byte parser, not the formula."""
+    from geokit_spark.operators.webgraph import extract_links, pagerank
+    from geokit_spark.sources.pages import pages_with_links
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = extract_links(pages_with_links(docs, n)).select(
+        "src_id", "dst_id"
+    )
+    scores = pagerank(edges, docs.select("doc_id"), iters=3)
+    return (
+        docs.select("doc_id", "source")
+        .join(scores, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("s").alias("score_sum"),
+            F.min("s").alias("score_min"),
+            F.max("s").alias("score_max"),
+        )
+    )
+
+
 def q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BEYOND-the-broadcast-cap ANN path: bucket-local gemm +
     per-bucket partial top-k + vec_id merge — no driver matrix, no
@@ -1425,6 +1563,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "url_canonical": q_url_canonical,
+        "pages_latest": q_pages_latest,
+        "host_domains": q_host_domains,
+        "page_links": q_page_links,
+        "pagerank": q_pagerank,
         "pages_extract": q_pages_extract,
         "pages_pip": q_pages_pip,
         "gopher_repetition": q_gopher_repetition,
@@ -3264,6 +3407,11 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "url_canonical": _wg.url_canonical_sql(),
+        "pages_latest": _wg.pages_latest_sql(),
+        "host_domains": _wg.host_domains_sql(),
+        "page_links": _wg.page_links_sql(),
+        "pagerank": _wg.pagerank_sql(iters=3),
         "gopher_repetition": _o_gopher_repetition(),
         "quality_filter": _o_quality_filter(),
         "vocab_topk": _o_vocab_topk(),

@@ -1,0 +1,150 @@
+"""Web-graph operators over the input_hint page table: byte-level
+out-link extraction from the html BINARY column, link-graph stats,
+and an exact integer PageRank.
+
+Scale shape:
+
+- ``extract_links`` is ONE narrow mapInArrow pass (no shuffle): html
+  bytes are scanned with ``bytes.find`` straight off the Arrow
+  buffers; at cluster scale it pipelines with the parquet scan
+  exactly like sources/pages.extract_text.
+- ``pagerank`` is the classic two-shuffle-per-iteration plan: edges
+  (pre-partitioned once on src and cached by the caller when
+  iterating) hash-join the score vector on src, then aggregate
+  contributions on dst. All arithmetic is int64 with truncating
+  division, so partial aggregation is exact and order-independent —
+  the result is BIT-IDENTICAL at any parallelism, which is what makes
+  a distributed PageRank auditable against a sequential oracle.
+
+Reference parity anchor: the reference's closest analogue is the
+connected-components flood fill over rasters
+(`/root/reference/geokit/core/util.py` polygonize path); PageRank is
+the webtext-side iterative-graph workload with the same "fixpoint of
+joins" shape as operators/components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.url import url_path_id
+
+DAMP_NUM, DAMP_DEN = 85, 100
+PR_SCALE = 1_000_000
+PR_BASE = 150_000  # (1 - d) * PR_SCALE with d = 85/100
+
+
+def _links_from_html(b: bytes) -> list[int]:
+    """All ``href="..."`` targets whose last path segment is an int —
+    pure bytes.find scanning, C speed per row."""
+    out = []
+    i = 0
+    while True:
+        p = b.find(b'href="', i)
+        if p == -1:
+            break
+        q = b.find(b'"', p + 6)
+        if q == -1:
+            break
+        seg = b[p + 6 : q]
+        seg = seg[seg.rfind(b"/") + 1 :]
+        if seg.isdigit():
+            out.append(int(seg))
+        i = q + 1
+    return out
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(src_id, dst_id, lang) for every out-link on every page —
+    src_id is parsed from the url JVM-side (functions/url.url_path_id)
+    before the batch reaches Python; the Arrow kernel only scans html
+    bytes. One narrow pass, no exchange."""
+    keyed = pages.select(
+        url_path_id(F.col("url")).alias("src_id"), "html", "lang"
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            src = batch.column(0)
+            html = batch.column(1)
+            lang = batch.column(2)
+            srcs, dsts, langs = [], [], []
+            for k in range(batch.num_rows):
+                h = html[k].as_py() if html[k].is_valid else b""
+                s = src[k].as_py()
+                lg = lang[k].as_py()
+                for d in _links_from_html(h):
+                    srcs.append(s)
+                    dsts.append(d)
+                    langs.append(lg)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(srcs, type=pa.int64()),
+                    pa.array(dsts, type=pa.int64()),
+                    pa.array(langs, type=pa.string()),
+                ],
+                ["src_id", "dst_id", "lang"],
+            )
+
+    return keyed.mapInArrow(fn, schema="src_id long, dst_id long, lang string")
+
+
+def link_stats(edges: DataFrame) -> DataFrame:
+    """Per-lang link-graph audit: edge count, distinct targets, and an
+    order-independent integer checksum over (src, dst) pairs."""
+    chk = (F.col("src_id") * 1009 + F.col("dst_id") * 31) % 999983
+    return edges.groupBy("lang").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("dst_id").alias("n_dst"),
+        F.sum(chk).alias("checksum"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Exact integer PageRank: scores start at PR_SCALE; each
+    iteration every edge carries ``(85 * s) div (100 * outdeg)`` from
+    src to dst and every node restarts from PR_BASE. Truncating int64
+    division keeps every intermediate exact, so the distributed sum is
+    independent of partitioning/order — bit-reproducible at any
+    cluster size and against a sequential oracle.
+
+    nodes: one-column (doc_id) frame enumerating the vertex set
+    (dangling in-link-free nodes still score PR_BASE).
+    Plan: outdeg once, then per iteration one src-keyed hash join +
+    one dst-keyed partial+final aggregation."""
+    deg = edges.groupBy("src_id").agg(F.count("*").alias("outdeg"))
+    e = edges.select("src_id", "dst_id").join(deg, "src_id")
+    scores = nodes.select(
+        F.col("doc_id"), F.lit(PR_SCALE).cast("long").alias("s")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(scores, e.src_id == scores.doc_id)
+            .select(
+                F.col("dst_id"),
+                F.expr(
+                    f"({DAMP_NUM} * s) div ({DAMP_DEN} * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("dst_id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        scores = (
+            nodes.select("doc_id")
+            .join(contrib, nodes.doc_id == contrib.dst_id, "left")
+            .select(
+                F.col("doc_id"),
+                (F.lit(PR_BASE) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("long")
+                .alias("s"),
+            )
+        )
+    return scores

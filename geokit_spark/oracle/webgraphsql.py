@@ -1,0 +1,182 @@
+"""DuckDB oracle SQL for the web-graph / url workload
+(sources/pages.pages_multicrawl, pages_with_links;
+operators/webgraph; functions/url).
+
+These oracles are INDEPENDENT closed forms, not expression mirrors:
+the builders place every url variant / out-link by an arithmetic rule
+on doc_id, so the oracle derives the expected answer straight from
+``documents`` — revision counts from divisibility, canonical/surt
+cardinalities from which cosmetic variants collapse, link targets
+from the (doc_id * P[j] + j) % n formula — while the Spark side EARNS
+the same numbers by actually building the strings/bytes, parsing them
+back, canonicalizing, and (for PageRank) iterating distributed joins.
+Any defect in the builder, the byte parser, the canonicalizer, or the
+join/agg plan shows up as a value-hash mismatch.
+
+Parity notes: all compared values are int64 (counts, epoch sums,
+truncating-division PageRank scores) — order-independent under
+partial aggregation on both engines. DuckDB ``//`` and Spark ``div``
+are both truncating integer division (identical on the non-negative
+operands used here).
+"""
+
+from __future__ import annotations
+
+from ..operators.webgraph import DAMP_DEN, DAMP_NUM, PR_BASE, PR_SCALE
+from ..sources.pages import CRAWL_STRIDE, LINK_MULTS, WARC_EPOCH
+
+# per-doc revision arithmetic: crawl c present iff c=0 or doc_id%(c+1)=0
+_REVS = (
+    "1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"
+)
+_KEPT_REV = (
+    "CASE WHEN doc_id % 3 = 0 THEN 2"
+    " WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"
+)
+
+
+def url_canonical_sql() -> str:
+    """Cardinality collapse per lang: every crawl row has a distinct
+    raw url; canonicalization merges the case/port/fragment variant
+    (crawl 1) into the base; the SURT key merges all three (scheme +
+    www dropped). So n_raw = revisions, n_canon = 1 + [doc%3=0],
+    n_surt = 1 per doc."""
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+    {_REVS} AS revs,
+    1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS canon
+  FROM documents
+)
+SELECT lang,
+  CAST(SUM(revs) AS BIGINT) AS n_rows,
+  CAST(SUM(revs) AS BIGINT) AS n_raw,
+  CAST(SUM(canon) AS BIGINT) AS n_canon,
+  CAST(COUNT(*) AS BIGINT) AS n_surt
+FROM per_doc GROUP BY lang
+"""
+
+
+def pages_latest_sql() -> str:
+    """Latest-revision-wins dedup on the SURT key: the kept revision
+    is the highest crawl index present (epochs stride by
+    CRAWL_STRIDE, so max epoch <=> max crawl)."""
+    return f"""
+WITH per_doc AS (
+  SELECT lang, doc_id,
+    {_REVS} AS revs,
+    {_KEPT_REV} AS kept_rev
+  FROM documents
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(SUM(revs) AS BIGINT) AS n_revisions,
+  CAST(SUM({WARC_EPOCH} + doc_id + kept_rev * {CRAWL_STRIDE}) AS BIGINT)
+    AS sum_kept_epoch,
+  CAST(SUM(kept_rev) AS BIGINT) AS sum_kept_rev
+FROM per_doc GROUP BY lang
+"""
+
+
+def host_domains_sql() -> str:
+    """Registrable-domain rollup over every crawl row. The domain is
+    source || suffix(doc_id%3) — ``www.`` (crawl 2) must be folded in
+    by the Spark-side registrable_domain. html bytes re-derive the
+    template length (pagesql parity) + 8 bytes per ' (rev c)'
+    suffix on each non-base revision."""
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+    )
+    # keep in sync with sources/pages._PRE/_MID1/_MID2/_POST
+    base_len = (
+        f"strlen('<!doctype html><html><head><title>' || source || ' #' ||"
+        f" CAST(doc_id AS VARCHAR) || '</title></head><body><h1>' || source ||"
+        f" '</h1><p>' || {esc} ||"
+        f" '</p><footer>crawl</footer></body></html>')"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT
+    source || CASE (doc_id % 9) // 3
+      WHEN 0 THEN '.example' WHEN 1 THEN '.co.uk' ELSE '.net' END AS domain,
+    lang, doc_id,
+    {_REVS} AS revs,
+    {base_len} AS base_len
+  FROM documents
+)
+SELECT domain,
+  CAST(SUM(revs) AS BIGINT) AS n_pages,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(SUM(revs * base_len + 8 * (revs - 1)) AS BIGINT) AS html_bytes
+FROM per_doc GROUP BY domain
+"""
+
+
+def _edges_cte() -> str:
+    mult_case = " ".join(
+        f"WHEN {j} THEN {m}" for j, m in enumerate(LINK_MULTS)
+    )
+    return f"""
+n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (
+  SELECT d.doc_id AS src_id,
+    (d.doc_id * CASE j {mult_case} ELSE 0 END + d.doc_id // 7 + j)
+      % (SELECT c FROM n) AS dst_id,
+    d.lang, d.source
+  FROM documents d CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)
+  WHERE j <= d.doc_id % 4
+)"""
+
+
+def page_links_sql() -> str:
+    """Per-lang link-graph audit against the formula-regenerated edge
+    set (the Spark side parses the SAME edges out of the html
+    bytes)."""
+    return f"""
+WITH {_edges_cte()}
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_edges,
+  CAST(COUNT(DISTINCT dst_id) AS BIGINT) AS n_dst,
+  CAST(SUM((src_id * 1009 + dst_id * 31) % 999983) AS BIGINT) AS checksum
+FROM edges GROUP BY lang
+"""
+
+
+def pagerank_sql(iters: int = 3) -> str:
+    """Exact integer PageRank, chained one-CTE-per-iteration: every
+    value is int64 with truncating division, so the sequential DuckDB
+    evaluation and the distributed Spark join/agg loop must agree
+    bit-for-bit."""
+    cte = [_edges_cte().strip()]
+    cte.append(
+        "deg AS (SELECT src_id, COUNT(*) AS outdeg FROM edges GROUP BY src_id)"
+    )
+    cte.append(
+        f"it0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS s"
+        " FROM documents)"
+    )
+    for t in range(1, iters + 1):
+        cte.append(f"""
+it{t} AS (
+  SELECT d.doc_id,
+    CAST({PR_BASE} + COALESCE(SUM(
+      ({DAMP_NUM} * p.s) // ({DAMP_DEN} * g.outdeg)), 0) AS BIGINT) AS s
+  FROM documents d
+  LEFT JOIN edges e ON e.dst_id = d.doc_id
+  LEFT JOIN deg g ON g.src_id = e.src_id
+  LEFT JOIN it{t - 1} p ON p.doc_id = e.src_id
+  GROUP BY d.doc_id
+)""")
+    return f"""
+WITH {",".join(cte)}
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(f.s) AS BIGINT) AS score_sum,
+  CAST(MIN(f.s) AS BIGINT) AS score_min,
+  CAST(MAX(f.s) AS BIGINT) AS score_max
+FROM documents d JOIN it{iters} f ON f.doc_id = d.doc_id
+GROUP BY d.source
+"""

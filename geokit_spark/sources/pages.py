@@ -91,6 +91,142 @@ def url_doc_id(col=None):
     return F.element_at(F.split(col, "/"), -1).cast("long")
 
 
+# host0 = source || sfx((doc_id%9) div 3) — the suffix index cycles
+# 0,0,0,1,1,1,2,2,2 so it is NOT correlated with the doc_id%2 / %3
+# crawl-inclusion rules (every suffix sees every revision pattern,
+# including the www. variant)
+_SUFFIXES = (".example", ".co.uk", ".net")
+
+
+def _host0():
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _SUFFIXES]),
+        (F.expr("(doc_id % 9) div 3") + 1).cast("int"),
+    )
+    return F.concat(F.col("source"), sfx)
+
+
+def _html_expr(text_col):
+    """The pages_from_docs html template over an arbitrary text column
+    (kept in sync with pages_from_docs — the oracle mirrors both)."""
+    return F.concat(
+        F.lit(_PRE),
+        F.col("source"),
+        F.lit(" #"),
+        F.col("doc_id").cast("string"),
+        F.lit(_MID1),
+        F.col("source"),
+        F.lit(_MID2),
+        _escape_expr(text_col),
+        F.lit(_POST),
+    )
+
+
+# per-crawl epoch stride: revisions of one url are 10^7 s apart, so
+# (epoch - WARC_EPOCH - doc_id) div STRIDE recovers the crawl index
+CRAWL_STRIDE = 10_000_000
+
+
+def pages_multicrawl(docs: DataFrame) -> DataFrame:
+    """Three deterministic crawls of the corpus in the input_hint
+    shape — the revisit workload url dedup needs. Crawl c covers doc
+    iff c == 0 or doc_id % (c+1) == 0; revisions carry a ' (rev c)'
+    text suffix and COSMETICALLY different urls:
+
+      c=0  https://<host>/p/<id>[?b=2&a=1]            (base)
+      c=1  HTTPS://<HOST>:443/p/<id>[?a=1&b=2]#top    (case/port/frag)
+      c=2  http://www.<host>:80/p/<id>[?b=2&a=1]      (scheme/www)
+
+    so canonical_url collapses c1 into c0 (scheme+host case, default
+    port, fragment, query order) while surt_key collapses ALL three
+    (scheme + www dropped). Hosts rotate real suffix shapes
+    (.example / .co.uk / .net) to exercise registrable-domain rollup.
+    One generate + filter, all whole-stage codegen, no shuffle."""
+    qbase = F.when(F.col("doc_id") % 5 == 0, F.lit("?b=2&a=1")).otherwise(F.lit(""))
+    qsorted = F.when(F.col("doc_id") % 5 == 0, F.lit("?a=1&b=2")).otherwise(F.lit(""))
+    host = _host0()
+    pid = F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+    c = F.col("crawl")
+    url = (
+        F.when(c == 0, F.concat(F.lit("https://"), host, pid, qbase))
+        .when(
+            c == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(host), F.lit(":443"), pid, qsorted,
+                F.lit("#top"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://www."), host, F.lit(":80"), pid, qbase)
+        )
+    )
+    text_c = F.when(c == 0, F.col("text")).otherwise(
+        F.concat(F.col("text"), F.lit(" (rev "), c.cast("string"), F.lit(")"))
+    )
+    return (
+        docs.select(
+            "doc_id", "text", "lang", "source",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("crawl"),
+        )
+        .filter((c == 0) | (F.col("doc_id") % (c + 1) == 0))
+        .select(
+            url.alias("url"),
+            F.timestamp_seconds(
+                F.lit(WARC_EPOCH) + F.col("doc_id") + c * CRAWL_STRIDE
+            ).alias("warc_ts"),
+            F.encode(_html_expr(text_c), "UTF-8").alias("html"),
+            text_c.alias("text"),
+            F.col("lang"),
+        )
+    )
+
+
+# out-link multipliers: outdeg(d) = 1 + d%4 targets (d*P[j] + j) % n
+LINK_MULTS = (7, 13, 31, 97)
+
+
+def pages_with_links(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Single-crawl page table whose html carries a deterministic
+    ``<nav>`` of out-links — the web-graph workload (link extraction,
+    PageRank). Page d links to (d * P[j] + d div 7 + j) % n_docs for
+    j < 1 + d%4, P = (7, 13, 31, 97); the ``d div 7`` term makes the
+    map non-affine mod small residues, so in-degrees (and PageRank
+    scores) genuinely vary across nodes instead of collapsing into
+    residue-class constants. Hrefs are site-relative ``/p/<id>``
+    anchors, outside the ``<p>`` block so the main-text extraction
+    contract is untouched."""
+    mults = ",".join(f"{m}L" for m in LINK_MULTS)
+    nav = F.expr(
+        "array_join(transform(sequence(0, cast(doc_id % 4 as int)), j -> "
+        f"concat('<a href=\"/p/', cast((doc_id * element_at(array({mults}), "
+        f"j + 1) + doc_id div 7 + j) % {int(n_docs)}L as string), "
+        "'\"></a>')), '')"
+    )
+    html = F.concat(
+        F.lit(_PRE),
+        F.col("source"),
+        F.lit(" #"),
+        F.col("doc_id").cast("string"),
+        F.lit(_MID1),
+        F.col("source"),
+        F.lit(_MID2),
+        _escape_expr(F.col("text")),
+        F.lit("</p><nav>"),
+        nav,
+        F.lit("</nav><footer>crawl</footer></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"), _host0(), F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    return docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(WARC_EPOCH) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 # --------------------------------------------------------------------------
 # byte-level main-content extraction (the decode operator)
 

@@ -1,0 +1,137 @@
+"""URL canonicalization, link extraction, and integer PageRank.
+
+Covers the edge cases the oracle rows can't reach: messy/degenerate
+urls, malformed html, partitioning-invariance of the integer
+PageRank, and the no-shuffle plan shape of the narrow passes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geokit_spark.functions.url import (
+    canonical_url,
+    registrable_domain,
+    surt_key,
+    url_path_id,
+)
+from geokit_spark.operators.webgraph import (
+    PR_BASE,
+    PR_SCALE,
+    _links_from_html,
+    extract_links,
+    pagerank,
+)
+from geokit_spark.sources.pages import pages_with_links
+
+
+def _eval_url(spark, urls, col_fn):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r[0] for r in df.select(col_fn(F.col("url"))).collect()]
+
+
+CANON_CASES = [
+    # (raw, canonical, surt)
+    (
+        "HTTPS://WWW.Example.COM:443/a/b?z=1&a=2#frag",
+        "https://www.example.com/a/b?a=2&z=1",
+        "com,example)/a/b?a=2&z=1",
+    ),
+    (
+        "http://example.com:8080/x",
+        "http://example.com:8080/x",
+        "com,example)/x",
+    ),
+    ("https://example.com/x", "https://example.com/x", "com,example)/x"),
+    # no scheme, no path, no query
+    ("example.com", "://example.com", "com,example)"),
+    # port kept when non-default for the scheme
+    ("http://h.net:443/p", "http://h.net:443/p", "net,h)/p"),
+    # empty query after '?' normalizes away the '?'
+    ("https://h.net/p?", "https://h.net/p", "net,h)/p"),
+]
+
+
+def test_canonical_and_surt(spark):
+    raws = [c[0] for c in CANON_CASES]
+    got_c = _eval_url(spark, raws, canonical_url)
+    got_s = _eval_url(spark, raws, surt_key)
+    for (raw, want_c, want_s), gc, gs in zip(CANON_CASES, got_c, got_s):
+        assert gc == want_c, raw
+        assert gs == want_s, raw
+
+
+DOMAIN_CASES = [
+    ("https://www.shop.example.co.uk/x", "example.co.uk"),
+    ("https://a.b.c.example.com/x", "example.com"),
+    ("https://example.net/x", "example.net"),
+    ("https://localhost/x", "localhost"),
+    ("https://www.gov.uk/x", "gov.uk"),
+]
+
+
+def test_registrable_domain(spark):
+    got = _eval_url(spark, [c[0] for c in DOMAIN_CASES], registrable_domain)
+    for (raw, want), g in zip(DOMAIN_CASES, got):
+        assert g == want, raw
+
+
+def test_url_path_id_query_safe(spark):
+    urls = [
+        "https://h.net/p/42?b=2&a=1",
+        "https://h.net/p/7#frag",
+        "HTTP://H.NET:80/p/0",
+    ]
+    assert _eval_url(spark, urls, url_path_id) == [42, 7, 0]
+
+
+def test_links_from_html_malformed():
+    assert _links_from_html(b'<a href="/p/3"></a><a href="/p/9">') == [3, 9]
+    # non-numeric, empty, truncated-quote targets are skipped
+    assert _links_from_html(b'<a href="/about"></a>') == []
+    assert _links_from_html(b'<a href="">x</a><a href="/p/5') == []
+    assert _links_from_html(b"") == []
+    # absolute url with numeric tail parses too
+    assert _links_from_html(b'<a href="https://h.net/p/12">') == [12]
+
+
+def test_extract_links_no_shuffle(spark, docs):
+    pages = pages_with_links(docs, docs.count())
+    plan = (
+        extract_links(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def _py_pagerank(edges, nodes, iters=3):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    scores = {v: PR_SCALE for v in nodes}
+    for _ in range(iters):
+        nxt = {v: PR_BASE for v in nodes}
+        for s, d in edges:
+            nxt[d] += (85 * scores[s]) // (100 * outdeg[s])
+        scores = nxt
+    return scores
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_pagerank_matches_sequential(spark, parts):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 0), (4, 0)]
+    nodes = list(range(5))  # node 3 is fully disconnected
+    e = spark.createDataFrame(edges, ["src_id", "dst_id"]).repartition(parts)
+    n = spark.createDataFrame([(v,) for v in nodes], ["doc_id"])
+    got = {
+        r["doc_id"]: r["s"] for r in pagerank(e, n, iters=3).collect()
+    }
+    want = _py_pagerank(edges, nodes)
+    assert got == want
+    assert got[3] == PR_BASE  # disconnected node: restart mass only
+
+
+def test_pagerank_multiedge_self_loop(spark):
+    edges = [(0, 0), (0, 1), (1, 0)]
+    e = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    n = spark.createDataFrame([(0,), (1,)], ["doc_id"])
+    got = {r["doc_id"]: r["s"] for r in pagerank(e, n, iters=2).collect()}
+    assert got == _py_pagerank(edges, [0, 1], iters=2)
