@@ -120,8 +120,19 @@ def pagerank(
     (dangling in-link-free nodes still score PR_BASE).
     Plan: outdeg once, then per iteration one src-keyed hash join +
     one dst-keyed partial+final aggregation."""
+    from pyspark import StorageLevel
+
     deg = edges.groupBy("src_id").agg(F.count("*").alias("outdeg"))
-    e = edges.select("src_id", "dst_id").join(deg, "src_id")
+    # persist the degree-annotated edge set: every iteration's join
+    # subtree reuses the cached partitions instead of re-running the
+    # upstream extraction (measured: 3 Arrow re-extractions without
+    # this). MEMORY_AND_DISK — at cluster scale the edge set is the
+    # big operand and must spill, not OOM.
+    e = (
+        edges.select("src_id", "dst_id")
+        .join(deg, "src_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     scores = nodes.select(
         F.col("doc_id"), F.lit(PR_SCALE).cast("long").alias("s")
     )

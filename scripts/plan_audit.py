@@ -25,6 +25,8 @@ NAMES = [
     # round 5
     "pip_zones_holes", "ann_topk_bucketed", "pages_extract", "pages_pip",
     "gopher_repetition", "quality_filter", "vocab_topk", "span_dedup",
+    "url_canonical", "pages_latest", "host_domains", "page_links",
+    "pagerank",
 ]
 
 
