@@ -1494,6 +1494,48 @@ def q_host_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo x web fusion: every crawl row is geocoded (url -> doc_id ->
+    deterministic lon/lat) and binned to the analysis grid; per
+    registrable domain the dominant cell is selected with a
+    deterministic tie-break (count desc, cell asc). Two hash
+    aggregations + one tiny post-agg window — the window sorts
+    per-domain CELL lists (<= cells-per-domain rows), never the page
+    rows, so the shape survives 10^12 pages."""
+    from geokit_spark.functions.geo import grid_cell_id, with_geocode
+    from geokit_spark.functions.url import registrable_domain, url_path_id
+    from geokit_spark.sources.pages import pages_multicrawl
+    from pyspark.sql import Window
+
+    pages = pages_multicrawl(_docs(spark, sf_dir))
+    keyed = with_geocode(
+        pages.select(
+            registrable_domain(F.col("url")).alias("domain"),
+            url_path_id(F.col("url")).alias("doc_id"),
+        )
+    )
+    cells = keyed.select(
+        "domain", grid_cell_id(F.col("lon"), F.col("lat")).alias("cell")
+    )
+    per_cell = cells.groupBy("domain", "cell").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("domain").orderBy(
+        F.col("cnt").desc(), F.col("cell").asc()
+    )
+    top = (
+        per_cell.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "domain",
+            F.col("cell").alias("top_cell"),
+            F.col("cnt").alias("top_cell_n"),
+        )
+    )
+    stats = per_cell.groupBy("domain").agg(
+        F.sum("cnt").alias("n_pages"), F.count("*").alias("n_cells")
+    )
+    return stats.join(top, "domain")
+
+
 def q_page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-link extraction audit: the html of every page carries a
     deterministic <nav> of /p/<id> anchors; the byte-level Arrow
@@ -1566,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "pages_latest": q_pages_latest,
         "host_domains": q_host_domains,
+        "host_locality": q_host_locality,
         "page_links": q_page_links,
         "pagerank": q_pagerank,
         "pages_extract": q_pages_extract,
@@ -3410,6 +3453,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _wg.url_canonical_sql(),
         "pages_latest": _wg.pages_latest_sql(),
         "host_domains": _wg.host_domains_sql(),
+        "host_locality": _wg.host_locality_sql(
+            sqlgen.geocode_cte(), sqlgen.grid_cell_exprs("g.lon", "g.lat")
+        ),
         "page_links": _wg.page_links_sql(),
         "pagerank": _wg.pagerank_sql(iters=3),
         "gopher_repetition": _o_gopher_repetition(),

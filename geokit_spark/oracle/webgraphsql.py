@@ -115,6 +115,52 @@ FROM per_doc GROUP BY domain
 """
 
 
+def host_locality_sql(geocode_cte: str, grid_exprs) -> str:
+    """Geo x web fusion: dominant analysis-grid cell per registrable
+    domain over all crawl rows (deterministic tie-break: higher count,
+    then lower cell id). geocode_cte/grid_exprs come from
+    oracle/sqlgen so the geocoder arithmetic stays single-sourced."""
+    gx, gy = grid_exprs
+    from ..constants import GRID_N
+
+    return f"""
+WITH {geocode_cte},
+per_doc AS (
+  SELECT
+    source || CASE (doc_id % 9) // 3
+      WHEN 0 THEN '.example' WHEN 1 THEN '.co.uk' ELSE '.net' END AS domain,
+    doc_id,
+    {_REVS} AS revs
+  FROM documents
+),
+cells AS (
+  SELECT p.domain,
+    CAST({gx} AS BIGINT) * {GRID_N} + CAST({gy} AS BIGINT) AS cell,
+    p.revs
+  FROM per_doc p JOIN geo g USING (doc_id)
+),
+per_cell AS (
+  SELECT domain, cell, CAST(SUM(revs) AS BIGINT) AS cnt
+  FROM cells GROUP BY domain, cell
+),
+ranked AS (
+  SELECT domain, cell, cnt,
+    ROW_NUMBER() OVER (
+      PARTITION BY domain ORDER BY cnt DESC, cell ASC) AS rn
+  FROM per_cell
+)
+SELECT s.domain,
+  CAST(s.n_pages AS BIGINT) AS n_pages,
+  CAST(s.n_cells AS BIGINT) AS n_cells,
+  r.cell AS top_cell,
+  r.cnt AS top_cell_n
+FROM (
+  SELECT domain, SUM(cnt) AS n_pages, COUNT(*) AS n_cells
+  FROM per_cell GROUP BY domain
+) s JOIN ranked r ON r.domain = s.domain AND r.rn = 1
+"""
+
+
 def _edges_cte() -> str:
     mult_case = " ".join(
         f"WHEN {j} THEN {m}" for j, m in enumerate(LINK_MULTS)
