@@ -1494,6 +1494,53 @@ def q_host_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table protocol (the Iceberg-shaped source):
+    three append commits (doc_id % 3 slices, each committed TWICE —
+    the retry must be an idempotent no-op), then per version a
+    time-travel read and an incremental (append-diff) read. The
+    oracle derives every count/sum from divisibility; the Spark side
+    earns them through the real manifest protocol: atomic-rename
+    commits, pinned-manifest reads, file-level diffs."""
+    import tempfile
+
+    from geokit_spark.sources.snapshots import SnapshotTable
+
+    docs = _docs(spark, sf_dir)
+    # tmp root is per-invocation (results are path-independent); the
+    # driver collects lazily, so the dir must outlive this function
+    root = tempfile.mkdtemp(prefix="geokit_snap_")
+    t = SnapshotTable(root)
+    for c in range(3):
+        sl = docs.filter(F.col("doc_id") % 3 == c)
+        v = t.commit_append(sl, commit_key=f"slice-{c}", logical_ts=c)
+        retry = t.commit_append(sl, commit_key=f"slice-{c}", logical_ts=c)
+        assert retry == v == c + 1, "idempotent retry must not advance"
+    frames = []
+    for v in (1, 2, 3):
+        full = t.read(spark, v).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        inc = t.read_incremental(spark, v - 1, v).agg(
+            F.count("*").alias("inc_rows")
+        )
+        frames.append(
+            full.crossJoin(inc).select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "sum_doc_id",
+                "n_langs",
+                "inc_rows",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def q_host_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo x web fusion: every crawl row is geocoded (url -> doc_id ->
     deterministic lon/lat) and binned to the analysis grid; per
@@ -1605,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "snapshot_reads": q_snapshot_reads,
         "url_canonical": q_url_canonical,
         "pages_latest": q_pages_latest,
         "host_domains": q_host_domains,
@@ -3450,6 +3498,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "snapshot_reads": _wg.snapshot_reads_sql(),
         "url_canonical": _wg.url_canonical_sql(),
         "pages_latest": _wg.pages_latest_sql(),
         "host_domains": _wg.host_domains_sql(),

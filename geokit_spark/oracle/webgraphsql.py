@@ -115,6 +115,25 @@ FROM per_doc GROUP BY domain
 """
 
 
+def snapshot_reads_sql() -> str:
+    """Closed form for the snapshot protocol row: version v holds the
+    doc_id % 3 < v slices; the incremental read between v-1 and v is
+    exactly the % 3 = v-1 slice."""
+    return """
+SELECT version,
+  CAST(SUM(CASE WHEN doc_id % 3 < version THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rows,
+  CAST(SUM(CASE WHEN doc_id % 3 < version THEN doc_id ELSE 0 END) AS BIGINT)
+    AS sum_doc_id,
+  CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 < version THEN lang END)
+    AS BIGINT) AS n_langs,
+  CAST(SUM(CASE WHEN doc_id % 3 = version - 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS inc_rows
+FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(version)
+GROUP BY version
+"""
+
+
 def host_locality_sql(geocode_cte: str, grid_exprs) -> str:
     """Geo x web fusion: dominant analysis-grid cell per registrable
     domain over all crawl rows (deterministic tie-break: higher count,
