@@ -54,6 +54,11 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     reps = int(os.environ.get("GEOKIT_BENCH_REPS", "2"))
     use_cache = os.environ.get("GEOKIT_BENCH_CACHE", "0") != "0"
     light_mult = int(os.environ.get("GEOKIT_LIGHT_MULT", "4"))
+    # optional comma-separated stage subset (default: all) — lets the
+    # scaling runner / a reviewer re-measure one stage without paying
+    # for the suite
+    only = os.environ.get("GEOKIT_BENCH_STAGES", "")
+    only_set = {s.strip() for s in only.split(",") if s.strip()} or None
     parts = max(2 * cpus, 16)
 
     def make_pages(n):
@@ -75,6 +80,8 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     results = {}
 
     def timed(name, fn, rows):
+        if only_set is not None and name not in only_set:
+            return
         fn()  # warm-up: python worker pool, broadcasts, code paths —
         # long-running executors amortize these; steady-state is the
         # cluster-honest number
@@ -241,6 +248,42 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         ).count(),
         n_large,
     )
+
+    # iterative web-graph stage: exact integer PageRank, 3 iterations
+    # over the same link formula the page generator burns into html
+    # (edges synthesized JVM-side here — the byte-level link parser is
+    # measured separately as html_extract; this stage isolates the
+    # join/agg fixpoint machinery, ~2.5 edges/node). rows = node
+    # count; each iteration moves ~2.5n edge contributions through a
+    # src hash join + dst partial+final agg — the suite's only
+    # shuffle-iterating stage.
+    from geokit_spark.operators.webgraph import pagerank
+    from geokit_spark.sources.pages import LINK_MULTS
+
+    n_pr = max(n_docs // 8, 10_000)
+    pr_mults = ",".join(f"{m}L" for m in LINK_MULTS)
+    seq_pr = iter(range(100))  # rep-varying literal (result-reuse defense)
+
+    def run_pagerank():
+        off = next(seq_pr)
+        nodes = spark.range(off, n_pr + off, 1, parts).select(
+            (F.col("id") - off).alias("doc_id")
+        )
+        edges = nodes.select(
+            F.col("doc_id").alias("src_id"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(doc_id % 4 as int)), j -> "
+                    f"(doc_id * element_at(array({pr_mults}), j + 1) "
+                    f"+ doc_id div 7 + j) % {int(n_pr)}L)"
+                )
+            ).alias("dst_id"),
+        )
+        sc = pagerank(edges, nodes, iters=3)
+        sc.agg(F.sum("s")).collect()
+        sc._edge_cache.unpersist()
+
+    timed("pagerank", run_pagerank, n_pr)
     return results
 
 
@@ -339,9 +382,12 @@ def main():
         "tiling_cell_counts", "pip_region_semi_join", "pip_zones_join",
         "extract_values", "knn_ring", "minhash_signatures",
         "html_extract", "simhash_near", "ann_topk", "ann_topk_large",
+        "pagerank",
     ]
     docs_per_sec = {
-        k: int(results[k][1] / results[k][0]) for k in doc_stages
+        k: int(results[k][1] / results[k][0])
+        for k in doc_stages
+        if k in results
     }
     out = {
         "metric": "headline_suite_wall_sec",
@@ -352,9 +398,12 @@ def main():
         "bench_docs": n_docs,
         "cpus": cpus,
         "docs_per_sec": docs_per_sec,
-        "tiles_per_sec": int(results["zonal_stats"][1] / results["zonal_stats"][0]),
         "calibration": cal,
     }
+    if "zonal_stats" in results:
+        out["tiles_per_sec"] = int(
+            results["zonal_stats"][1] / results["zonal_stats"][0]
+        )
     spark.stop()
     print(json.dumps(out))
 

@@ -158,4 +158,8 @@ def pagerank(
                 .alias("s"),
             )
         )
+    # cleanup handle for long-lived sessions / repeated calls: the
+    # caller can unpersist the cached edge set once the scores are
+    # materialized (bench.py does; one-shot jobs can ignore it)
+    scores._edge_cache = e
     return scores

@@ -135,3 +135,18 @@ def test_pagerank_multiedge_self_loop(spark):
     n = spark.createDataFrame([(0,), (1,)], ["doc_id"])
     got = {r["doc_id"]: r["s"] for r in pagerank(e, n, iters=2).collect()}
     assert got == _py_pagerank(edges, [0, 1], iters=2)
+
+
+def test_pagerank_edge_cache_handle(spark):
+    """The returned frame carries the persisted edge set so callers
+    (bench.py, long-lived sessions) can release it after materializing;
+    unpersisting must not change already-collected results."""
+    edges = [(0, 1), (1, 0), (1, 2)]
+    e = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    n = spark.createDataFrame([(v,) for v in range(3)], ["doc_id"])
+    sc = pagerank(e, n, iters=2)
+    got = {r["doc_id"]: r["s"] for r in sc.collect()}
+    assert sc._edge_cache.storageLevel.useMemory
+    sc._edge_cache.unpersist()
+    assert not sc._edge_cache.storageLevel.useMemory
+    assert got == _py_pagerank(edges, list(range(3)), iters=2)
