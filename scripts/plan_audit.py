@@ -26,7 +26,7 @@ NAMES = [
     "pip_zones_holes", "ann_topk_bucketed", "pages_extract", "pages_pip",
     "gopher_repetition", "quality_filter", "vocab_topk", "span_dedup",
     "url_canonical", "pages_latest", "host_domains", "page_links",
-    "pagerank",
+    "pagerank", "host_locality", "snapshot_reads",
 ]
 
 
@@ -97,6 +97,15 @@ def main():
         "- `embed_topk`/`cosine_topk` intentionally contain the only",
         "  crossJoin in the repo and are capped at max_rows (exactness",
         "  baselines; ann_topk/ivf_topk are the verified scale paths).",
+        "- `pagerank`: the degree-annotated edge set is persisted",
+        "  (MEMORY_AND_DISK); its Arrow extraction subtree is echoed at",
+        "  every InMemoryTableScan reference in the plan text (6 refs),",
+        "  but executes ONCE — the per-iteration cost is one hash join +",
+        "  one partial+final aggregation.",
+        "- `snapshot_reads`: 9 shuffles = 3 versions x (full agg +",
+        "  countDistinct second phase + incremental-diff agg) — each a",
+        "  1-row scalar; the version x version scalar combine is a",
+        "  broadcast nest, not a cartesian over data.",
         "",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
