@@ -655,6 +655,66 @@ def q_geo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REVISIT_OFF = 1_000_000  # synthetic revisit copies: doc_id + OFF, same text
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP COMPOSITION #3 — the full corpus-build ingest over the
+    input_hint page table, end to end: the corpus is doubled with
+    deterministic revisit copies (same text under url /p/<id+1e6> —
+    the recrawl case), then byte-level main-text extraction from the
+    html BINARY -> doc ids parsed BACK from the url (template
+    roundtrip) -> C4/Gopher quality gate ON THE EXTRACTED TEXT ->
+    exact content dedup (min-doc_id canonical per md5 group, which
+    must collapse every revisit pair) -> geocode + zone spatial join
+    of the surviving canonicals -> per (zone_id, lang) rollup.
+    Every stage is the real operator running on the previous stage's
+    real output; the oracle re-derives the funnel in pure SQL from
+    each stage's separately-proven invariant (extracted == text,
+    url roundtrip, filter mirror, md5-group mirror, ray-cast
+    mirror), so any drift anywhere in the chain breaks the hash."""
+    from geokit_spark.functions.url import url_path_id
+    from geokit_spark.operators.quality import quality_filter
+    from geokit_spark.sources.pages import extract_text, pages_from_docs
+
+    docs = _docs(spark, sf_dir)
+    crawl = docs.select("doc_id", "text", "lang", "source").unionAll(
+        docs.select(
+            (F.col("doc_id") + F.lit(_REVISIT_OFF)).alias("doc_id"),
+            "text", "lang", "source",
+        )
+    )
+    pages = pages_from_docs(crawl)
+    # the funnel is JOIN-FREE until the zones join: lang rides the
+    # Arrow extractor batch, text rides the quality gate, and the
+    # canonical's attributes fold into the dedup aggregation — no
+    # stage ever joins back to an earlier frame (at corpus scale each
+    # such join-back is a full sort-merge exchange)
+    parsed = extract_text(pages, passthrough=("lang",)).select(
+        url_path_id(F.col("url")).alias("doc_id"),
+        F.decode(F.col("text_extracted"), "UTF-8").alias("text"),
+        "lang",
+    )
+    kept = (
+        quality_filter(parsed, passthrough=("text", "lang"))
+        .filter(F.col("keep"))
+        .select("doc_id", "text", "lang", "n_words")
+    )
+    canon = kept.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min("n_words").alias("n_words"),
+    ).select("doc_id", "lang", "n_words")
+    return (
+        spatial_join.docs_join_zones(spark, canon)
+        .groupBy("zone_id", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+        )
+    )
+
+
 def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference contours' DEFAULT polygonize=True mode
     (raster.py:2044-2100): polygon bands between the contour edges —
@@ -1652,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "corpus_pipeline": q_corpus_pipeline,
         "snapshot_reads": q_snapshot_reads,
         "url_canonical": q_url_canonical,
         "pages_latest": q_pages_latest,
@@ -3454,6 +3515,65 @@ FROM per_zone z LEFT JOIN dupz d USING (zone_id)
 """
 
 
+def _o_corpus_pipeline() -> str:
+    from geokit_spark.oracle.qualitysql import quality_filter_sql
+
+    cross = sqlgen.pip_crossings_expr("c.lon", "c.lat", "e.x1", "e.y1",
+                                      "e.x2", "e.y2")
+    return f"""
+WITH crawl AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + {_REVISIT_OFF}, text, lang, source FROM documents
+),
+urls AS (
+  SELECT 'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR)
+           AS url
+  FROM crawl
+),
+ids AS (
+  SELECT CAST(string_split(url, '/')[-1] AS BIGINT) AS doc_id FROM urls
+),
+qf AS ({quality_filter_sql(relation="crawl")}),
+kept AS (
+  SELECT c.doc_id, c.text, c.lang, q.n_words
+  FROM ids i
+  JOIN crawl c USING (doc_id)
+  JOIN qf q ON q.doc_id = c.doc_id
+  WHERE q.keep
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+         MIN(n_words) AS n_words
+  FROM kept GROUP BY md5(text)
+),
+{sqlgen.geocode_cte(source="canon")},
+zedges(zone_id, x1, y1, x2, y2) AS (VALUES {fixtures.sql_zone_edges_values()}),
+zbox(zone_id, bxmin, bymin, bxmax, bymax) AS (
+  SELECT zone_id, MIN(LEAST(x1, x2)), MIN(LEAST(y1, y2)),
+         MAX(GREATEST(x1, x2)), MAX(GREATEST(y1, y2))
+  FROM zedges GROUP BY zone_id
+),
+cand AS (
+  SELECT g.doc_id, g.lon, g.lat, z.zone_id
+  FROM geo g JOIN zbox z
+    ON g.lon >= z.bxmin AND g.lon <= z.bxmax
+   AND g.lat >= z.bymin AND g.lat <= z.bymax
+),
+hits AS (
+  SELECT c.doc_id, c.zone_id
+  FROM cand c JOIN zedges e USING (zone_id)
+  GROUP BY c.doc_id, c.zone_id, c.lon, c.lat
+  HAVING SUM({cross}) % 2 = 1
+)
+SELECT h.zone_id, c.lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(c.n_words) AS BIGINT) AS sum_words
+FROM hits h JOIN canon c USING (doc_id)
+GROUP BY h.zone_id, c.lang
+"""
+
+
 def _o_stream_dedup() -> str:
     return """
 SELECT text_md5, CAST(1 AS BIGINT) AS n_kept
@@ -3498,6 +3618,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "corpus_pipeline": _o_corpus_pipeline(),
         "snapshot_reads": _wg.snapshot_reads_sql(),
         "url_canonical": _wg.url_canonical_sql(),
         "pages_latest": _wg.pages_latest_sql(),

@@ -132,11 +132,16 @@ def gopher_repetition(docs: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFram
     return out.select(*cols)
 
 
-def quality_filter(docs: DataFrame) -> DataFrame:
+def quality_filter(
+    docs: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """C4/Gopher-style composite per-document quality gate — pure
     per-row JVM expressions (no shuffle): word-count bounds, mean
     word length bounds, stopword presence. Emits the decision AND the
     first failing rule so downstream stages can stratify rejects.
+    `passthrough` columns (e.g. the text itself) ride along so a
+    pipeline can filter-and-continue without a self-join back to the
+    input.
 
     mean_word_len = (chars - (n_words - 1)) / n_words — exact for the
     single-space tokenized corpus; expression tree mirrored in the
@@ -163,6 +168,7 @@ def quality_filter(docs: DataFrame) -> DataFrame:
         n_stop.cast("long").alias("n_stopwords"),
         reason.alias("reason"),
         (reason == F.lit("ok")).alias("keep"),
+        *passthrough,
     )
 
 

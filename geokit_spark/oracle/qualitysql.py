@@ -85,7 +85,7 @@ FROM documents d
 """
 
 
-def quality_filter_sql() -> str:
+def quality_filter_sql(relation: str = "documents") -> str:
     toks = tokens()
     lst = ",".join(f"'{w}'" for w in STOPWORDS)
     nw = f"len({toks})"
@@ -108,7 +108,7 @@ SELECT doc_id,
   CAST({nstop} AS BIGINT) AS n_stopwords,
   {reason} AS reason,
   ({reason}) = 'ok' AS keep
-FROM documents
+FROM {relation}
 """
 
 

@@ -311,12 +311,18 @@ def extract_main_text(b: bytes) -> bytes:
     return b"\n".join(out)
 
 
-def extract_text(pages: DataFrame) -> DataFrame:
-    """(url, text_extracted) for every page — ONE narrow mapInArrow
-    pass over (url, html); html bytes are read straight from the Arrow
-    binary buffers and never converted to Python strings until the
-    per-row scan. At cluster scale this pipelines with the parquet
-    scan: no exchange, no driver state."""
+def extract_text(
+    pages: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """(url, text_extracted[, *passthrough]) for every page — ONE
+    narrow mapInArrow pass over (url, html, *passthrough); html bytes
+    are read straight from the Arrow binary buffers and never
+    converted to Python strings until the per-row scan. At cluster
+    scale this pipelines with the parquet scan: no exchange, no
+    driver state. `passthrough` columns (e.g. lang) are echoed from
+    the same batch, so downstream stages never pay a join-back
+    against the page table to recover them."""
+    extra = list(passthrough)
 
     def fn(batches):
         import pyarrow as pa
@@ -330,12 +336,18 @@ def extract_text(pages: DataFrame) -> DataFrame:
                 for v in html
             ]
             yield pa.RecordBatch.from_arrays(
-                [batch.column(0), pa.array(texts, type=pa.binary())],
-                ["url", "text_extracted"],
+                [batch.column(0), pa.array(texts, type=pa.binary())]
+                + [batch.column(2 + i) for i in range(len(extra))],
+                ["url", "text_extracted"] + extra,
             )
 
-    return pages.select("url", "html").mapInArrow(
-        fn, schema="url string, text_extracted binary"
+    ddl = ", ".join(
+        f"{c} {pages.schema[c].dataType.simpleString()}" for c in extra
+    )
+    return pages.select("url", "html", *extra).mapInArrow(
+        fn,
+        schema="url string, text_extracted binary"
+        + (", " + ddl if ddl else ""),
     )
 
 

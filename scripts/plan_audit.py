@@ -26,7 +26,7 @@ NAMES = [
     "pip_zones_holes", "ann_topk_bucketed", "pages_extract", "pages_pip",
     "gopher_repetition", "quality_filter", "vocab_topk", "span_dedup",
     "url_canonical", "pages_latest", "host_domains", "page_links",
-    "pagerank", "host_locality", "snapshot_reads",
+    "pagerank", "host_locality", "snapshot_reads", "corpus_pipeline",
 ]
 
 
@@ -102,6 +102,12 @@ def main():
         "  every InMemoryTableScan reference in the plan text (6 refs),",
         "  but executes ONCE — the per-iteration cost is one hash join +",
         "  one partial+final aggregation.",
+        "- `corpus_pipeline` (extract -> quality -> dedup -> zones ->",
+        "  rollup) is JOIN-FREE until the broadcast zones join: lang",
+        "  rides the Arrow extractor batch, text rides the quality",
+        "  gate, canonical attrs fold into the dedup agg (min_by) —",
+        "  2 shuffles total (md5 group + final rollup), 0 sort-merge",
+        "  joins for a five-stage funnel.",
         "- `snapshot_reads`: 9 shuffles = 3 versions x (full agg +",
         "  countDistinct second phase + incremental-diff agg) — each a",
         "  1-row scalar; the version x version scalar combine is a",

@@ -119,3 +119,17 @@ def test_escape_roundtrips_special_chars(spark):
     )
     rep = P.extraction_report(P.pages_from_docs(tricky)).toPandas()
     assert int(rep.n_byte_exact.sum()) == 3
+
+
+def test_extract_text_passthrough(spark):
+    """Passthrough columns are echoed from the same Arrow batch —
+    same rows, correct per-row pairing, still shuffle-free."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = P.pages_from_docs(docs)
+    ext = P.extract_text(pages, passthrough=("lang", "warc_ts"))
+    assert ext.columns == ["url", "text_extracted", "lang", "warc_ts"]
+    got = {r.url: (r.lang, r.warc_ts) for r in ext.collect()}
+    want = {r.url: (r.lang, r.warc_ts) for r in pages.collect()}
+    assert got == want
+    plan = ext._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

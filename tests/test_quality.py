@@ -116,3 +116,14 @@ def test_span_dedup_full_drop(spark):
     for r in out.values():
         assert r.n_dropped == 5
         assert r.clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_quality_filter_passthrough(spark):
+    out = Q.quality_filter(
+        _docs(spark, ["the quick brown fox does jump over lazy dogs ten"]),
+        passthrough=("text", "lang"),
+    ).collect()[0]
+    assert out.text.startswith("the quick")
+    assert out.lang == "en"
+    # passthrough must not disturb the contract columns
+    assert out.n_words == 10 and isinstance(out.keep, bool)
