@@ -672,10 +672,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     real output; the oracle re-derives the funnel in pure SQL from
     each stage's separately-proven invariant (extracted == text,
     url roundtrip, filter mirror, md5-group mirror, ray-cast
-    mirror), so any drift anywhere in the chain breaks the hash."""
-    from geokit_spark.functions.url import url_path_id
-    from geokit_spark.operators.quality import quality_filter
-    from geokit_spark.sources.pages import extract_text, pages_from_docs
+    mirror), so any drift anywhere in the chain breaks the hash.
+    The funnel itself is operators/pipeline.corpus_funnel — the SAME
+    function the bench stage times, so the measured pipeline and the
+    verified pipeline are one code path."""
+    from geokit_spark.operators.pipeline import corpus_funnel
 
     docs = _docs(spark, sf_dir)
     crawl = docs.select("doc_id", "text", "lang", "source").unionAll(
@@ -684,35 +685,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text", "lang", "source",
         )
     )
-    pages = pages_from_docs(crawl)
-    # the funnel is JOIN-FREE until the zones join: lang rides the
-    # Arrow extractor batch, text rides the quality gate, and the
-    # canonical's attributes fold into the dedup aggregation — no
-    # stage ever joins back to an earlier frame (at corpus scale each
-    # such join-back is a full sort-merge exchange)
-    parsed = extract_text(pages, passthrough=("lang",)).select(
-        url_path_id(F.col("url")).alias("doc_id"),
-        F.decode(F.col("text_extracted"), "UTF-8").alias("text"),
-        "lang",
-    )
-    kept = (
-        quality_filter(parsed, passthrough=("text", "lang"))
-        .filter(F.col("keep"))
-        .select("doc_id", "text", "lang", "n_words")
-    )
-    canon = kept.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("lang", "doc_id").alias("lang"),
-        F.min("n_words").alias("n_words"),
-    ).select("doc_id", "lang", "n_words")
-    return (
-        spatial_join.docs_join_zones(spark, canon)
-        .groupBy("zone_id", "lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_words").cast("long").alias("sum_words"),
-        )
-    )
+    return corpus_funnel(spark, crawl)
 
 
 def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -284,6 +284,50 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         sc._edge_cache.unpersist()
 
     timed("pagerank", run_pagerank, n_pr)
+
+    # the FLAGSHIP end-to-end funnel (operators/pipeline.corpus_funnel
+    # — the same function the oracle-verified corpus_pipeline query
+    # runs): page build -> byte-level extract -> quality gate -> exact
+    # dedup over revisit copies -> zones join -> rollup. rows = page
+    # count (2x docs: every doc has one revisit copy the dedup stage
+    # must collapse). Texts are built to PASS the gate (stopword +
+    # 20 words, mean len 5.85) so every stage does real work.
+    from geokit_spark.operators.pipeline import corpus_funnel
+
+    n_cp = max(n_docs // 50, 10_000)
+    seq_cp = iter(range(100))
+
+    def run_corpus():
+        off = next(seq_cp)
+        base = spark.range(off, n_cp + off, 1, parts).select(
+            (F.col("id") - off).alias("doc_id"),
+            F.concat(
+                F.lit("the "),
+                F.array_join(
+                    F.expr(
+                        "transform(sequence(1, 19), j -> substring("
+                        "md5(concat(cast(id as string), '-', "
+                        "cast(j as string))), 1, 6))"
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(
+                F.lit("src"), (F.col("id") % 10).cast("string")
+            ).alias("source"),
+        )
+        crawl = base.unionAll(
+            base.select(
+                (F.col("doc_id") + n_cp).alias("doc_id"),
+                "text", "lang", "source",
+            )
+        )
+        corpus_funnel(spark, crawl).agg(
+            F.sum("n_docs"), F.sum("sum_words")
+        ).collect()
+
+    timed("corpus_pipeline", run_corpus, 2 * n_cp)
     return results
 
 
@@ -382,7 +426,7 @@ def main():
         "tiling_cell_counts", "pip_region_semi_join", "pip_zones_join",
         "extract_values", "knn_ring", "minhash_signatures",
         "html_extract", "simhash_near", "ann_topk", "ann_topk_large",
-        "pagerank",
+        "pagerank", "corpus_pipeline",
     ]
     docs_per_sec = {
         k: int(results[k][1] / results[k][0])
