@@ -688,6 +688,51 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_funnel(spark, crawl)
 
 
+def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus curation — the production resume shape: the
+    corpus arrives as three snapshot-table append commits (doc_id % 3
+    slices, idempotent manifests), and each version's NEWLY APPENDED
+    rows alone flow through the full corpus funnel
+    (operators/pipeline.corpus_funnel: extract -> quality -> dedup ->
+    zones -> rollup). Per version: total zone-joined canonical docs,
+    word mass, and distinct (zone, lang) cells — derived ONLY from the
+    incremental (append-diff) read, so a snapshot protocol defect
+    (overlapping diffs, lost rows) or any funnel drift breaks the
+    hash. At 100 TB this is the shape a daily crawl-ingest job runs:
+    process the diff, never the table."""
+    import tempfile
+
+    from geokit_spark.operators.pipeline import corpus_funnel
+    from geokit_spark.sources.snapshots import SnapshotTable
+
+    docs = _docs(spark, sf_dir)
+    # per-invocation tmp root; the driver collects lazily so the dir
+    # must outlive this function (same convention as q_snapshot_reads)
+    root = tempfile.mkdtemp(prefix="geokit_snapinc_")
+    t = SnapshotTable(root)
+    for c in range(3):
+        sl = docs.filter(F.col("doc_id") % 3 == c)
+        t.commit_append(sl, commit_key=f"slice-{c}", logical_ts=c)
+    frames = []
+    for v in (1, 2, 3):
+        inc = t.read_incremental(spark, v - 1, v).select(
+            "doc_id", "text", "lang", "source"
+        )
+        frames.append(
+            corpus_funnel(spark, inc)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_words").cast("long").alias("sum_words"),
+                F.count("*").cast("long").alias("n_zone_langs"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_docs", "sum_words", "n_zone_langs",
+            )
+        )
+    return frames[0].unionAll(frames[1]).unionAll(frames[2])
+
+
 def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference contours' DEFAULT polygonize=True mode
     (raster.py:2044-2100): polygon bands between the contour edges —
@@ -1686,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 -------------------------------------------------
         "corpus_pipeline": q_corpus_pipeline,
+        "corpus_incremental": q_corpus_incremental,
         "snapshot_reads": q_snapshot_reads,
         "url_canonical": q_url_canonical,
         "pages_latest": q_pages_latest,
@@ -3488,17 +3534,17 @@ FROM per_zone z LEFT JOIN dupz d USING (zone_id)
 """
 
 
-def _o_corpus_pipeline() -> str:
+def _corpus_funnel_ctes(crawl_body: str) -> str:
+    """The oracle mirror of operators/pipeline.corpus_funnel as a CTE
+    chain (crawl -> urls -> ids -> qf -> kept -> canon -> geo ->
+    zedges/zbox/cand -> hits), parameterized by the crawl relation
+    body so both the full-corpus and the per-snapshot-slice oracles
+    share one mirror."""
     from geokit_spark.oracle.qualitysql import quality_filter_sql
 
     cross = sqlgen.pip_crossings_expr("c.lon", "c.lat", "e.x1", "e.y1",
                                       "e.x2", "e.y2")
-    return f"""
-WITH crawl AS (
-  SELECT doc_id, text, lang, source FROM documents
-  UNION ALL
-  SELECT doc_id + {_REVISIT_OFF}, text, lang, source FROM documents
-),
+    return f"""crawl AS ({crawl_body}),
 urls AS (
   SELECT 'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR)
            AS url
@@ -3538,13 +3584,51 @@ hits AS (
   FROM cand c JOIN zedges e USING (zone_id)
   GROUP BY c.doc_id, c.zone_id, c.lon, c.lat
   HAVING SUM({cross}) % 2 = 1
-)
+)"""
+
+
+def _o_corpus_pipeline() -> str:
+    ctes = _corpus_funnel_ctes(
+        f"""
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + {_REVISIT_OFF}, text, lang, source FROM documents
+"""
+    )
+    return f"""
+WITH {ctes}
 SELECT h.zone_id, c.lang,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(c.n_words) AS BIGINT) AS sum_words
 FROM hits h JOIN canon c USING (doc_id)
 GROUP BY h.zone_id, c.lang
 """
+
+
+def _o_corpus_incremental() -> str:
+    branches = []
+    for v in (1, 2, 3):
+        ctes = _corpus_funnel_ctes(
+            f"SELECT doc_id, text, lang, source FROM documents "
+            f"WHERE doc_id % 3 = {v - 1}"
+        )
+        branches.append(
+            f"""SELECT * FROM (
+WITH {ctes},
+sub AS (
+  SELECT h.zone_id, c.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(c.n_words) AS BIGINT) AS sum_words
+  FROM hits h JOIN canon c USING (doc_id)
+  GROUP BY h.zone_id, c.lang
+)
+SELECT CAST({v} AS INTEGER) AS version,
+  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+  CAST(SUM(sum_words) AS BIGINT) AS sum_words,
+  CAST(COUNT(*) AS BIGINT) AS n_zone_langs
+FROM sub
+)"""
+        )
+    return "\nUNION ALL\n".join(branches)
 
 
 def _o_stream_dedup() -> str:
@@ -3592,6 +3676,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
         "corpus_pipeline": _o_corpus_pipeline(),
+        "corpus_incremental": _o_corpus_incremental(),
         "snapshot_reads": _wg.snapshot_reads_sql(),
         "url_canonical": _wg.url_canonical_sql(),
         "pages_latest": _wg.pages_latest_sql(),

@@ -27,6 +27,7 @@ NAMES = [
     "gopher_repetition", "quality_filter", "vocab_topk", "span_dedup",
     "url_canonical", "pages_latest", "host_domains", "page_links",
     "pagerank", "host_locality", "snapshot_reads", "corpus_pipeline",
+    "corpus_incremental",
 ]
 
 
@@ -108,6 +109,10 @@ def main():
         "  gate, canonical attrs fold into the dedup agg (min_by) —",
         "  2 shuffles total (md5 group + final rollup), 0 sort-merge",
         "  joins for a five-stage funnel.",
+        "- `corpus_incremental`: 9 shuffles = 3 snapshot versions x",
+        "  one per-slice funnel (2 shuffles + its total agg) — the",
+        "  per-diff cost is constant; a daily ingest pays one funnel,",
+        "  never a rescan of the table.",
         "- `snapshot_reads`: 9 shuffles = 3 versions x (full agg +",
         "  countDistinct second phase + incremental-diff agg) — each a",
         "  1-row scalar; the version x version scalar combine is a",
