@@ -688,6 +688,34 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_funnel(spark, crawl)
 
 
+def q_mirror_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror detection: every third doc also appears —
+    byte-identical html — under an unrelated mirror domain; the
+    operator must find exactly those clusters from the EXTRACTED
+    text (real byte parser) and count their registrable-domain
+    spread (real url parser). The oracle derives the clusters from
+    the generator's structure, so a defect in extraction, md5
+    grouping, or domain parsing (e.g. mirror folding into the
+    primary domain) breaks count, n_domains, or the canonical url."""
+    from geokit_spark.operators.dedup import mirror_clusters
+    from geokit_spark.sources.pages import pages_mirrored
+
+    return mirror_clusters(pages_mirrored(_docs(spark, sf_dir)))
+
+
+def _o_mirror_clusters() -> str:
+    return """
+SELECT md5(text) AS text_md5,
+  LEAST('https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR),
+        'https://' || source || '-mirror.org/p/' || CAST(doc_id AS VARCHAR)
+  ) AS canonical_url,
+  CAST(2 AS BIGINT) AS n_copies,
+  CAST(2 AS BIGINT) AS n_domains
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
 def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus curation — the production resume shape: the
     corpus arrives as three snapshot-table append commits (doc_id % 3
@@ -1732,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 -------------------------------------------------
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_incremental": q_corpus_incremental,
+        "mirror_clusters": q_mirror_clusters,
         "snapshot_reads": q_snapshot_reads,
         "url_canonical": q_url_canonical,
         "pages_latest": q_pages_latest,
@@ -3677,6 +3706,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_pip": _o_pages_pip(),
         "corpus_pipeline": _o_corpus_pipeline(),
         "corpus_incremental": _o_corpus_incremental(),
+        "mirror_clusters": _o_mirror_clusters(),
         "snapshot_reads": _wg.snapshot_reads_sql(),
         "url_canonical": _wg.url_canonical_sql(),
         "pages_latest": _wg.pages_latest_sql(),

@@ -674,3 +674,38 @@ def boilerplate_flags(
             ).alias("boiler_ratio"),
         )
     )
+
+
+def mirror_clusters(pages) -> "DataFrame":
+    """Cross-host MIRROR detection over the input_hint page table:
+    clusters of pages whose byte-level EXTRACTED main text is
+    identical under >= 2 urls, with the registrable-domain spread
+    that separates mirror farms (n_domains >= 2) from same-site
+    revisits (n_domains == 1). canonical_url = lexicographic min.
+
+    Scale shape: one narrow Arrow extract pass (pipelines with the
+    scan), the md5/domain per-row expressions all-JVM, then ONE
+    shuffle (the md5 group, map-side combinable) — content dedup over
+    a 100-TB crawl never compares texts pairwise, only 16-byte
+    digests. Reference parity anchor: the webtext analog of the
+    reference's duplicate-geometry filtering in vector workflows
+    (`/root/reference/geokit/core/vector.py:365-434` uniqueness
+    handling)."""
+    from ..functions.url import registrable_domain
+    from ..sources.pages import extract_text
+
+    per = extract_text(pages).select(
+        F.md5(F.col("text_extracted")).alias("text_md5"),
+        "url",
+        registrable_domain(F.col("url")).alias("domain"),
+    )
+    return (
+        per.groupBy("text_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("domain").cast("long").alias("n_domains"),
+            F.min("url").alias("canonical_url"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select("text_md5", "canonical_url", "n_copies", "n_domains")
+    )

@@ -181,6 +181,30 @@ def pages_multicrawl(docs: DataFrame) -> DataFrame:
     )
 
 
+def pages_mirrored(docs: DataFrame) -> DataFrame:
+    """input_hint pages where every doc appears at its primary host
+    and docs with ``doc_id % 3 == 0`` ALSO appear — byte-identical
+    html — under an unrelated mirror domain
+    (``<source>-mirror.org``): the cross-host mirror-farm workload
+    for operators.dedup.mirror_clusters. One union of two narrow
+    projections, no shuffle."""
+    base = pages_from_docs(docs)
+    murl = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("-mirror.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    mirrors = docs.filter(F.col("doc_id") % 3 == 0).select(
+        murl.alias("url"),
+        F.timestamp_seconds(
+            F.lit(WARC_EPOCH) + F.col("doc_id") + 2 * CRAWL_STRIDE
+        ).alias("warc_ts"),
+        F.encode(_html_expr(F.col("text")), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return base.unionAll(mirrors)
+
+
 # out-link multipliers: outdeg(d) = 1 + d%4 targets (d*P[j] + j) % n
 LINK_MULTS = (7, 13, 31, 97)
 

@@ -133,3 +133,28 @@ def test_extract_text_passthrough(spark):
     assert got == want
     plan = ext._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mirror_clusters_domains_vs_revisits(spark):
+    """n_domains separates a cross-host mirror (2 domains) from a
+    same-site revisit pair (1 domain); singletons are dropped."""
+    from geokit_spark.operators.dedup import mirror_clusters
+
+    rows = [
+        # cross-host mirror pair (same bytes, different domain)
+        ("https://a.example/p/1", b"<p>same</p>", "x"),
+        ("https://a-mirror.org/p/1", b"<p>same</p>", "x"),
+        # same-site revisit pair (same bytes, same domain, two urls)
+        ("https://b.example/p/2", b"<p>rev</p>", "x"),
+        ("https://b.example/p/2?v=2", b"<p>rev</p>", "x"),
+        # singleton
+        ("https://c.example/p/3", b"<p>solo</p>", "x"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string"
+    )
+    out = {r.canonical_url: r for r in mirror_clusters(pages).collect()}
+    assert set(out) == {"https://a-mirror.org/p/1", "https://b.example/p/2"}
+    assert out["https://a-mirror.org/p/1"].n_domains == 2
+    assert out["https://b.example/p/2"].n_domains == 1
+    assert all(r.n_copies == 2 for r in out.values())
