@@ -716,6 +716,28 @@ WHERE doc_id % 3 = 0
 """
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist curation over the multicrawl table: a
+    broadcast ANTI join on the REGISTRABLE domain parsed from each
+    url — the case/port variant (crawl 1) and the www./scheme variant
+    (crawl 2) must fold into the same domain as the base url, or the
+    kept-page counts drift from the oracle's per-doc revision
+    arithmetic. Blocklist: every .net domain + src0.example +
+    src1.co.uk."""
+    from geokit_spark.operators.webgraph import filter_blocked_domains
+    from geokit_spark.sources.pages import pages_multicrawl
+
+    bl = [f"src{i}.net" for i in range(20)] + [
+        "src0.example", "src1.co.uk",
+    ]
+    kept = filter_blocked_domains(
+        pages_multicrawl(_docs(spark, sf_dir)), bl
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+
+
 def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus curation — the production resume shape: the
     corpus arrives as three snapshot-table append commits (doc_id % 3
@@ -1761,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_incremental": q_corpus_incremental,
         "mirror_clusters": q_mirror_clusters,
+        "url_filter": q_url_filter,
         "snapshot_reads": q_snapshot_reads,
         "url_canonical": q_url_canonical,
         "pages_latest": q_pages_latest,
@@ -3707,6 +3730,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _o_corpus_pipeline(),
         "corpus_incremental": _o_corpus_incremental(),
         "mirror_clusters": _o_mirror_clusters(),
+        "url_filter": _wg.url_filter_sql(),
         "snapshot_reads": _wg.snapshot_reads_sql(),
         "url_canonical": _wg.url_canonical_sql(),
         "pages_latest": _wg.pages_latest_sql(),

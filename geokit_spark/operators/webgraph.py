@@ -163,3 +163,28 @@ def pagerank(
     # materialized (bench.py does; one-shot jobs can ignore it)
     scores._edge_cache = e
     return scores
+
+
+def filter_blocked_domains(
+    pages: DataFrame, blocklist: "list[str]"
+) -> DataFrame:
+    """URL-level curation: drop every page whose REGISTRABLE DOMAIN is
+    on the blocklist (the standard crawl hygiene stage — spam farms,
+    opt-outs, license-flagged hosts). The domain is parsed from the
+    url by the real parser (functions/url.registrable_domain — case,
+    port, and www. variants must fold), and the filter is a BROADCAST
+    ANTI join against the blocklist frame: at 100 TB the blocklist
+    (10^5-10^6 rows) broadcasts once and the page table never
+    shuffles. No boolean-column rescan, no collect."""
+    from ..functions.url import registrable_domain
+
+    spark = pages.sparkSession
+    bl = F.broadcast(
+        spark.createDataFrame(
+            [(d,) for d in sorted(set(blocklist))], "domain string"
+        )
+    )
+    keyed = pages.withColumn(
+        "domain", registrable_domain(F.col("url"))
+    )
+    return keyed.join(bl, "domain", "left_anti").drop("domain")

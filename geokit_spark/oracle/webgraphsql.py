@@ -36,6 +36,29 @@ _KEPT_REV = (
 )
 
 
+def url_filter_sql(blocked_net: bool = True) -> str:
+    """Blocklist anti-join mirror: kept pages per lang. The blocklist
+    is every '.net' domain plus src0.example and src1.co.uk; a doc's
+    host suffix class is (doc_id%9) div 3 and ALL its crawl revisions
+    (incl. the case/port and www. url variants) share the registrable
+    domain, so kept pages = SUM(revs) over unblocked docs — any
+    failure of the Spark-side parser to fold a variant into the same
+    domain shifts the count."""
+    return f"""
+WITH per_doc AS (
+  SELECT lang, source, (doc_id % 9) // 3 AS sfx,
+    {_REVS} AS revs
+  FROM documents
+)
+SELECT lang, CAST(SUM(revs) AS BIGINT) AS n_pages
+FROM per_doc
+WHERE NOT (sfx = 2
+           OR (source = 'src0' AND sfx = 0)
+           OR (source = 'src1' AND sfx = 1))
+GROUP BY lang
+"""
+
+
 def url_canonical_sql() -> str:
     """Cardinality collapse per lang: every crawl row has a distinct
     raw url; canonicalization merges the case/port/fragment variant

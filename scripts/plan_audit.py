@@ -27,7 +27,7 @@ NAMES = [
     "gopher_repetition", "quality_filter", "vocab_topk", "span_dedup",
     "url_canonical", "pages_latest", "host_domains", "page_links",
     "pagerank", "host_locality", "snapshot_reads", "corpus_pipeline",
-    "corpus_incremental", "mirror_clusters",
+    "corpus_incremental", "mirror_clusters", "url_filter",
 ]
 
 

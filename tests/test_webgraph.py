@@ -150,3 +150,22 @@ def test_pagerank_edge_cache_handle(spark):
     sc._edge_cache.unpersist()
     assert not sc._edge_cache.storageLevel.useMemory
     assert got == _py_pagerank(edges, list(range(3)), iters=2)
+
+
+def test_filter_blocked_domains_broadcast_anti(spark):
+    """Blocked domains vanish (across case/port/www url variants) and
+    the plan is a broadcast anti join — the page side never shuffles."""
+    from geokit_spark.operators.webgraph import filter_blocked_domains
+
+    rows = [
+        ("https://bad.example/p/1",),
+        ("HTTPS://BAD.EXAMPLE:443/p/2#f",),
+        ("http://www.bad.example:80/p/3",),
+        ("https://good.example/p/4",),
+    ]
+    pages = spark.createDataFrame(rows, "url string")
+    kept = filter_blocked_domains(pages, ["bad.example"])
+    assert [r.url for r in kept.collect()] == ["https://good.example/p/4"]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
