@@ -738,6 +738,66 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-diversity cap: keep the 5 earliest captures per
+    registrable domain over the multicrawl table. epoch_sum of the
+    kept rows pins the exact selection (the per-row epoch is unique
+    by construction), so an off-by-one in the rank, an unstable
+    order, or a domain-fold defect all break the hash."""
+    from geokit_spark.operators.webgraph import cap_per_domain
+    from geokit_spark.sources.pages import pages_multicrawl
+
+    kept = cap_per_domain(pages_multicrawl(_docs(spark, sf_dir)), k=5)
+    return kept.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(F.unix_timestamp("warc_ts")).cast("long").alias("epoch_sum"),
+    )
+
+
+def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier BFS from the doc_id%23 seed set over the
+    byte-parsed link graph: per-depth node count + doc_id sum after 4
+    frontier rounds. The Spark side EARNS the edge set by scanning
+    html bytes (extract_links) and iterates distributed
+    join/distinct/anti-join rounds; the oracle relaxes the
+    formula-regenerated edges with chained min-union CTEs — any
+    divergence in the parser, the anti-join, or the frontier
+    bookkeeping shifts a doc_sum."""
+    from geokit_spark.operators.webgraph import extract_links, link_depth
+    from geokit_spark.sources.pages import pages_with_links
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = extract_links(pages_with_links(docs, n)).select(
+        "src_id", "dst_id"
+    )
+    seeds = docs.filter(F.col("doc_id") % 23 == 0).select("doc_id")
+    dist = link_depth(edges, seeds, max_depth=4)
+    out = dist.groupBy("depth").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("doc_id").cast("long").alias("doc_sum"),
+    )
+    return out
+
+
+def q_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta-robots curation gate: pages_with_meta rotates lowercase
+    noindex, an UPPERCASE order-flipped variant, and a benign
+    'index, follow' tag through <head>; filter_noindex must case-fold
+    and token-split (substring matching would also drop the benign
+    rows). Kept pages per lang + doc_id sum pin the exact kept set;
+    the doc id is parsed back from the url, so the round-trip runs
+    build → filter-on-bytes → parse."""
+    from geokit_spark.operators.quality import filter_noindex
+    from geokit_spark.sources.pages import pages_with_meta, url_doc_id
+
+    kept = filter_noindex(pages_with_meta(_docs(spark, sf_dir)))
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(url_doc_id()).cast("long").alias("doc_sum"),
+    )
+
+
 def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus curation — the production resume shape: the
     corpus arrives as three snapshot-table append commits (doc_id % 3
@@ -1784,6 +1844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_incremental": q_corpus_incremental,
         "mirror_clusters": q_mirror_clusters,
         "url_filter": q_url_filter,
+        "domain_cap": q_domain_cap,
+        "link_depth": q_link_depth,
+        "noindex_filter": q_noindex_filter,
         "snapshot_reads": q_snapshot_reads,
         "url_canonical": q_url_canonical,
         "pages_latest": q_pages_latest,
@@ -3731,6 +3794,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_incremental": _o_corpus_incremental(),
         "mirror_clusters": _o_mirror_clusters(),
         "url_filter": _wg.url_filter_sql(),
+        "domain_cap": _wg.domain_cap_sql(),
+        "link_depth": _wg.link_depth_sql(),
+        "noindex_filter": _wg.noindex_filter_sql(),
         "snapshot_reads": _wg.snapshot_reads_sql(),
         "url_canonical": _wg.url_canonical_sql(),
         "pages_latest": _wg.pages_latest_sql(),

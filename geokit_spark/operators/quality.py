@@ -172,6 +172,35 @@ def quality_filter(
     )
 
 
+def robots_noindex(html=None) -> Column:
+    """True iff the page's meta-robots tag carries a ``noindex``
+    directive: extract the content attribute of ``<meta
+    name="robots" ...>`` from the (case-folded) html bytes, split the
+    directive list on commas, trim each token, and test membership —
+    NOT a substring match, so ``content="index, follow"`` stays
+    indexable. Whole-stage-codegen expressions over the decoded
+    bytes; no UDF, no shuffle."""
+    if html is None:
+        html = F.col("html")
+    content = F.regexp_extract(
+        F.lower(F.decode(html, "UTF-8")),
+        '<meta name="robots" content="([^"]*)"',
+        1,
+    )
+    return F.exists(
+        F.split(content, ","), lambda t: F.trim(t) == F.lit("noindex")
+    )
+
+
+def filter_noindex(pages: DataFrame) -> DataFrame:
+    """Crawl-hygiene gate: drop every page whose meta-robots directive
+    list contains ``noindex`` (the opt-out signal every responsible
+    corpus pipeline honors). One narrow codegen filter fused into the
+    scan — at 100 TB this is a predicate on the html column, no
+    exchange, no Python."""
+    return pages.filter(~robots_noindex())
+
+
 def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus word-frequency top-k with a total deterministic order
     (count DESC, word ASC). groupBy(word) partial-aggregates map-side

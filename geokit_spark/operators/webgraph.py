@@ -165,6 +165,56 @@ def pagerank(
     return scores
 
 
+def link_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Crawl-frontier BFS: the minimum link distance (capped at
+    ``max_depth``) from a seed set to every reachable page — the
+    seed-distance signal crawl schedulers and quality pipelines rank
+    by. Frontier-only expansion: round t joins ONLY the nodes first
+    reached at t-1 against the edge set, anti-joins the already-seen
+    set, and appends the survivors at depth t — each round is one
+    src-keyed hash join plus one distinct/anti-join exchange, state
+    grows by exactly the newly-reached nodes, and because every hop
+    adds exactly 1 the frontier-only recursion IS the true min
+    distance (no re-relaxation needed, unlike weighted graphs).
+
+    The edge set is persisted once (MEMORY_AND_DISK — the big operand
+    at cluster scale) and each frontier is persisted for the one round
+    it feeds, so lineage stays O(1) per round instead of compounding.
+    All values are int64 set arithmetic — bit-identical at any
+    parallelism. Returns (doc_id, depth).
+
+    seeds: one-column (doc_id) frame. Unreached nodes are absent.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select("src_id", "dst_id").persist(StorageLevel.MEMORY_AND_DISK)
+    dist = seeds.select(
+        F.col("doc_id"), F.lit(0).cast("int").alias("depth")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = dist
+    cached = [e, dist]
+    for t in range(1, max_depth + 1):
+        new = (
+            e.join(frontier, e.src_id == frontier.doc_id)
+            .select(F.col("dst_id").alias("doc_id"))
+            .distinct()
+            .join(dist, "doc_id", "left_anti")
+            .select(F.col("doc_id"), F.lit(t).cast("int").alias("depth"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        dist = dist.unionAll(new).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.extend([new, dist])
+        frontier = new
+    # hand the persisted intermediates to the caller for unpersist
+    # once the result is materialized (mirrors pagerank._edge_cache)
+    dist._bfs_cache = cached
+    return dist
+
+
 def filter_blocked_domains(
     pages: DataFrame, blocklist: "list[str]"
 ) -> DataFrame:
@@ -188,3 +238,26 @@ def filter_blocked_domains(
         "domain", registrable_domain(F.col("url"))
     )
     return keyed.join(bl, "domain", "left_anti").drop("domain")
+
+
+def cap_per_domain(pages: DataFrame, k: int = 5) -> DataFrame:
+    """Domain-diversity cap — keep only the k EARLIEST captures per
+    registrable domain (deterministic total order: warc_ts, then url):
+    the standard guard against a handful of giant hosts dominating a
+    training corpus. One shuffle on the domain key, rank inside the
+    partition; AQE's skew-join/partition splitting handles the
+    pathological mega-domain, and k is a constant so the retained set
+    is O(domains), not O(pages). Returns the kept pages plus their
+    (domain, capture_rank)."""
+    from pyspark.sql import Window
+
+    from ..functions.url import registrable_domain
+
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("warc_ts").asc(), F.col("url").asc())
+    )
+    keyed = pages.withColumn(
+        "domain", registrable_domain(F.col("url"))
+    ).withColumn("capture_rank", F.row_number().over(w))
+    return keyed.filter(F.col("capture_rank") <= k)

@@ -59,6 +59,34 @@ GROUP BY lang
 """
 
 
+def domain_cap_sql(k: int = 5) -> str:
+    """cap_per_domain mirror: enumerate every crawl revision row with
+    its exact epoch (WARC_EPOCH + doc_id + crawl*STRIDE — unique per
+    row, so the warc_ts order is total and the url tiebreak never
+    fires), rank per domain, keep k earliest. epoch_sum pins WHICH
+    rows were kept, not just how many."""
+    return f"""
+WITH rows_ AS (
+  SELECT
+    source || CASE (doc_id % 9) // 3
+      WHEN 0 THEN '.example' WHEN 1 THEN '.co.uk' ELSE '.net' END
+      AS domain,
+    {WARC_EPOCH} + doc_id + c.crawl * {CRAWL_STRIDE} AS epoch
+  FROM documents, (VALUES (0), (1), (2)) AS c(crawl)
+  WHERE c.crawl = 0 OR doc_id % (c.crawl + 1) = 0
+),
+ranked AS (
+  SELECT domain, epoch,
+    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY epoch ASC) AS rk
+  FROM rows_
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept,
+  CAST(SUM(epoch) AS BIGINT) AS epoch_sum
+FROM ranked WHERE rk <= {k}
+GROUP BY domain
+"""
+
+
 def url_canonical_sql() -> str:
     """Cardinality collapse per lang: every crawl row has a distinct
     raw url; canonicalization merges the case/port/fragment variant
@@ -217,6 +245,53 @@ edges AS (
   FROM documents d CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)
   WHERE j <= d.doc_id % 4
 )"""
+
+
+def link_depth_sql(max_depth: int = 4, seed_mod: int = 23) -> str:
+    """BFS mirror: chained min-union CTEs over the formula-regenerated
+    edge set — round t takes, per node, the MIN of its round-t-1
+    depth and (neighbor depth + 1). That full relaxation equals the
+    Spark side's frontier-only expansion exactly because every hop
+    costs 1. Per-depth doc_id sums pin WHICH nodes sit at each level,
+    not just how many."""
+    cte = [_edges_cte().strip()]
+    cte.append(
+        f"d0 AS (SELECT doc_id, 0 AS depth FROM documents"
+        f" WHERE doc_id % {seed_mod} = 0)"
+    )
+    for t in range(1, max_depth + 1):
+        cte.append(f"""
+d{t} AS (
+  SELECT doc_id, MIN(depth) AS depth FROM (
+    SELECT doc_id, depth FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst_id AS doc_id, p.depth + 1 AS depth
+    FROM edges e JOIN d{t - 1} p ON p.doc_id = e.src_id
+  ) GROUP BY doc_id
+)""")
+    return f"""
+WITH {",".join(cte)}
+SELECT CAST(depth AS INT) AS depth,
+  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+FROM d{max_depth} GROUP BY depth
+"""
+
+
+def noindex_filter_sql() -> str:
+    """filter_noindex mirror over pages_with_meta: the builder's
+    arithmetic says noindex holds iff doc_id%11=7 (UPPERCASE flipped
+    variant) or doc_id%7=3; the benign 'index, follow' rows
+    (doc_id%7=5, not %11=7) MUST survive — a substring-matching
+    parser drops them and breaks both aggregates."""
+    return """
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_kept,
+  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+FROM documents
+WHERE NOT (doc_id % 11 = 7 OR doc_id % 7 = 3)
+GROUP BY lang
+"""
 
 
 def page_links_sql() -> str:

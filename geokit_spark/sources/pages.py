@@ -181,6 +181,58 @@ def pages_multicrawl(docs: DataFrame) -> DataFrame:
     )
 
 
+# meta-robots variants injected into <head>: the UPPERCASE branch
+# outranks the others so a doc matching both %11 and %7 rules carries
+# exactly one tag; noindex holds iff doc_id%11==7 OR doc_id%7==3
+_META_UPPER = '<META NAME="ROBOTS" CONTENT="NOFOLLOW, NOINDEX">'
+_META_NOIDX = '<meta name="robots" content="noindex,nofollow">'
+_META_INDEX = '<meta name="robots" content="index, follow">'
+
+
+def pages_with_meta(docs: DataFrame) -> DataFrame:
+    """input_hint pages whose <head> carries a deterministic
+    meta-robots tag mix — the noindex-curation workload. Three shapes
+    rotate by doc_id arithmetic: a lowercase ``noindex,nofollow``, an
+    UPPERCASE spaced ``NOFOLLOW, NOINDEX`` (directive order flipped —
+    the parser must case-fold AND token-split, not substring-match),
+    and a benign ``index, follow`` that must NOT be dropped. The tag
+    sits between </title> and </head>, so the main-text extraction
+    contract is untouched. Pure codegen expressions, no UDF."""
+    d = F.col("doc_id")
+    meta = (
+        F.when(d % 11 == 7, F.lit(_META_UPPER))
+        .when(d % 7 == 3, F.lit(_META_NOIDX))
+        .when(d % 7 == 5, F.lit(_META_INDEX))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example/p/"),
+        d.cast("string"),
+    )
+    html_str = F.concat(
+        F.lit("<!doctype html><html><head><title>"),
+        F.col("source"),
+        F.lit(" #"),
+        d.cast("string"),
+        F.lit("</title>"),
+        meta,
+        F.lit("</head><body><h1>"),
+        F.col("source"),
+        F.lit(_MID2),
+        _escape_expr(F.col("text")),
+        F.lit(_POST),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(WARC_EPOCH) + d).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def pages_mirrored(docs: DataFrame) -> DataFrame:
     """input_hint pages where every doc appears at its primary host
     and docs with ``doc_id % 3 == 0`` ALSO appear — byte-identical

@@ -127,3 +127,56 @@ def test_quality_filter_passthrough(spark):
     assert out.lang == "en"
     # passthrough must not disturb the contract columns
     assert out.n_words == 10 and isinstance(out.keep, bool)
+
+
+def test_robots_noindex_token_not_substring(spark):
+    """'index, follow' must survive (substring match would kill it);
+    case-folded, order-flipped, and spaced variants must all drop."""
+    from geokit_spark.operators.quality import filter_noindex
+
+    rows = [
+        (1, b'<html><head><meta name="robots" content="noindex,nofollow">'
+            b"</head><body></body></html>"),
+        (2, b'<html><head><META NAME="ROBOTS" CONTENT="NOFOLLOW, NOINDEX">'
+            b"</head><body></body></html>"),
+        (3, b'<html><head><meta name="robots" content="index, follow">'
+            b"</head><body></body></html>"),
+        (4, b"<html><head></head><body></body></html>"),  # no meta at all
+        (5, b'<html><head><meta name="robots" content=" noindex ">'
+            b"</head><body></body></html>"),  # padded single token
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, html binary")
+    kept = sorted(r.doc_id for r in filter_noindex(pages).collect())
+    assert kept == [3, 4]
+
+
+def test_pages_with_meta_extraction_contract(spark):
+    """The injected <head> meta tag must not disturb the byte-identity
+    main-text contract, and the codegen filter keeps exactly the
+    closed-form arithmetic set."""
+    from pyspark.sql import functions as F
+
+    from geokit_spark.operators.quality import filter_noindex
+    from geokit_spark.sources.pages import pages_with_meta
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    pages = pages_with_meta(docs.limit(80))
+    from geokit_spark.sources.pages import extract_text
+
+    ext = extract_text(pages)
+    bad = (
+        pages.join(ext, "url")
+        .filter(F.col("text_extracted") != F.encode("text", "UTF-8"))
+        .count()
+    )
+    assert bad == 0
+    kept = filter_noindex(pages)
+    ids = {r[0] for r in kept.select(
+        F.element_at(F.split("url", "/"), -1).cast("long")).collect()}
+    want = {
+        r.doc_id for r in docs.limit(80).collect()
+        if not (r.doc_id % 11 == 7 or r.doc_id % 7 == 3)
+    }
+    assert ids == want

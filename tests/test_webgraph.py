@@ -169,3 +169,84 @@ def test_filter_blocked_domains_broadcast_anti(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _py_bfs(edges, seeds, max_depth):
+    """Sequential BFS golden: true min distance capped at max_depth."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for t in range(1, max_depth + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = t
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_link_depth_matches_sequential(spark, parts):
+    from geokit_spark.operators.webgraph import link_depth
+
+    # diamond + chain + a cycle back into the seed, plus an island
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 0), (5, 6)]
+    e = spark.createDataFrame(edges, ["src_id", "dst_id"]).repartition(parts)
+    seeds = spark.createDataFrame([(0,)], ["doc_id"])
+    dist = link_depth(e, seeds, max_depth=3)
+    got = {r["doc_id"]: r["depth"] for r in dist.collect()}
+    for df in dist._bfs_cache:
+        df.unpersist()
+    assert got == _py_bfs(edges, [0], 3)
+    assert 4 not in got or got[4] == 3  # capped at max_depth
+    assert 5 not in got and 6 not in got  # island unreached
+
+
+def test_link_depth_min_not_last_wins(spark):
+    """A node reachable by both a short and a long path must keep the
+    SHORT distance — the anti-join must drop the depth-2 rediscovery
+    of a depth-1 node."""
+    from geokit_spark.operators.webgraph import link_depth
+
+    edges = [(0, 1), (0, 2), (2, 1), (1, 9), (2, 9)]
+    e = spark.createDataFrame(edges, ["src_id", "dst_id"])
+    seeds = spark.createDataFrame([(0,)], ["doc_id"])
+    dist = link_depth(e, seeds, max_depth=4)
+    got = {r["doc_id"]: r["depth"] for r in dist.collect()}
+    for df in dist._bfs_cache:
+        df.unpersist()
+    assert got == {0: 0, 1: 1, 2: 1, 9: 2}
+
+
+def test_cap_per_domain_earliest_k(spark):
+    """Keep the k earliest captures per registrable domain; ties on
+    warc_ts break on url, and the url variants of one domain fold."""
+    from datetime import datetime, timezone
+
+    from geokit_spark.operators.webgraph import cap_per_domain
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        ("https://a.example/p/1", ts(100)),
+        ("HTTPS://A.EXAMPLE:443/p/2", ts(50)),   # same domain, earlier
+        ("http://www.a.example/p/3", ts(200)),
+        ("https://b.example/p/4", ts(10)),
+        ("https://b.example/p/5", ts(10)),       # tie -> url order
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    kept = cap_per_domain(pages, k=2)
+    got = sorted((r.domain, r.capture_rank, r.url) for r in kept.collect())
+    assert got == [
+        ("a.example", 1, "HTTPS://A.EXAMPLE:443/p/2"),
+        ("a.example", 2, "https://a.example/p/1"),
+        ("b.example", 1, "https://b.example/p/4"),
+        ("b.example", 2, "https://b.example/p/5"),
+    ]
