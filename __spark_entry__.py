@@ -798,6 +798,41 @@ def q_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text rollup: the nav builder writes 'a<(src+dst)%7>'
+    between each <a>...</a>; the Arrow kernel must recover the span
+    (not just the href) and the per-anchor-class counts / distinct
+    targets / dst sums must match the formula oracle."""
+    from geokit_spark.operators.webgraph import extract_anchors
+    from geokit_spark.sources.pages import pages_with_links
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    anchors = extract_anchors(pages_with_links(docs, n))
+    return anchors.groupBy("anchor").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("dst_id").alias("n_dst"),
+        F.sum("dst_id").cast("long").alias("dst_sum"),
+    )
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph: byte-parsed edges keep their src url
+    (src domain = free JVM parse), the dst domain comes through the
+    one dst_id-keyed join against the page table, and the per
+    src_domain rollup (links, cross-domain links, distinct target
+    domains, dst sum) must match the closed-form endpoint
+    arithmetic."""
+    from geokit_spark.operators.webgraph import extract_links, host_graph
+    from geokit_spark.sources.pages import pages_with_links
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    pages = pages_with_links(docs, n)
+    edges = extract_links(pages, keep_url=True)
+    return host_graph(edges, pages)
+
+
 def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus curation — the production resume shape: the
     corpus arrives as three snapshot-table append commits (doc_id % 3
@@ -1847,6 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "link_depth": q_link_depth,
         "noindex_filter": q_noindex_filter,
+        "anchor_stats": q_anchor_stats,
+        "host_graph": q_host_graph,
         "snapshot_reads": q_snapshot_reads,
         "url_canonical": q_url_canonical,
         "pages_latest": q_pages_latest,
@@ -3797,6 +3834,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _wg.domain_cap_sql(),
         "link_depth": _wg.link_depth_sql(),
         "noindex_filter": _wg.noindex_filter_sql(),
+        "anchor_stats": _wg.anchor_stats_sql(),
+        "host_graph": _wg.host_graph_sql(),
         "snapshot_reads": _wg.snapshot_reads_sql(),
         "url_canonical": _wg.url_canonical_sql(),
         "pages_latest": _wg.pages_latest_sql(),

@@ -54,14 +54,17 @@ def _links_from_html(b: bytes) -> list[int]:
     return out
 
 
-def extract_links(pages: DataFrame) -> DataFrame:
+def extract_links(pages: DataFrame, keep_url: bool = False) -> DataFrame:
     """(src_id, dst_id, lang) for every out-link on every page —
     src_id is parsed from the url JVM-side (functions/url.url_path_id)
     before the batch reaches Python; the Arrow kernel only scans html
-    bytes. One narrow pass, no exchange."""
-    keyed = pages.select(
-        url_path_id(F.col("url")).alias("src_id"), "html", "lang"
-    )
+    bytes. One narrow pass, no exchange. With keep_url the raw src
+    url rides along as a fourth column (host-graph rollups parse the
+    src domain from it without a join back)."""
+    cols = [url_path_id(F.col("url")).alias("src_id"), "html", "lang"]
+    if keep_url:
+        cols.append(F.col("url").alias("src_url"))
+    keyed = pages.select(*cols)
 
     def fn(batches):
         import pyarrow as pa
@@ -72,7 +75,8 @@ def extract_links(pages: DataFrame) -> DataFrame:
             src = batch.column(0)
             html = batch.column(1)
             lang = batch.column(2)
-            srcs, dsts, langs = [], [], []
+            url = batch.column(3) if keep_url else None
+            srcs, dsts, langs, urls = [], [], [], []
             for k in range(batch.num_rows):
                 h = html[k].as_py() if html[k].is_valid else b""
                 s = src[k].as_py()
@@ -81,16 +85,123 @@ def extract_links(pages: DataFrame) -> DataFrame:
                     srcs.append(s)
                     dsts.append(d)
                     langs.append(lg)
+                    if keep_url:
+                        urls.append(url[k].as_py())
+            arrays = [
+                pa.array(srcs, type=pa.int64()),
+                pa.array(dsts, type=pa.int64()),
+                pa.array(langs, type=pa.string()),
+            ]
+            names = ["src_id", "dst_id", "lang"]
+            if keep_url:
+                arrays.append(pa.array(urls, type=pa.string()))
+                names.append("src_url")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    schema = "src_id long, dst_id long, lang string"
+    if keep_url:
+        schema += ", src_url string"
+    return keyed.mapInArrow(fn, schema=schema)
+
+
+def _anchors_from_html(b: bytes) -> "list[tuple[int, bytes]]":
+    """(dst_id, anchor_text) for every integer-target <a> element —
+    the anchor is the raw byte span between the opening tag's '>' and
+    '</a>' (entity decode is the extractor's job; nav anchors in the
+    builders are plain ASCII)."""
+    out = []
+    i = 0
+    while True:
+        p = b.find(b'href="', i)
+        if p == -1:
+            break
+        q = b.find(b'"', p + 6)
+        if q == -1:
+            break
+        seg = b[p + 6 : q]
+        seg = seg[seg.rfind(b"/") + 1 :]
+        i = q + 1
+        if not seg.isdigit():
+            continue
+        gt = b.find(b">", q)
+        if gt == -1:
+            break
+        end = b.find(b"</a>", gt)
+        if end == -1:
+            continue
+        out.append((int(seg), b[gt + 1 : end]))
+        i = end + 4
+    return out
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """(src_id, dst_id, anchor) for every out-link — same narrow
+    no-shuffle shape as extract_links, but the kernel also captures
+    the anchor text span (the classic target-page relevance signal:
+    what OTHER pages call this page)."""
+    keyed = pages.select(url_path_id(F.col("url")).alias("src_id"), "html")
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            src = batch.column(0)
+            html = batch.column(1)
+            srcs, dsts, anchors = [], [], []
+            for k in range(batch.num_rows):
+                h = html[k].as_py() if html[k].is_valid else b""
+                s = src[k].as_py()
+                for d, a in _anchors_from_html(h):
+                    srcs.append(s)
+                    dsts.append(d)
+                    anchors.append(a.decode("utf-8", "replace"))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(srcs, type=pa.int64()),
                     pa.array(dsts, type=pa.int64()),
-                    pa.array(langs, type=pa.string()),
+                    pa.array(anchors, type=pa.string()),
                 ],
-                ["src_id", "dst_id", "lang"],
+                ["src_id", "dst_id", "anchor"],
             )
 
-    return keyed.mapInArrow(fn, schema="src_id long, dst_id long, lang string")
+    return keyed.mapInArrow(
+        fn, schema="src_id long, dst_id long, anchor string"
+    )
+
+
+def host_graph(edges: DataFrame, pages: DataFrame) -> DataFrame:
+    """Collapse the page-level edge set to the DOMAIN level: each
+    (src_id, dst_id) edge picks up its endpoint registrable domains
+    and rolls up per src_domain — total out-links, cross-domain
+    out-links, distinct target domains, and a dst doc_id sum pinning
+    the exact edge multiset. The src domain comes free from the src
+    url (JVM parse, no join); only the DST side needs the page table,
+    one dst_id-keyed hash join — the exact shape a 100-TB host-graph
+    build has (edges and pages co-partition on the id key, AQE
+    handles the mega-host skew)."""
+    from ..functions.url import registrable_domain
+
+    key = pages.select(
+        url_path_id(F.col("url")).alias("dst_id"),
+        registrable_domain(F.col("url")).alias("dst_domain"),
+    )
+    e = edges.withColumn(
+        "src_domain", registrable_domain(F.col("src_url"))
+    ).select("src_domain", "dst_id")
+    return (
+        e.join(key, "dst_id")
+        .groupBy("src_domain")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.sum(
+                (F.col("dst_domain") != F.col("src_domain")).cast("long")
+            ).alias("n_cross"),
+            F.countDistinct("dst_domain").alias("n_dst_domains"),
+            F.sum("dst_id").cast("long").alias("dst_sum"),
+        )
+    )
 
 
 def link_stats(edges: DataFrame) -> DataFrame:

@@ -294,6 +294,54 @@ GROUP BY lang
 """
 
 
+def _domain_case(id_expr: str, source_expr: str) -> str:
+    """registrable domain of a doc's host0 url: source || suffix class
+    (doc_id%9)//3 — single-sourced for every host-level oracle."""
+    return (
+        f"{source_expr} || CASE ({id_expr} % 9) // 3"
+        " WHEN 0 THEN '.example' WHEN 1 THEN '.co.uk' ELSE '.net' END"
+    )
+
+
+def anchor_stats_sql() -> str:
+    """extract_anchors mirror: the builder writes anchor text
+    'a<(src+dst)%7>' into every nav link, so the per-anchor-class
+    rollup (count, distinct targets, dst sum) is a closed form over
+    the formula edges while the Spark side byte-parses the spans back
+    out of the html."""
+    return f"""
+WITH {_edges_cte()}
+SELECT 'a' || CAST((src_id + dst_id) % 7 AS VARCHAR) AS anchor,
+  CAST(COUNT(*) AS BIGINT) AS n_links,
+  CAST(COUNT(DISTINCT dst_id) AS BIGINT) AS n_dst,
+  CAST(SUM(dst_id) AS BIGINT) AS dst_sum
+FROM edges GROUP BY 1
+"""
+
+
+def host_graph_sql() -> str:
+    """host_graph mirror: endpoint domains from the host0 arithmetic
+    (src side straight off the edge row, dst side through the
+    documents join — same join the Spark plan pays against the page
+    table), rolled up per src_domain."""
+    src_dom = _domain_case("e.src_id", "e.source")
+    dst_dom = _domain_case("e.dst_id", "d.source")
+    return f"""
+WITH {_edges_cte()},
+e2 AS (
+  SELECT {src_dom} AS src_domain, {dst_dom} AS dst_domain, e.dst_id
+  FROM edges e JOIN documents d ON d.doc_id = e.dst_id
+)
+SELECT src_domain,
+  CAST(COUNT(*) AS BIGINT) AS n_links,
+  CAST(SUM(CASE WHEN dst_domain <> src_domain THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_cross,
+  CAST(COUNT(DISTINCT dst_domain) AS BIGINT) AS n_dst_domains,
+  CAST(SUM(dst_id) AS BIGINT) AS dst_sum
+FROM e2 GROUP BY src_domain
+"""
+
+
 def page_links_sql() -> str:
     """Per-lang link-graph audit against the formula-regenerated edge
     set (the Spark side parses the SAME edges out of the html

@@ -272,11 +272,16 @@ def pages_with_links(docs: DataFrame, n_docs: int) -> DataFrame:
     anchors, outside the ``<p>`` block so the main-text extraction
     contract is untouched."""
     mults = ",".join(f"{m}L" for m in LINK_MULTS)
+    # anchor text 'a<(src+dst)%7>' depends on BOTH endpoints, so an
+    # anchor-level rollup can't be faked from either side alone
+    dst = (
+        f"(doc_id * element_at(array({mults}), j + 1)"
+        f" + doc_id div 7 + j) % {int(n_docs)}L"
+    )
     nav = F.expr(
         "array_join(transform(sequence(0, cast(doc_id % 4 as int)), j -> "
-        f"concat('<a href=\"/p/', cast((doc_id * element_at(array({mults}), "
-        f"j + 1) + doc_id div 7 + j) % {int(n_docs)}L as string), "
-        "'\"></a>')), '')"
+        f"concat('<a href=\"/p/', cast({dst} as string), '\">a', "
+        f"cast((doc_id + {dst}) % 7 as string), '</a>')), '')"
     )
     html = F.concat(
         F.lit(_PRE),

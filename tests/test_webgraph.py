@@ -250,3 +250,54 @@ def test_cap_per_domain_earliest_k(spark):
         ("b.example", 1, "https://b.example/p/4"),
         ("b.example", 2, "https://b.example/p/5"),
     ]
+
+
+def test_anchors_from_html_malformed():
+    from geokit_spark.operators.webgraph import _anchors_from_html
+
+    h = (
+        b'<a href="/p/7">seven</a>'
+        b'<a href="/about">skip-nondigit</a>'
+        b'<a href="/p/9">no close'          # missing </a>: dropped
+    )
+    assert _anchors_from_html(h) == [(7, b"seven")]
+    # anchor span may contain nested inline bytes — kept raw
+    h2 = b'<a href="/p/3"><b>bold</b></a><a href="/p/4"></a>'
+    assert _anchors_from_html(h2) == [(3, b"<b>bold</b>"), (4, b"")]
+    assert _anchors_from_html(b"") == []
+
+
+def test_host_graph_hand_case(spark):
+    """Cross vs intra domain counting over a 2-domain hand graph."""
+    from datetime import datetime
+
+    from geokit_spark.operators.webgraph import extract_links, host_graph
+
+    def page(host, pid, hrefs):
+        html = "".join(f'<a href="/p/{d}">x</a>' for d in hrefs)
+        return (
+            f"https://{host}/p/{pid}",
+            datetime(2020, 1, 1),
+            html.encode(),
+            "",
+            "en",
+        )
+
+    rows = [
+        page("a.example", 0, [1, 2]),   # 0->1 intra, 0->2 cross
+        page("a.example", 1, [0]),      # intra
+        page("b.example", 2, [0, 0]),   # two cross edges
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string,"
+        " lang string"
+    )
+    edges = extract_links(pages, keep_url=True)
+    got = {
+        r.src_domain: (r.n_links, r.n_cross, r.n_dst_domains, r.dst_sum)
+        for r in host_graph(edges, pages).collect()
+    }
+    assert got == {
+        "a.example": (3, 1, 2, 3),
+        "b.example": (2, 2, 1, 0),
+    }
