@@ -293,10 +293,12 @@ def link_depth(
     distance (no re-relaxation needed, unlike weighted graphs).
 
     The edge set is persisted once (MEMORY_AND_DISK — the big operand
-    at cluster scale) and each frontier is persisted for the one round
-    it feeds, so lineage stays O(1) per round instead of compounding.
-    All values are int64 set arithmetic — bit-identical at any
-    parallelism. Returns (doc_id, depth).
+    at cluster scale); each round's frontier is eagerly
+    localCheckpoint-ed, the standard iterative-graph lineage cut —
+    without it the union-of-rounds plan compounds (each round's repr
+    embeds every earlier round) and the optimizer re-derives the whole
+    history per round. All values are int64 set arithmetic —
+    bit-identical at any parallelism. Returns (doc_id, depth).
 
     seeds: one-column (doc_id) frame. Unreached nodes are absent.
     """
@@ -305,9 +307,8 @@ def link_depth(
     e = edges.select("src_id", "dst_id").persist(StorageLevel.MEMORY_AND_DISK)
     dist = seeds.select(
         F.col("doc_id"), F.lit(0).cast("int").alias("depth")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     frontier = dist
-    cached = [e, dist]
     for t in range(1, max_depth + 1):
         new = (
             e.join(frontier, e.src_id == frontier.doc_id)
@@ -315,14 +316,13 @@ def link_depth(
             .distinct()
             .join(dist, "doc_id", "left_anti")
             .select(F.col("doc_id"), F.lit(t).cast("int").alias("depth"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        dist = dist.unionAll(new).persist(StorageLevel.MEMORY_AND_DISK)
-        cached.extend([new, dist])
+        dist = dist.unionAll(new)
         frontier = new
-    # hand the persisted intermediates to the caller for unpersist
-    # once the result is materialized (mirrors pagerank._edge_cache)
-    dist._bfs_cache = cached
+    # hand the persisted edge set to the caller for unpersist once the
+    # result is materialized (mirrors pagerank._edge_cache)
+    dist._bfs_cache = [e]
     return dist
 
 

@@ -28,6 +28,8 @@ NAMES = [
     "url_canonical", "pages_latest", "host_domains", "page_links",
     "pagerank", "host_locality", "snapshot_reads", "corpus_pipeline",
     "corpus_incremental", "mirror_clusters", "url_filter",
+    "domain_cap", "link_depth", "noindex_filter", "anchor_stats",
+    "host_graph",
 ]
 
 
@@ -117,6 +119,18 @@ def main():
         "  countDistinct second phase + incremental-diff agg) — each a",
         "  1-row scalar; the version x version scalar combine is a",
         "  broadcast nest, not a cartesian over data.",
+        "- `link_depth`: each BFS round runs as its own eagerly",
+        "  localCheckpoint-ed job (the iterative lineage cut), so the",
+        "  final plan shows only the depth rollup; a round is one src",
+        "  hash join + distinct + anti-join over the persisted edge",
+        "  set and the O(new nodes) frontier — state never compounds",
+        "  and depth is a small constant in crawl practice.",
+        "- `noindex_filter` is a pure codegen predicate fused into the",
+        "  page build (0 python stages); `domain_cap` is one",
+        "  domain-keyed exchange + in-partition rank.",
+        "- `host_graph`: ONE dst_id-keyed join (AQE picks the side to",
+        "  broadcast at this sf; at cluster scale both sides",
+        "  co-partition on the id key) + the final rollup.",
         "",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
