@@ -954,6 +954,22 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit for LLM pretraining: tokenize, assign
+    each document its concat-and-chunk bin span inside a bounded
+    (lang, doc_id-range) shard, then roll up per-lang doc/shard/token
+    counts, boundary-crossing docs, and an int64 assignment checksum.
+    One hash exchange on the shard key + one final agg; no global
+    sort, no driver state — the 100-TB tokenize-and-pack layout."""
+    from geokit_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    packed = pack_sequences(_docs(spark, sf_dir), context_len=512, shard_docs=256)
+    return packing_stats(packed)
+
+
 def q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts per doc (GPT-2-style splitting
     approximated by character-class runs: letter runs, digit runs,
@@ -1875,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "seq_packing": q_seq_packing,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_incremental": q_corpus_incremental,
         "mirror_clusters": q_mirror_clusters,
@@ -3523,6 +3540,12 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_seq_packing() -> str:
+    from geokit_spark.oracle import qualitysql
+
+    return qualitysql.pack_sequences_sql(context_len=512, shard_docs=256)
+
+
 def _o_gopher_repetition() -> str:
     from geokit_spark.oracle import qualitysql
 
@@ -3827,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "seq_packing": _o_seq_packing(),
         "corpus_pipeline": _o_corpus_pipeline(),
         "corpus_incremental": _o_corpus_incremental(),
         "mirror_clusters": _o_mirror_clusters(),

@@ -1,0 +1,92 @@
+"""Sequence packing for LLM pretraining — the concat-and-chunk
+layout: a shard's documents are tokenized, concatenated in a
+deterministic order, and cut every ``context_len`` tokens; a document
+therefore occupies the bin span [start div C, (start+len-1) div C]
+and the packer's job is to report that span (and whether the doc
+straddles a cut) without ever materializing the concatenation.
+
+Scale shape: packing is inherently sequential WITHIN a stream, so the
+stream is the unit of parallelism — documents group into bounded
+shards (lang, doc_id div shard_docs) and the running-offset is one
+window cumsum inside each shard: a single hash exchange on the shard
+key, in-partition sort of ``shard_docs`` rows, no global sort, no
+driver state. That is exactly how a 100-TB tokenize-and-pack job is
+laid out (one output shard per task); the shard id is pure arithmetic
+so the layout is reproducible across runs and engines.
+
+All values are int64 (token counts, truncating division), so the
+assignment is bit-identical at any parallelism and mirrors 1:1 into
+the DuckDB oracle's window SQL.
+
+Reference parity anchor: the reference's tiling of a region into
+fixed-size pieces (`/root/reference/geokit/core/geom.py` tileize)
+is the same cut-a-stream-into-constant-chunks contract, transposed
+from geometry to token streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = 512,
+    shard_docs: int = 256,
+) -> DataFrame:
+    """Per-document packing assignment: (doc_id, lang, shard,
+    n_tokens, start_off, bin_first, bin_last, crosses). ``start_off``
+    is the token offset of the doc inside its shard's concatenated
+    stream; bins are ``context_len`` tokens wide; ``crosses`` marks
+    documents straddling a bin boundary (the ones a loss-masking
+    loader must handle). The shared whitespace tokenizer counts empty
+    text as one (empty) token, so every document advances the stream
+    by >= 1; the greatest(n, 1) guard keeps bin_last well-defined if
+    a caller ever substitutes a tokenizer that can emit 0."""
+    c = int(context_len)
+    shard = F.expr(f"doc_id div {int(shard_docs)}")
+    n_tok = token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    out = (
+        docs.select(
+            "doc_id",
+            "lang",
+            shard.alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("start_off", start)
+        .withColumn("bin_first", F.expr(f"start_off div {c}"))
+        .withColumn(
+            "bin_last",
+            F.expr(
+                f"(start_off + greatest(n_tokens, 1L) - 1L) div {c}"
+            ),
+        )
+        .withColumn("crosses", F.col("bin_first") != F.col("bin_last"))
+    )
+    return out
+
+
+def packing_stats(packed: DataFrame) -> DataFrame:
+    """Per-lang packing audit: doc/shard counts, total tokens,
+    boundary-crossing docs, and an order-independent checksum over
+    the full (doc_id, bin_first, bin_last) assignment — any drift in
+    the shard arithmetic, the cumsum, or the bin division shifts
+    it."""
+    chk = (
+        F.col("doc_id") * 31 + F.col("bin_first") * 7 + F.col("bin_last")
+    ) % 999983
+    return packed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("shard").alias("n_shards"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("crosses").cast("long")).alias("n_crossing"),
+        F.sum(chk).cast("long").alias("checksum"),
+    )

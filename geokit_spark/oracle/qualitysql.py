@@ -162,3 +162,46 @@ SELECT d.doc_id,
   md5(COALESCE(c.s, '')) AS clean_md5
 FROM documents d LEFT JOIN cleaned c USING (doc_id)
 """
+
+
+def pack_sequences_sql(
+    context_len: int = 512, shard_docs: int = 256
+) -> str:
+    """operators.packing mirror: the same shard arithmetic, window
+    cumsum, and truncating bin division in DuckDB window SQL — both
+    engines compute int64 trees, so the per-lang packing checksum
+    must agree bit-for-bit."""
+    from .textsql import token_count
+
+    c = int(context_len)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    doc_id // {int(shard_docs)} AS shard,
+    CAST({token_count()} AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, shard, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang, shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS start_off
+  FROM toks
+),
+bins AS (
+  SELECT doc_id, lang, shard, n_tokens,
+    start_off // {c} AS bin_first,
+    (start_off + GREATEST(n_tokens, 1) - 1) // {c} AS bin_last
+  FROM packed
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN bin_first <> bin_last THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_crossing,
+  CAST(SUM((doc_id * 31 + bin_first * 7 + bin_last) % 999983) AS BIGINT)
+    AS checksum
+FROM bins GROUP BY lang
+"""

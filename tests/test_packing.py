@@ -1,0 +1,114 @@
+"""operators.packing: concat-and-chunk sequence packing — hand
+cases, stream-contiguity invariants, parallelism invariance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geokit_spark.operators.packing import pack_sequences, packing_stats
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from geokit_spark.session import get_spark
+
+    return get_spark("test-packing", cores=4, shuffle_partitions=4)
+
+
+def _docs(spark, rows):
+    """rows = [(doc_id, lang, text)]"""
+    return spark.createDataFrame(
+        [(i, lang, t) for i, lang, t in rows],
+        "doc_id long, lang string, text string",
+    )
+
+
+def test_hand_case_offsets_and_bins(spark):
+    # 3 docs, one shard, context_len=4:
+    #   d0: 3 tokens -> [0,3) bins 0..0
+    #   d1: 3 tokens -> [3,6) bins 0..1  (crosses the cut at 4)
+    #   d2: 2 tokens -> [6,8) bins 1..1
+    docs = _docs(
+        spark,
+        [
+            (0, "en", "a b c"),
+            (1, "en", "d e f"),
+            (2, "en", "g h"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(docs, context_len=4, shard_docs=256).collect()
+    }
+    assert (out[0].start_off, out[0].bin_first, out[0].bin_last) == (0, 0, 0)
+    assert (out[1].start_off, out[1].bin_first, out[1].bin_last) == (3, 0, 1)
+    assert (out[2].start_off, out[2].bin_first, out[2].bin_last) == (6, 1, 1)
+    assert not out[0].crosses and out[1].crosses and not out[2].crosses
+
+
+def test_stream_contiguity_invariant(spark):
+    # Within every (lang, shard) stream, sorted by doc_id, each doc's
+    # start_off equals the previous doc's start_off + n_tokens — the
+    # stream is a gap-free concatenation.
+    rows = [
+        (i, "en" if i % 3 else "de", " ".join(["tok"] * (1 + i % 7)))
+        for i in range(200)
+    ]
+    packed = pack_sequences(_docs(spark, rows), context_len=16, shard_docs=32)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    bad = (
+        packed.withColumn(
+            "expect",
+            F.coalesce(
+                F.lag(F.col("start_off") + F.col("n_tokens")).over(w),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("start_off") != F.col("expect"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_empty_doc_one_token_convention(spark):
+    # the shared whitespace tokenizer (engine AND DuckDB oracle) maps
+    # empty text to one empty-string token: split('') = [''] — so an
+    # empty doc occupies exactly one slot in the stream
+    docs = _docs(spark, [(0, "en", "a b"), (1, "en", ""), (2, "en", "c")])
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(docs, context_len=2, shard_docs=256).collect()
+    }
+    assert out[1].n_tokens == 1
+    assert out[1].start_off == 2
+    assert out[1].bin_first == out[1].bin_last == 1
+    assert not out[1].crosses
+    assert out[2].start_off == 3
+
+
+def test_parallelism_invariance(spark):
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], " ".join(["w%d" % (i % 5)] * (1 + i % 11)))
+        for i in range(500)
+    ]
+    docs = _docs(spark, rows)
+    a = packing_stats(
+        pack_sequences(docs.repartition(1), context_len=512, shard_docs=64)
+    ).orderBy("lang")
+    b = packing_stats(
+        pack_sequences(docs.repartition(16), context_len=512, shard_docs=64)
+    ).orderBy("lang")
+    assert [r.asDict() for r in a.collect()] == [
+        r.asDict() for r in b.collect()
+    ]
+
+
+def test_plan_shape_single_exchange_before_agg(spark):
+    # pack_sequences itself is one hash exchange on (lang, shard) +
+    # an in-partition sort — no global sort (Exchange rangepartitioning)
+    rows = [(i, "en", "a b c") for i in range(50)]
+    packed = pack_sequences(_docs(spark, rows), context_len=8, shard_docs=8)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.lower().count("exchange hashpartitioning") == 1
