@@ -954,6 +954,26 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    word n-gram with a deterministic synthetic eval set (doc_id % 97).
+    Eval grams broadcast; one corpus-side shuffle. The operator
+    default is the published 13-gram rule; the query uses n=5 (the
+    span-dedup width) so the tiny synthetic vocab exercises both
+    branches — at n=5 exactly one NON-eval doc shares a span with the
+    eval set while unrelated word-salad docs stay clean."""
+    from geokit_spark.operators.quality import (
+        DECON_EVAL_MOD,
+        decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(
+        (F.col("doc_id") % DECON_EVAL_MOD) == 0
+    )
+    return decontaminate(docs, eval_docs, n=5)
+
+
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing audit for LLM pretraining: tokenize, assign
     each document its concat-and-chunk bin span inside a bounded
@@ -1891,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "decontaminate": q_decontaminate,
         "seq_packing": q_seq_packing,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_incremental": q_corpus_incremental,
@@ -3540,6 +3561,12 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_decontaminate() -> str:
+    from geokit_spark.oracle import qualitysql
+
+    return qualitysql.decontaminate_sql(n=5, eval_mod=97)
+
+
 def _o_seq_packing() -> str:
     from geokit_spark.oracle import qualitysql
 
@@ -3850,6 +3877,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "decontaminate": _o_decontaminate(),
         "seq_packing": _o_seq_packing(),
         "corpus_pipeline": _o_corpus_pipeline(),
         "corpus_incremental": _o_corpus_incremental(),

@@ -201,6 +201,49 @@ def filter_noindex(pages: DataFrame) -> DataFrame:
     return pages.filter(~robots_noindex())
 
 
+DECON_N = 13  # word n-gram width of the published decontamination rule
+DECON_EVAL_MOD = 97  # deterministic synthetic eval set: doc_id % 97 == 0
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = DECON_N
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM 13-gram rule): flag
+    every training document sharing at least one word ``n``-gram with
+    the eval set. Output per doc: distinct-gram count, distinct grams
+    hit, and the contaminated flag.
+
+    100-TB shape: eval sets are megabytes against a 100-TB corpus, so
+    the distinct eval grams build on the tiny side (one small-side
+    shuffle) and reach every executor as a BROADCAST hash map; the
+    corpus side is explode_outer (narrow, keeps gram-less short docs)
+    -> broadcast hash probe -> partial+final agg on doc_id. Exactly
+    ONE corpus-side shuffle, integer counts only."""
+    grams = F.expr(_grams_expr(n))
+    eval_grams = (
+        eval_docs.select(F.explode(grams).alias("gram")).distinct()
+    )
+    per_gram = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(grams)).alias("gram"),
+        )
+        .join(
+            F.broadcast(eval_grams.withColumn("hit", F.lit(1))),
+            "gram",
+            "left",
+        )
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits"),
+        )
+        .withColumn("contaminated", F.col("hits") > 0)
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus word-frequency top-k with a total deterministic order
     (count DESC, word ASC). groupBy(word) partial-aggregates map-side

@@ -164,6 +164,44 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
 """
 
 
+def decontaminate_sql(n: int = 13, eval_mod: int = 97) -> str:
+    """operators.quality.decontaminate mirror: same word-split gram
+    convention as gopher_repetition_sql, distinct grams per doc LEFT
+    JOIN the distinct eval-gram set; the final LEFT JOIN back to
+    documents restores docs too short to have any n-gram (Spark keeps
+    them via explode_outer). Integer counts only."""
+    gram = f"array_to_string(w[i:i + {n - 1}], ' ')"
+    unn = (
+        f"UNNEST(range(1, GREATEST(len(w) - {n - 1}, 0) + 1)) AS t(i)"
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+eval_grams AS (
+  SELECT DISTINCT {gram} AS gram
+  FROM words, {unn}
+  WHERE doc_id % {int(eval_mod)} = 0
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id, {gram} AS gram
+  FROM words, {unn}
+),
+hits AS (
+  SELECT g.doc_id,
+    COUNT(*) AS n_grams,
+    COUNT(e.gram) AS hits
+  FROM doc_grams g LEFT JOIN eval_grams e USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  COALESCE(h.hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def pack_sequences_sql(
     context_len: int = 512, shard_docs: int = 256
 ) -> str:

@@ -180,3 +180,50 @@ def test_pages_with_meta_extraction_contract(spark):
         if not (r.doc_id % 11 == 7 or r.doc_id % 7 == 3)
     }
     assert ids == want
+
+
+def test_decontaminate_hand_case(spark):
+    # eval doc "a b c d e"; training docs: an exact superstring (2
+    # distinct 3-grams hit), a partial overlap (1 hit), a clean doc,
+    # and a doc too short for any 3-gram (0 grams, kept via
+    # explode_outer)
+    docs = _docs(
+        spark,
+        [
+            "x a b c d e y",   # 0: contains all of eval's 3-grams
+            "z z b c d z z",   # 1: shares "b c d" only
+            "p q r s t u v",   # 2: clean
+            "m n",             # 3: no 3-gram at all
+        ],
+    )
+    ev = _docs(spark, ["a b c d e"])
+    out = {r.doc_id: r for r in Q.decontaminate(docs, ev, n=3).collect()}
+    assert len(out) == 4
+    # eval "a b c d e" -> grams {a b c, b c d, c d e}
+    assert (out[0].hits, out[0].contaminated) == (3, True)
+    assert (out[1].hits, out[1].contaminated) == (1, True)
+    assert (out[2].hits, out[2].contaminated) == (0, False)
+    assert (out[3].n_grams, out[3].hits, out[3].contaminated) == (
+        0, 0, False,
+    )
+
+
+def test_decontaminate_repeated_gram_counts_once(spark):
+    # the same eval gram appearing 3x in one doc counts as ONE
+    # distinct hit
+    docs = _docs(spark, ["a b a b a b a b"])
+    ev = _docs(spark, ["a b a"])
+    out = Q.decontaminate(docs, ev, n=2).collect()[0]
+    # doc distinct 2-grams: {a b, b a}; eval 2-grams: {a b, b a}
+    assert out.n_grams == 2 and out.hits == 2
+
+
+def test_decontaminate_plan_broadcast_one_shuffle(spark):
+    docs = _docs(spark, ["a b c d e f g"] * 20)
+    ev = _docs(spark, ["c d e"])
+    plan = (
+        Q.decontaminate(docs, ev, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
