@@ -954,6 +954,28 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically PII-injected corpus:
+    email-shaped tokens and >=7-digit runs detected with regex-free
+    position arithmetic, redacted to <EMAIL>/<PHONE> sentinels, and
+    audited by the md5 of the redacted text. Fully narrow — no
+    shuffle, no UDF; the scan pipelines straight through."""
+    from geokit_spark.operators.quality import pii_scrub
+
+    inject = (
+        "text"
+        " || CASE WHEN doc_id % 5 = 1 THEN"
+        " ' contact user' || CAST(doc_id AS STRING)"
+        " || '@mail' || CAST(doc_id % 7 AS STRING) || '.org today'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 3 OR doc_id % 7 = 2 THEN"
+        " ' call ' || CAST(5550000 + doc_id AS STRING)"
+        " ELSE '' END"
+    )
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(inject))
+    return pii_scrub(docs)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any
     word n-gram with a deterministic synthetic eval set (doc_id % 97).
@@ -1911,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "seq_packing": q_seq_packing,
         "corpus_pipeline": q_corpus_pipeline,
@@ -3561,6 +3584,12 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_pii_scrub() -> str:
+    from geokit_spark.oracle import qualitysql
+
+    return qualitysql.pii_scrub_sql()
+
+
 def _o_decontaminate() -> str:
     from geokit_spark.oracle import qualitysql
 
@@ -3877,6 +3906,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "pii_scrub": _o_pii_scrub(),
         "decontaminate": _o_decontaminate(),
         "seq_packing": _o_seq_packing(),
         "corpus_pipeline": _o_corpus_pipeline(),

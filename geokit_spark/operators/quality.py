@@ -201,6 +201,63 @@ def filter_noindex(pages: DataFrame) -> DataFrame:
     return pages.filter(~robots_noindex())
 
 
+def _email_cond(tok: str = "t") -> str:
+    """SQL boolean over a token: email-shaped (single '@', local part
+    non-empty, '.' strictly inside the domain)."""
+    return (
+        f"(instr({tok}, '@') >= 2"
+        f" AND instr(substr({tok}, instr({tok}, '@') + 1), '@') = 0"
+        f" AND instr(substr({tok}, instr({tok}, '@') + 1), '.') >= 2"
+        f" AND instr(reverse(substr({tok}, instr({tok}, '@') + 1)), '.')"
+        f" >= 2)"
+    )
+
+
+def _phone_cond(tok: str = "t") -> str:
+    """SQL boolean over a token: digit run of >= 7 chars."""
+    return (
+        f"(length({tok}) >= 7"
+        f" AND translate({tok}, '0123456789', '') = '')"
+    )
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction (the C4/CCNet scrub stage): flag and
+    replace email-shaped tokens with <EMAIL> and long digit runs
+    (>= 7) with <PHONE>. Regex-free — position/translate arithmetic
+    only, so the same rule states in Spark and the DuckDB oracle.
+
+    Output per doc: n_emails, n_phones, has_pii, and md5 of the
+    redacted text (space-rejoined tokens) as the redaction audit.
+
+    100-TB shape: fully narrow — per-row JVM expressions pipelined
+    with the scan, no shuffle, no UDF."""
+    toks = f"split({text_col}, ' ')"
+    em = _email_cond("t")
+    ph = _phone_cond("t")
+    n_emails = F.expr(
+        f"size(filter({toks}, t -> {em}))"
+    ).cast("long")
+    n_phones = F.expr(
+        f"size(filter({toks}, t -> NOT {em} AND {ph}))"
+    ).cast("long")
+    red = F.expr(
+        f"concat_ws(' ', transform({toks}, t -> CASE"
+        f" WHEN {em} THEN '<EMAIL>'"
+        f" WHEN {ph} THEN '<PHONE>'"
+        f" ELSE t END))"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        (F.expr(f"size(filter({toks}, t -> {em} OR {ph}))") > 0).alias(
+            "has_pii"
+        ),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
 DECON_N = 13  # word n-gram width of the published decontamination rule
 DECON_EVAL_MOD = 97  # deterministic synthetic eval set: doc_id % 97 == 0
 

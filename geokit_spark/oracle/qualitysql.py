@@ -164,6 +164,52 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
 """
 
 
+PII_INJECT_DUCK = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 1 THEN"
+    " ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.org today'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 3 OR doc_id % 7 = 2 THEN"
+    " ' call ' || CAST(5550000 + doc_id AS VARCHAR)"
+    " ELSE '' END"
+)
+
+
+def pii_scrub_sql() -> str:
+    """operators.quality.pii_scrub mirror over the deterministically
+    PII-injected corpus. The token predicates are imported VERBATIM
+    from the engine (instr/substr/reverse/translate are
+    dialect-identical); only the array wrappers differ
+    (len/list_filter/list_transform/array_to_string vs
+    size/filter/transform/concat_ws)."""
+    from ..operators.quality import _email_cond, _phone_cond
+
+    em = _email_cond("t")
+    ph = _phone_cond("t")
+    red = (
+        f"array_to_string(list_transform(w, t -> CASE"
+        f" WHEN {em} THEN '<EMAIL>'"
+        f" WHEN {ph} THEN '<PHONE>'"
+        f" ELSE t END), ' ')"
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id, {PII_INJECT_DUCK} AS text FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM injected
+)
+SELECT doc_id,
+  CAST(len(list_filter(w, t -> {em})) AS BIGINT) AS n_emails,
+  CAST(len(list_filter(w, t -> NOT {em} AND {ph})) AS BIGINT)
+    AS n_phones,
+  len(list_filter(w, t -> {em} OR {ph})) > 0 AS has_pii,
+  md5({red}) AS redacted_md5
+FROM toks
+"""
+
+
 def decontaminate_sql(n: int = 13, eval_mod: int = 97) -> str:
     """operators.quality.decontaminate mirror: same word-split gram
     convention as gopher_repetition_sql, distinct grams per doc LEFT

@@ -227,3 +227,45 @@ def test_decontaminate_plan_broadcast_one_shuffle(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_hand_cases(spark):
+    # decoys that must NOT match: double '@', dot at domain end, empty
+    # local part, empty domain-dot prefix, 6-digit run; matches: plain
+    # email, 7-digit run
+    docs = _docs(
+        spark,
+        [
+            "mail bob@site.org now",          # 0: one email
+            "call 5551234 ok",                # 1: one phone
+            "a@@b.c dot@end. @start.com x@.y 123456",  # 2: all decoys
+            "bob@site.org 5551234",           # 3: both
+            "plain words only here",          # 4: clean
+        ],
+    )
+    out = {r.doc_id: r for r in Q.pii_scrub(docs).collect()}
+    assert (out[0].n_emails, out[0].n_phones, out[0].has_pii) == (1, 0, True)
+    assert (out[1].n_emails, out[1].n_phones, out[1].has_pii) == (0, 1, True)
+    assert (out[2].n_emails, out[2].n_phones, out[2].has_pii) == (0, 0, False)
+    assert (out[3].n_emails, out[3].n_phones) == (1, 1)
+    assert (out[4].has_pii, out[4].n_emails, out[4].n_phones) == (
+        False, 0, 0,
+    )
+    # redaction audit: doc 3 redacts to the sentinel pair
+    import hashlib
+
+    want = hashlib.md5(b"<EMAIL> <PHONE>").hexdigest()
+    assert out[3].redacted_md5 == want
+    # clean doc's redacted text is the original text
+    assert out[4].redacted_md5 == hashlib.md5(
+        b"plain words only here"
+    ).hexdigest()
+
+
+def test_pii_scrub_is_narrow(spark):
+    docs = _docs(spark, ["bob@site.org 5551234"] * 10)
+    plan = (
+        Q.pii_scrub(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
