@@ -954,6 +954,15 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixture table: per-lang token totals ->
+    temperature-0.5 sampling weights and an exact 1B-token budget
+    allocation, all in int64 except one final double division."""
+    from geokit_spark.operators.sampling import mix_weights
+
+    return mix_weights(_docs(spark, sf_dir))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a deterministically PII-injected corpus:
     email-shaped tokens and >=7-digit runs detected with regex-free
@@ -1933,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "mix_weights": q_mix_weights,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "seq_packing": q_seq_packing,
@@ -3584,6 +3594,29 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_mix_weights() -> str:
+    from geokit_spark.oracle.textsql import token_count
+
+    return f"""
+WITH agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CAST({token_count()} AS BIGINT)) AS BIGINT)
+      AS total_tokens
+  FROM documents GROUP BY lang
+),
+num AS (
+  SELECT *, CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE))) AS BIGINT)
+    AS w_num
+  FROM agg
+)
+SELECT lang, n_docs, total_tokens, w_num,
+  CAST(w_num AS DOUBLE) / CAST(SUM(w_num) OVER () AS DOUBLE) AS weight,
+  CAST((1000000000 * w_num) // (SUM(w_num) OVER ()) AS BIGINT)
+    AS alloc_tokens
+FROM num
+"""
+
+
 def _o_pii_scrub() -> str:
     from geokit_spark.oracle import qualitysql
 
@@ -3906,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "mix_weights": _o_mix_weights(),
         "pii_scrub": _o_pii_scrub(),
         "decontaminate": _o_decontaminate(),
         "seq_packing": _o_seq_packing(),

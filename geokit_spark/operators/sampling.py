@@ -88,3 +88,56 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(norm).alias("n_norm"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+def mix_weights(docs: DataFrame, budget: int = 1_000_000_000) -> DataFrame:
+    """Data-mixture weights per language (the pretraining "mixing
+    table"): temperature-0.5 sampling weights w_i ~ sqrt(tokens_i)
+    and an exact token-budget allocation.
+
+    Exactness scheme: the numerator is floor(sqrt(total_tokens)) —
+    IEEE sqrt is correctly rounded, so both engines produce the SAME
+    double and the SAME floor (and for totals < 2^52 the floor equals
+    the true integer sqrt). From there everything stays in int64: the
+    denominator is an ORDER-FREE integer sum (no cross-row float
+    accumulation anywhere), the weight is one double division of two
+    exact integers, and the budget allocation is truncating integer
+    arithmetic — all bit-reproducible at any parallelism.
+
+    100-TB shape: one hash-agg shuffle on lang (map-side combined);
+    the single-partition window runs over the BOUNDED lang dimension
+    (a handful of rows), not the corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    agg = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long"))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    num = F.floor(F.sqrt(F.col("total_tokens").cast("double"))).cast(
+        "long"
+    )
+    out = agg.withColumn("w_num", num).withColumn(
+        "w_denom",
+        F.sum("w_num").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "w_num",
+        (F.col("w_num").cast("double") / F.col("w_denom").cast("double")).alias(
+            "weight"
+        ),
+        F.expr(f"({int(budget)}L * w_num) div w_denom").alias(
+            "alloc_tokens"
+        ),
+    )

@@ -53,3 +53,38 @@ def test_normalize_text(spark):
     assert out.loc[1, "norm_md5"] == out.loc[2, "norm_md5"]
     assert out.loc[2, "norm_md5"] == out.loc[3, "norm_md5"]
     assert out.loc[1, "n_norm"] == 11
+
+
+def test_mix_weights_exact_integer_scheme(spark):
+    import math
+
+    from geokit_spark.operators.sampling import mix_weights
+
+    rows = []
+    did = 0
+    for lang, n, words in (("en", 40, 9), ("de", 10, 4), ("fr", 5, 25)):
+        for _ in range(n):
+            rows.append((did, lang, " ".join(["w"] * words)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    out = {r.lang: r for r in mix_weights(df, budget=10**9).collect()}
+    tot = {"en": 40 * 9, "de": 10 * 4, "fr": 5 * 25}
+    nums = {k: math.isqrt(v) for k, v in tot.items()}
+    denom = sum(nums.values())
+    for k, r in out.items():
+        assert r.total_tokens == tot[k]
+        assert r.w_num == nums[k]
+        assert r.weight == nums[k] / denom
+        assert r.alloc_tokens == (10**9 * nums[k]) // denom
+    # allocation never exceeds the budget
+    assert sum(r.alloc_tokens for r in out.values()) <= 10**9
+    # invariant under repartitioning
+    out2 = {
+        r.lang: r
+        for r in mix_weights(df.repartition(13), budget=10**9).collect()
+    }
+    assert {k: (v.w_num, v.weight, v.alloc_tokens) for k, v in out.items()} == {
+        k: (v.w_num, v.weight, v.alloc_tokens) for k, v in out2.items()
+    }
