@@ -328,6 +328,39 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         ).collect()
 
     timed("corpus_pipeline", run_corpus, 2 * n_cp)
+
+    # tokenize-and-pack stage: the concat-and-chunk pretraining
+    # layout (operators/packing) — tokenize, one (lang, shard) hash
+    # exchange with in-partition cumsum windows (256-doc shards, no
+    # global sort), then the per-lang audit agg. All JVM; measures
+    # the window machinery a 100-TB pack job is built on.
+    from geokit_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    n_pk = max(n_docs // 8, 10_000)
+    seq_pk = iter(range(100))
+
+    def run_pack():
+        off = next(seq_pk)
+        d = spark.range(off, n_pk + off, 1, parts).select(
+            (F.col("id") - off).alias("doc_id"),
+        ).select(
+            "doc_id",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("lang"),
+            F.expr(
+                "repeat('tok ', cast(8 + doc_id % 41 as int))"
+            ).alias("text"),
+        )
+        packing_stats(
+            pack_sequences(d, context_len=512, shard_docs=256)
+        ).collect()
+
+    timed("seq_packing", run_pack, n_pk)
     return results
 
 
@@ -426,7 +459,7 @@ def main():
         "tiling_cell_counts", "pip_region_semi_join", "pip_zones_join",
         "extract_values", "knn_ring", "minhash_signatures",
         "html_extract", "simhash_near", "ann_topk", "ann_topk_large",
-        "pagerank", "corpus_pipeline",
+        "pagerank", "corpus_pipeline", "seq_packing",
     ]
     docs_per_sec = {
         k: int(results[k][1] / results[k][0])

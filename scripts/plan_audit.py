@@ -29,7 +29,8 @@ NAMES = [
     "pagerank", "host_locality", "snapshot_reads", "corpus_pipeline",
     "corpus_incremental", "mirror_clusters", "url_filter",
     "domain_cap", "link_depth", "noindex_filter", "anchor_stats",
-    "host_graph",
+    "host_graph", "seq_packing", "decontaminate", "pii_scrub",
+    "mix_weights",
 ]
 
 
@@ -131,6 +132,16 @@ def main():
         "- `host_graph`: ONE dst_id-keyed join (AQE picks the side to",
         "  broadcast at this sf; at cluster scale both sides",
         "  co-partition on the id key) + the final rollup.",
+        "- `seq_packing`: one (lang, shard) hash exchange with",
+        "  in-partition window cumsum (shards are 256-doc bounded, no",
+        "  global sort) + the per-lang audit agg.",
+        "- `decontaminate`: distinct eval grams build on the tiny eval",
+        "  side and BROADCAST; the corpus side is explode_outer ->",
+        "  broadcast hash probe -> one doc_id agg shuffle.",
+        "- `pii_scrub` is fully narrow (position-arithmetic token",
+        "  predicates fused with the scan; 0 shuffles); `mix_weights`",
+        "  is one lang hash-agg — its single-partition window runs",
+        "  over the bounded lang dimension, not the corpus.",
         "",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
