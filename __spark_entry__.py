@@ -954,6 +954,15 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pretraining corpus shuffle: every doc placed at
+    a pseudorandom (shard, pos) via the bounded-LCG key — one shard
+    exchange + in-partition rank, reproducible at any parallelism."""
+    from geokit_spark.operators.packing import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir), n_shards=16)
+
+
 def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining data-mixture table: per-lang token totals ->
     temperature-0.5 sampling weights and an exact 1B-token budget
@@ -1942,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "corpus_shuffle": q_corpus_shuffle,
         "mix_weights": q_mix_weights,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -3594,6 +3604,28 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_corpus_shuffle() -> str:
+    from geokit_spark.operators.packing import (
+        SHUF_A, SHUF_B, SHUF_C, SHUF_MOD, SHUF_PRIME,
+    )
+
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+    ((doc_id % {SHUF_PRIME}) * {SHUF_A}
+     + (doc_id // {SHUF_PRIME}) * {SHUF_B}
+     + {SHUF_C}) % {SHUF_MOD} AS skey
+  FROM documents
+)
+SELECT doc_id,
+  CAST(skey % 16 AS BIGINT) AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY skey % 16 ORDER BY skey, doc_id
+  ) - 1 AS BIGINT) AS pos
+FROM keyed
+"""
+
+
 def _o_mix_weights() -> str:
     from geokit_spark.oracle.textsql import token_count
 
@@ -3939,6 +3971,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "corpus_shuffle": _o_corpus_shuffle(),
         "mix_weights": _o_mix_weights(),
         "pii_scrub": _o_pii_scrub(),
         "decontaminate": _o_decontaminate(),

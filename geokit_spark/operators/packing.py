@@ -90,3 +90,48 @@ def packing_stats(packed: DataFrame) -> DataFrame:
         F.sum(F.col("crosses").cast("long")).alias("n_crossing"),
         F.sum(chk).cast("long").alias("checksum"),
     )
+
+
+SHUF_PRIME = 999_983
+SHUF_A = 2_654_435_761
+SHUF_B = 40_503
+SHUF_C = 12_345
+SHUF_MOD = 2_147_483_647
+
+
+def shuffle_key(doc_id_col: str = "doc_id") -> "F.Column":
+    """Deterministic pseudorandom sort key in [0, 2^31): a bounded
+    LCG mix of the doc_id's low and high parts (the repo-wide
+    overflow-safe hash family — Spark 4 ANSI mode and DuckDB both
+    fault on int64 wraparound, so no splitmix-style full-width
+    multiplies). Collisions are broken by doc_id downstream, so the
+    induced permutation is total and engine-independent."""
+    return F.expr(
+        f"(({doc_id_col} % {SHUF_PRIME}) * {SHUF_A}"
+        f" + ({doc_id_col} div {SHUF_PRIME}) * {SHUF_B}"
+        f" + {SHUF_C}) % {SHUF_MOD}"
+    )
+
+
+def corpus_shuffle(docs: DataFrame, n_shards: int = 64) -> DataFrame:
+    """The pretraining corpus shuffle: place every document at a
+    deterministic pseudorandom position of a deterministic shard —
+    (doc_id) -> (shard, pos) with shard = key % n_shards and pos the
+    rank of (key, doc_id) within the shard. Reproducible across
+    retries, engines, and parallelism (the property a resumable
+    100-TB shuffle job needs — rand() is none of these).
+
+    100-TB shape: one hash exchange on shard + an in-partition sort;
+    shard count is chosen so a shard fits one task (n/n_shards docs),
+    so there is never a global sort. Exactly the physical layout of
+    writing shuffled training shards."""
+    from pyspark.sql import Window
+
+    key = shuffle_key("doc_id").alias("skey")
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        docs.select("doc_id", key)
+        .withColumn("shard", (F.col("skey") % F.lit(int(n_shards))).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .select("doc_id", "shard", "pos")
+    )

@@ -112,3 +112,47 @@ def test_plan_shape_single_exchange_before_agg(spark):
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
     assert plan.lower().count("exchange hashpartitioning") == 1
+
+
+def test_corpus_shuffle_is_permutation(spark):
+    from geokit_spark.operators.packing import corpus_shuffle
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    out = corpus_shuffle(docs, n_shards=8).collect()
+    assert len(out) == 300
+    assert {r.doc_id for r in out} == set(range(300))
+    # per-shard positions are exactly 0..n_shard-1 (dense rank, no
+    # gaps, no dupes)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # the permutation actually shuffles: within some shard, ascending
+    # pos does not mean ascending doc_id
+    scrambled = any(
+        [d for _, d in sorted(
+            (r.pos, r.doc_id) for r in out if r.shard == s
+        )] != sorted(
+            r.doc_id for r in out if r.shard == s
+        )
+        for s in by_shard
+    )
+    assert scrambled
+
+
+def test_corpus_shuffle_parallelism_invariant(spark):
+    from geokit_spark.operators.packing import corpus_shuffle
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    a = sorted(
+        map(tuple, corpus_shuffle(docs.repartition(1), 8).collect())
+    )
+    b = sorted(
+        map(tuple, corpus_shuffle(docs.repartition(16), 8).collect())
+    )
+    assert a == b
