@@ -954,6 +954,64 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction on the snapshot table: three append
+    commits -> compact (one rewritten dir, v4) -> one more append
+    (v5). Checks the Iceberg maintenance rules the Spark side must
+    EARN through the manifest protocol: the rewrite preserves the row
+    multiset (v4 == v3 totals), incremental readers SKIP the rewrite
+    ((2,4] equals the v3 append; a pure-rewrite range raises), and
+    post-compaction appends diff normally ((3,5] = the v5 slice)."""
+    import tempfile
+
+    from geokit_spark.sources.snapshots import SnapshotTable
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="geokit_snapc_")
+    t = SnapshotTable(root)
+    for c in range(3):
+        t.commit_append(
+            docs.filter(F.col("doc_id") % 3 == c),
+            commit_key=f"slice-{c}",
+            logical_ts=c,
+        )
+    v4 = t.compact(spark, commit_key="cmp-1")
+    assert t.compact(spark, commit_key="cmp-1") == v4 == 4, (
+        "compaction retry must be an idempotent no-op"
+    )
+    try:
+        t.read_incremental(spark, 3, 4)
+        raise AssertionError("pure-rewrite range must raise")
+    except ValueError:
+        pass
+    t.commit_append(
+        docs.filter(F.col("doc_id") % 97 == 1),
+        commit_key="late",
+        logical_ts=9,
+    )
+    frames = []
+    for v, inc_from in ((3, 2), (4, 2), (5, 3)):
+        full = t.read(spark, v).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        inc = t.read_incremental(spark, inc_from, v).agg(
+            F.count("*").alias("inc_rows")
+        )
+        frames.append(
+            full.crossJoin(inc).select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "sum_doc_id",
+                "inc_rows",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pretraining corpus shuffle: every doc placed at
     a pseudorandom (shard, pos) via the bounded-LCG key — one shard
@@ -1951,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "snapshot_compact": q_snapshot_compact,
         "corpus_shuffle": q_corpus_shuffle,
         "mix_weights": q_mix_weights,
         "pii_scrub": q_pii_scrub,
@@ -3604,6 +3663,31 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_snapshot_compact() -> str:
+    # the oracle derives every count/sum from divisibility; the Spark
+    # side earns them through the real manifest protocol (rewrite,
+    # chain-walk incremental reads, idempotent retries)
+    return """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS s
+  FROM documents
+),
+s2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id % 3 = 2
+),
+s97 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS s
+  FROM documents WHERE doc_id % 97 = 1
+)
+SELECT 3 AS version, base.n AS n_rows, base.s AS sum_doc_id,
+  s2.n AS inc_rows FROM base, s2
+UNION ALL
+SELECT 4, base.n, base.s, s2.n FROM base, s2
+UNION ALL
+SELECT 5, base.n + s97.n, base.s + s97.s, s97.n FROM base, s97
+"""
+
+
 def _o_corpus_shuffle() -> str:
     from geokit_spark.operators.packing import (
         SHUF_A, SHUF_B, SHUF_C, SHUF_MOD, SHUF_PRIME,
@@ -3971,6 +4055,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "snapshot_compact": _o_snapshot_compact(),
         "corpus_shuffle": _o_corpus_shuffle(),
         "mix_weights": _o_mix_weights(),
         "pii_scrub": _o_pii_scrub(),

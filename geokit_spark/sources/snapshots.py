@@ -140,17 +140,105 @@ class SnapshotTable:
         self, spark: SparkSession, from_version: int, to_version: int
     ) -> DataFrame:
         """Rows appended strictly after from_version, up to and
-        including to_version (from_version=0 means everything)."""
+        including to_version (from_version=0 means everything).
+
+        Walks the version chain and collects ``added_dirs`` of APPEND
+        commits only — a compaction commit rewrites existing rows
+        without adding any, so an incremental consumer must skip it
+        (the Iceberg incremental-append-scan rule). Raises if the
+        range crosses an expired (no longer retained) manifest."""
         if to_version <= from_version:
             raise ValueError("to_version must be > from_version")
-        base = (
-            set(self.manifest(from_version)["data_dirs"])
-            if from_version
-            else set()
-        )
-        dirs = [
-            d
-            for d in self.manifest(to_version)["data_dirs"]
-            if d not in base
-        ]
+        dirs: list[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            man = self.manifest(v)
+            if man.get("operation", "append") == "append":
+                dirs.extend(man["added_dirs"])
+        if not dirs:
+            raise ValueError(
+                "no appended rows in range — every commit in "
+                f"({from_version}, {to_version}] is a rewrite"
+            )
         return spark.read.parquet(*dirs)
+
+    # -- maintenance (the Iceberg compact / expire pair) ---------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        commit_key: str,
+        n_partitions: int | None = None,
+    ) -> int:
+        """Rewrite the CURRENT snapshot's accumulated per-commit
+        directories into one directory and publish it as a new
+        version (operation='compact'). Old versions keep reading
+        their original dirs (time travel intact) until expire();
+        incremental readers skip the rewrite by the append-only chain
+        rule above. Idempotent under commit_key retry. At 100-TB
+        scale this is the small-file compaction an ingest that
+        commits every few minutes needs — manifest length and
+        file-open cost reset to O(1) without blocking readers."""
+        existing = self._find_commit(commit_key)
+        if existing is not None:
+            return existing
+        parent = self.current_version()
+        if parent == 0:
+            raise ValueError("nothing to compact: no commits")
+        version = parent + 1
+        data_sub = os.path.join(self.data_dir, f"s{version}-{commit_key}")
+        df = self.read(spark, parent)
+        if n_partitions is not None:
+            df = df.repartition(int(n_partitions))
+        df.write.mode("errorifexists").parquet(data_sub)
+        man = {
+            "version": version,
+            "parent": parent,
+            "commit_key": commit_key,
+            "logical_ts": self.manifest(parent).get("logical_ts", 0),
+            "operation": "compact",
+            "added_dirs": [data_sub],
+            "data_dirs": [data_sub],
+        }
+        fd, tmp = tempfile.mkstemp(
+            dir=self.manifest_dir, prefix=f".v{version}-", suffix=".tmp"
+        )
+        with os.fdopen(fd, "w") as fh:
+            json.dump(man, fh)
+        final = os.path.join(self.manifest_dir, f"v{version}.json")
+        if os.path.exists(final):
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"snapshot v{version} already committed by another writer; "
+                "re-read current_version() and retry"
+            )
+        os.rename(tmp, final)
+        return version
+
+    def expire(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` manifests, then
+        garbage-collect every data directory no retained manifest
+        references (expire_snapshots + remove_orphan_files). Returns
+        {'expired_versions': [...], 'removed_dirs': [...]}. Reads of
+        an expired version raise (its manifest is gone); the current
+        version and incremental reads within the retained window are
+        untouched."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        live: set[str] = set()
+        for v in keep:
+            live.update(self.manifest(v)["data_dirs"])
+        expired = []
+        for v in drop:
+            os.unlink(os.path.join(self.manifest_dir, f"v{v}.json"))
+            expired.append(v)
+        removed = []
+        for d in sorted(os.listdir(self.data_dir)):
+            full = os.path.join(self.data_dir, d)
+            if full not in live:
+                shutil.rmtree(full)
+                removed.append(full)
+        return {"expired_versions": expired, "removed_dirs": removed}

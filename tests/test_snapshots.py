@@ -95,3 +95,65 @@ def test_lost_race_raises(table, spark, docs, tmp_path):
     ):
         with pytest.raises(RuntimeError):
             table.commit_append(docs.limit(3), commit_key="loser", logical_ts=9)
+
+
+def test_compact_preserves_rows_and_time_travel(table, spark, docs):
+    n_all = docs.count()
+    v = table.compact(spark, commit_key="cmp-1")
+    assert v == 4
+    assert table.manifest(v)["operation"] == "compact"
+    assert len(table.manifest(v)["data_dirs"]) == 1
+    # identical row multiset after the rewrite
+    a = sorted(r.doc_id for r in table.read(spark, 3).collect())
+    b = sorted(r.doc_id for r in table.read(spark, 4).collect())
+    assert a == b and len(a) == n_all
+    # pre-compaction time travel still works (dirs not yet expired)
+    assert table.read(spark, 1).count() == docs.filter(
+        F.col("doc_id") % 3 == 0
+    ).count()
+    # idempotent retry
+    assert table.compact(spark, commit_key="cmp-1") == 4
+
+
+def test_incremental_skips_compaction_rewrite(table, spark, docs):
+    table.compact(spark, commit_key="cmp-1")  # v4
+    extra = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    table.commit_append(extra, commit_key="after-cmp")  # v5
+    # diff v3 -> v5 must contain ONLY the post-compaction append, not
+    # the rewritten copy of the whole table
+    inc = table.read_incremental(spark, 3, 5)
+    assert inc.count() == 5
+    assert {r.doc_id for r in inc.select("doc_id").collect()} == {
+        10_000 + i for i in range(5)
+    }
+    # a pure-rewrite range raises instead of double-counting
+    with pytest.raises(ValueError):
+        table.read_incremental(spark, 3, 4)
+
+
+def test_expire_gc_and_retention(table, spark, docs):
+    table.compact(spark, commit_key="cmp-1")  # v4
+    n_dirs_before = len(os.listdir(table.data_dir))
+    out = table.expire(keep_last=1)
+    assert out["expired_versions"] == [1, 2, 3]
+    # the three per-commit dirs are orphaned by the compaction and
+    # must be gone; the compacted dir survives
+    assert len(out["removed_dirs"]) == 3
+    assert len(os.listdir(table.data_dir)) == n_dirs_before - 3
+    assert table.versions() == [4]
+    # current read still exact
+    assert table.read(spark).count() == docs.count()
+    # expired version is unreachable
+    with pytest.raises(FileNotFoundError):
+        table.read(spark, 2)
+
+
+def test_expire_keeps_append_chain_dirs(table, spark):
+    # retain the last TWO versions of a pure-append history: every
+    # dir the retained manifests reference must survive
+    out = table.expire(keep_last=2)
+    assert out["expired_versions"] == [1]
+    assert out["removed_dirs"] == []  # v2/v3 still reference s1's dir
+    assert table.read(spark, 2).count() > 0
