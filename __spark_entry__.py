@@ -954,6 +954,17 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (RAG preprocessing): 32-token
+    windows every 24 tokens; md5 pins each chunk's exact text.
+    Fully narrow — explode only, no shuffle."""
+    from geokit_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, overlap=8
+    )
+
+
 def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction on the snapshot table: three append
     commits -> compact (one rewritten dir, v4) -> one more append
@@ -2009,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "rag_chunks": q_rag_chunks,
         "snapshot_compact": q_snapshot_compact,
         "corpus_shuffle": q_corpus_shuffle,
         "mix_weights": q_mix_weights,
@@ -3663,6 +3675,31 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_rag_chunks() -> str:
+    # chunk_tokens=32, overlap=8 -> stride 24; DuckDB list slices are
+    # 1-based INCLUSIVE (the gram-helper convention), Spark slice() is
+    # (start, length) — both take 32 tokens from i*24
+    return """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+nn AS (SELECT doc_id, w, len(w) AS n FROM words),
+ch AS (
+  SELECT doc_id, i AS chunk_id, i * 24 AS start_tok,
+    LEAST(32, n - i * 24) AS n_tok,
+    md5(array_to_string(w[i * 24 + 1 : i * 24 + 32], ' '))
+      AS chunk_md5
+  FROM nn, UNNEST(range(0,
+    CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END
+  )) AS t(i)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(n_tok AS BIGINT) AS n_tok, chunk_md5
+FROM ch
+"""
+
+
 def _o_snapshot_compact() -> str:
     # the oracle derives every count/sum from divisibility; the Spark
     # side earns them through the real manifest protocol (rewrite,
@@ -4055,6 +4092,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "rag_chunks": _o_rag_chunks(),
         "snapshot_compact": _o_snapshot_compact(),
         "corpus_shuffle": _o_corpus_shuffle(),
         "mix_weights": _o_mix_weights(),

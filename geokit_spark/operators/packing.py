@@ -135,3 +135,44 @@ def corpus_shuffle(docs: DataFrame, n_shards: int = 64) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long") - 1)
         .select("doc_id", "shard", "pos")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Overlapping-window document chunking (the RAG / long-context
+    preprocessing layout): token windows of ``chunk_tokens`` starting
+    every ``chunk_tokens - overlap`` tokens; the final window may be
+    short; docs shorter than one window emit exactly one chunk.
+    Output per chunk: (doc_id, chunk_id, start_tok, n_tok,
+    chunk_md5) — the md5 pins the exact text split.
+
+    100-TB shape: fully narrow — per-row chunk-count arithmetic, an
+    in-row transform over the token array, and one explode; zero
+    shuffles, zero UDFs, pipelined with the scan."""
+    c = int(chunk_tokens)
+    s = c - int(overlap)
+    if s <= 0:
+        raise ValueError("overlap must be < chunk_tokens")
+    toks = "split(text, ' ')"
+    n = f"size({toks})"
+    n_chunks = f"if({n} <= {c}, 1, ({n} - {c} + {s} - 1) div {s} + 1)"
+    chunk = (
+        f"transform(sequence(0, {n_chunks} - 1), i -> struct("
+        f" i AS chunk_id,"
+        f" i * {s} AS start_tok,"
+        f" least({c}, {n} - i * {s}) AS n_tok,"
+        f" md5(concat_ws(' ', slice({toks}, i * {s} + 1, {c})))"
+        f"  AS chunk_md5))"
+    )
+    return docs.select(
+        "doc_id", F.explode(F.expr(chunk)).alias("ch")
+    ).select(
+        "doc_id",
+        F.col("ch.chunk_id").cast("long").alias("chunk_id"),
+        F.col("ch.start_tok").cast("long").alias("start_tok"),
+        F.col("ch.n_tok").cast("long").alias("n_tok"),
+        F.col("ch.chunk_md5").alias("chunk_md5"),
+    )

@@ -156,3 +156,52 @@ def test_corpus_shuffle_parallelism_invariant(spark):
         map(tuple, corpus_shuffle(docs.repartition(16), 8).collect())
     )
     assert a == b
+
+
+def test_chunk_documents_hand_case(spark):
+    from geokit_spark.operators.packing import chunk_documents
+
+    import hashlib
+
+    # 10 tokens, chunk=4, overlap=1 -> stride 3 -> starts 0,3,6 cover
+    # tokens 0-3,3-6,6-9 (formula: (10-4+2)//3+1 = 3 chunks)
+    toks = "a b c d e f g h i j".split()
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks))], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.start_tok, r.n_tok) for r in out] == [
+        (0, 4), (3, 4), (6, 4),
+    ]
+    for r in out:
+        want = " ".join(toks[r.start_tok : r.start_tok + 4])
+        assert r.chunk_md5 == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from geokit_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "x")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    assert len(out) == 2
+    assert all(r.chunk_id == 0 and r.start_tok == 0 for r in out)
+    assert {r.doc_id: r.n_tok for r in out} == {0: 2, 1: 1}
+
+
+def test_chunk_documents_is_narrow(spark):
+    from geokit_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        chunk_documents(docs, 4, 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
