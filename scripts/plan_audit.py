@@ -30,7 +30,7 @@ NAMES = [
     "corpus_incremental", "mirror_clusters", "url_filter",
     "domain_cap", "link_depth", "noindex_filter", "anchor_stats",
     "host_graph", "seq_packing", "decontaminate", "pii_scrub",
-    "mix_weights",
+    "mix_weights", "corpus_shuffle", "rag_chunks", "snapshot_compact",
 ]
 
 
@@ -142,6 +142,11 @@ def main():
         "  predicates fused with the scan; 0 shuffles); `mix_weights`",
         "  is one lang hash-agg — its single-partition window runs",
         "  over the bounded lang dimension, not the corpus.",
+        "- `corpus_shuffle`: one shard exchange + in-partition rank;",
+        "  `rag_chunks` is explode-only (0 shuffles); ",
+        "  `snapshot_compact` is a protocol demo over scalar rows",
+        "  (per-version 1-row aggs combined by broadcast nest, like",
+        "  snapshot_reads).",
         "",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
