@@ -954,6 +954,22 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-header plumbing made real: standards-valid PNG (IHDR +
+    true CRC32) / JPEG (marker stream with a per-doc variable-length
+    COM segment before SOF0 — fixed-offset peeking cannot pass) /
+    GIF89a containers are BUILT per document, then (fmt, width,
+    height) parsed BACK byte-wise. The oracle derives the expected
+    values structurally; Spark earns them through real serialization
+    + a real marker-walking parser."""
+    from geokit_spark.operators.multimodal import (
+        build_image_payload,
+        image_meta,
+    )
+
+    return image_meta(build_image_payload(_docs(spark, sf_dir)))
+
+
 def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window chunking (RAG preprocessing): 32-token
     windows every 24 tokens; md5 pins each chunk's exact text.
@@ -2020,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "image_meta": q_image_meta,
         "rag_chunks": q_rag_chunks,
         "snapshot_compact": q_snapshot_compact,
         "corpus_shuffle": q_corpus_shuffle,
@@ -3675,6 +3692,17 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_image_meta() -> str:
+    return """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+    ELSE 'gif' END AS fmt,
+  CAST(16 + (doc_id * 13) % 1000 AS BIGINT) AS width,
+  CAST(16 + (doc_id * 7) % 800 AS BIGINT) AS height
+FROM documents
+"""
+
+
 def _o_rag_chunks() -> str:
     # chunk_tokens=32, overlap=8 -> stride 24; DuckDB list slices are
     # 1-based INCLUSIVE (the gram-helper convention), Spark slice() is
@@ -4092,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "image_meta": _o_image_meta(),
         "rag_chunks": _o_rag_chunks(),
         "snapshot_compact": _o_snapshot_compact(),
         "corpus_shuffle": _o_corpus_shuffle(),

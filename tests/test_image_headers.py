@@ -1,0 +1,76 @@
+"""operators.multimodal image-header builders/parser: golden bytes,
+marker walking, malformed input, distributed roundtrip."""
+
+import pytest
+
+from geokit_spark.operators.multimodal import (
+    _gif_bytes,
+    _jpeg_bytes,
+    _png_bytes,
+    build_image_payload,
+    image_meta,
+    parse_image_header,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from geokit_spark.session import get_spark
+
+    return get_spark("test-imghdr", cores=4, shuffle_partitions=4)
+
+
+def test_png_bytes_are_standards_valid():
+    import struct
+    import zlib
+
+    b = _png_bytes(640, 480)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR chunk: length 13, tag, data, CRC over tag+data
+    assert struct.unpack(">I", b[8:12])[0] == 13
+    assert b[12:16] == b"IHDR"
+    crc = struct.unpack(">I", b[29:33])[0]
+    assert crc == (zlib.crc32(b[12:29]) & 0xFFFFFFFF)
+    assert parse_image_header(b) == ("png", 640, 480)
+
+
+def test_jpeg_marker_walk_not_fixed_offset():
+    # two different COM paddings shift SOF0; both must parse
+    a = _jpeg_bytes(800, 600, pad=5)
+    b = _jpeg_bytes(800, 600, pad=27)
+    assert len(a) != len(b)
+    assert parse_image_header(a) == ("jpeg", 800, 600)
+    assert parse_image_header(b) == ("jpeg", 800, 600)
+    # the SOF0 marker is NOT at the same offset in both
+    assert a.find(b"\xff\xc0") != b.find(b"\xff\xc0")
+
+
+def test_gif_little_endian_dims():
+    assert parse_image_header(_gif_bytes(1, 65535)) == ("gif", 1, 65535)
+
+
+def test_malformed_inputs_unknown():
+    assert parse_image_header(b"") == ("unknown", None, None)
+    assert parse_image_header(None) == ("unknown", None, None)
+    assert parse_image_header(b"\xff\xd8\x00\x00") == (
+        "unknown", None, None,
+    )  # broken marker stream
+    assert parse_image_header(_png_bytes(9, 9)[:12]) == (
+        "unknown", None, None,
+    )  # truncated before IHDR data
+    # jpeg with zero-length segment must not loop forever
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x00rest") == (
+        "unknown", None, None,
+    )
+
+
+def test_distributed_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    out = {r.doc_id: r for r in image_meta(build_image_payload(docs)).collect()}
+    assert len(out) == 60
+    for d, r in out.items():
+        assert r.fmt == ("png", "jpeg", "gif")[d % 3]
+        assert r.width == 16 + (d * 13) % 1000
+        assert r.height == 16 + (d * 7) % 800
