@@ -230,6 +230,11 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output per doc: n_emails, n_phones, has_pii, and md5 of the
     redacted text (space-rejoined tokens) as the redaction audit.
 
+    Known trade-off: detection is TOKEN-granular — PII glued to
+    trailing punctuation ('bob@x.org,') is not matched; a stripping
+    pre-pass would need the same rule stated on both engines and is
+    out of scope for the parity-checked surface.
+
     100-TB shape: fully narrow — per-row JVM expressions pipelined
     with the scan, no shuffle, no UDF."""
     toks = f"split({text_col}, ' ')"
