@@ -954,6 +954,19 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-header plumbing made real: standards-valid RIFF/WAVE
+    containers (variable-length LIST chunk before 'fmt ' — the reader
+    must walk chunks) built per doc and parsed back byte-wise;
+    duration in exact int64 ms."""
+    from geokit_spark.operators.multimodal import (
+        audio_meta,
+        build_audio_payload,
+    )
+
+    return audio_meta(build_audio_payload(_docs(spark, sf_dir)))
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-header plumbing made real: standards-valid PNG (IHDR +
     true CRC32) / JPEG (marker stream with a per-doc variable-length
@@ -2036,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "audio_meta": q_audio_meta,
         "image_meta": q_image_meta,
         "rag_chunks": q_rag_chunks,
         "snapshot_compact": q_snapshot_compact,
@@ -3692,6 +3706,26 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_audio_meta() -> str:
+    return """
+WITH p AS (
+  SELECT doc_id,
+    1 + doc_id % 2 AS channels,
+    8000 * (1 + doc_id % 5) AS sample_rate,
+    8 * (1 + doc_id % 3) AS bits,
+    100 + (doc_id * 17) % 4000 AS n_samples
+  FROM documents
+)
+SELECT doc_id,
+  CAST(channels AS BIGINT) AS channels,
+  CAST(sample_rate AS BIGINT) AS sample_rate,
+  CAST(bits AS BIGINT) AS bits,
+  CAST(n_samples AS BIGINT) AS n_samples,
+  CAST((n_samples * 1000) // sample_rate AS BIGINT) AS duration_ms
+FROM p
+"""
+
+
 def _o_image_meta() -> str:
     return """
 SELECT doc_id,
@@ -4120,6 +4154,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "audio_meta": _o_audio_meta(),
         "image_meta": _o_image_meta(),
         "rag_chunks": _o_rag_chunks(),
         "snapshot_compact": _o_snapshot_compact(),

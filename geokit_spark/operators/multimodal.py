@@ -453,3 +453,143 @@ def image_meta(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
     return src.mapInPandas(
         fn, schema="doc_id long, fmt string, width long, height long"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio headers (RIFF/WAVE). Same contract as the image branch:
+# the builder emits standards-valid RIFF containers — with a
+# variable-length LIST(INFO) chunk BEFORE 'fmt ' so the reader must
+# walk chunks — and the parser recovers (channels, sample_rate,
+# bits, n_samples) byte-wise; only PCM sample decode is out of scope.
+
+
+def audio_params(doc_id: np.ndarray):
+    """Closed-form per-doc audio parameters (mirrored by the SQL
+    oracle). duration_ms = n_samples * 1000 div sample_rate stays in
+    exact int64."""
+    d = np.asarray(doc_id, dtype=np.int64)
+    channels = 1 + d % 2
+    sample_rate = 8000 * (1 + d % 5)
+    bits = 8 * (1 + d % 3)  # 8 / 16 / 24
+    n_samples = 100 + (d * 17) % 4000
+    return channels, sample_rate, bits, n_samples
+
+
+def _wav_bytes(
+    channels: int, rate: int, bits: int, n_samples: int, pad: int
+) -> bytes:
+    import struct
+
+    block = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+    )
+    info = b"INFO" + b"x" * pad
+    if len(info) % 2:  # RIFF chunks are word-aligned
+        info += b"\x00"
+    data_len = n_samples * block
+    chunks = [
+        b"LIST" + struct.pack("<I", len(info)) + info,
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt,
+        b"data" + struct.pack("<I", data_len),  # sizes only; no PCM
+    ]
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_audio_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real RIFF/WAVE header container per doc
+    (headers + declared data size; PCM body elided — at 100 TB the
+    metadata pass must not read sample bytes anyway)."""
+    src = docs.select("doc_id")
+
+    def fn(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            ch, sr, bi, ns = audio_params(ids)
+            payloads = [
+                _wav_bytes(
+                    int(ch[i]), int(sr[i]), int(bi[i]), int(ns[i]),
+                    pad=4 + int(d) % 19,
+                )
+                for i, d in enumerate(ids)
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(fn, schema="doc_id long, payload binary")
+
+
+def parse_wav_header(buf: bytes):
+    """Walk RIFF chunks to 'fmt ' and 'data': (channels, sample_rate,
+    bits, n_samples) or None on malformed input. Word-aligned chunk
+    advance, bounds-checked — the shape of a real WAV reader."""
+    if buf is None:
+        return None
+    b = bytes(buf)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    off = 12
+    fmt = data_len = None
+    while off + 8 <= len(b):
+        tag = b[off : off + 4]
+        size = int.from_bytes(b[off + 4 : off + 8], "little")
+        if tag == b"fmt " and off + 8 + 16 <= len(b):
+            fmt = b[off + 8 : off + 8 + 16]
+        elif tag == b"data":
+            data_len = size
+        off += 8 + size + (size % 2)
+    if fmt is None or data_len is None:
+        return None
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    block = channels * (bits // 8)
+    if block == 0 or data_len % block:
+        return None
+    return channels, rate, bits, data_len // block
+
+
+def audio_meta(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, channels, sample_rate, bits, n_samples, duration_ms)
+    parsed byte-wise; duration is exact int64 (n_samples * 1000 div
+    sample_rate)."""
+    src = pages.select("doc_id", payload_col)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "channels", "sample_rate", "bits", "n_samples",
+                    "duration_ms",
+                )
+            }
+            for buf in pdf[payload_col]:
+                p = parse_wav_header(buf)
+                if p is None:
+                    for k in rows:
+                        rows[k].append(None)
+                else:
+                    ch, sr, bi, ns = p
+                    rows["channels"].append(ch)
+                    rows["sample_rate"].append(sr)
+                    rows["bits"].append(bi)
+                    rows["n_samples"].append(ns)
+                    rows["duration_ms"].append(ns * 1000 // sr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        k: pd.array(v, dtype="Int64")
+                        for k, v in rows.items()
+                    },
+                }
+            )
+
+    return src.mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, channels long, sample_rate long, bits long, "
+            "n_samples long, duration_ms long"
+        ),
+    )

@@ -74,3 +74,52 @@ def test_distributed_roundtrip(spark):
         assert r.fmt == ("png", "jpeg", "gif")[d % 3]
         assert r.width == 16 + (d * 13) % 1000
         assert r.height == 16 + (d * 7) % 800
+
+
+def test_wav_chunk_walk_and_alignment():
+    from geokit_spark.operators.multimodal import (
+        _wav_bytes,
+        parse_wav_header,
+    )
+
+    # odd INFO pad exercises the word-alignment advance
+    for pad in (4, 5, 18):
+        b = _wav_bytes(2, 48000, 24, 999, pad=pad)
+        assert parse_wav_header(b) == (2, 48000, 24, 999)
+    # fmt offset varies with pad — chunk walking is real
+    a = _wav_bytes(1, 8000, 8, 10, pad=4)
+    c = _wav_bytes(1, 8000, 8, 10, pad=18)
+    assert a.find(b"fmt ") != c.find(b"fmt ")
+    # malformed: data size not divisible by block
+    import struct
+
+    broken = bytearray(_wav_bytes(2, 8000, 16, 10, pad=4))
+    i = bytes(broken).find(b"data")
+    broken[i + 4 : i + 8] = struct.pack("<I", 41)  # 41 % 4 != 0
+    assert parse_wav_header(bytes(broken)) is None
+    assert parse_wav_header(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_audio_roundtrip_distributed(spark):
+    from geokit_spark.operators.multimodal import (
+        audio_meta,
+        audio_params,
+        build_audio_payload,
+    )
+
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    out = {
+        r.doc_id: r
+        for r in audio_meta(build_audio_payload(docs)).collect()
+    }
+    ch, sr, bi, ns = audio_params(np.arange(40))
+    for d in range(40):
+        r = out[d]
+        assert (r.channels, r.sample_rate, r.bits, r.n_samples) == (
+            ch[d], sr[d], bi[d], ns[d],
+        )
+        assert r.duration_ms == int(ns[d]) * 1000 // int(sr[d])
