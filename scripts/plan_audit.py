@@ -31,6 +31,7 @@ NAMES = [
     "domain_cap", "link_depth", "noindex_filter", "anchor_stats",
     "host_graph", "seq_packing", "decontaminate", "pii_scrub",
     "mix_weights", "corpus_shuffle", "rag_chunks", "snapshot_compact",
+    "image_meta", "audio_meta",
 ]
 
 
@@ -142,6 +143,10 @@ def main():
         "  predicates fused with the scan; 0 shuffles); `mix_weights`",
         "  is one lang hash-agg — its single-partition window runs",
         "  over the bounded lang dimension, not the corpus.",
+        "- `image_meta` / `audio_meta`: build + byte-parse are two",
+        "  chained mapInPandas stages, 0 shuffles — header scans",
+        "  pipeline with the scan; payload pruned for metadata-only",
+        "  consumers.",
         "- `corpus_shuffle`: one shard exchange + in-partition rank;",
         "  `rag_chunks` is explode-only (0 shuffles); ",
         "  `snapshot_compact` is a protocol demo over scalar rows",
