@@ -954,6 +954,46 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+_PII_INJECT_SPARK = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 1 THEN"
+    " ' contact user' || CAST(doc_id AS STRING)"
+    " || '@mail' || CAST(doc_id % 7 AS STRING) || '.org today'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 3 OR doc_id % 7 = 2 THEN"
+    " ' call ' || CAST(5550000 + doc_id AS STRING)"
+    " ELSE '' END"
+)
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition of the curation block: PII-injected
+    corpus -> 5-gram eval decontamination -> removal via BROADCAST
+    ANTI join (the contaminated list is tiny, so the corpus never
+    shuffles for the filter) -> PII redaction (narrow) -> per-lang
+    data-mixture table over the CLEANED, REDACTED token counts.
+    3 shuffles end-to-end (eval distinct, decon agg, lang agg)."""
+    from geokit_spark.operators.quality import (
+        DECON_EVAL_MOD,
+        decontaminate,
+        redacted_text_expr,
+    )
+    from geokit_spark.operators.sampling import mix_weights
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.expr(_PII_INJECT_SPARK)
+    )
+    eval_docs = docs.filter((F.col("doc_id") % DECON_EVAL_MOD) == 0)
+    bad = (
+        decontaminate(docs, eval_docs, n=5)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    clean = docs.join(F.broadcast(bad), "doc_id", "left_anti")
+    red = clean.withColumn("text", F.expr(redacted_text_expr("text")))
+    return mix_weights(red, budget=10**9)
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-header plumbing made real: standards-valid RIFF/WAVE
     containers (variable-length LIST chunk before 'fmt ' — the reader
@@ -1078,17 +1118,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no UDF; the scan pipelines straight through."""
     from geokit_spark.operators.quality import pii_scrub
 
-    inject = (
-        "text"
-        " || CASE WHEN doc_id % 5 = 1 THEN"
-        " ' contact user' || CAST(doc_id AS STRING)"
-        " || '@mail' || CAST(doc_id % 7 AS STRING) || '.org today'"
-        " ELSE '' END"
-        " || CASE WHEN doc_id % 5 = 3 OR doc_id % 7 = 2 THEN"
-        " ' call ' || CAST(5550000 + doc_id AS STRING)"
-        " ELSE '' END"
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.expr(_PII_INJECT_SPARK)
     )
-    docs = _docs(spark, sf_dir).withColumn("text", F.expr(inject))
     return pii_scrub(docs)
 
 
@@ -2049,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "training_mix": q_training_mix,
         "audio_meta": q_audio_meta,
         "image_meta": q_image_meta,
         "rag_chunks": q_rag_chunks,
@@ -3706,6 +3739,65 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_training_mix() -> str:
+    from geokit_spark.operators.quality import _email_cond, _phone_cond
+    from geokit_spark.oracle.qualitysql import PII_INJECT_DUCK
+    from geokit_spark.oracle.textsql import token_count
+
+    em = _email_cond("t")
+    ph = _phone_cond("t")
+    red = (
+        f"array_to_string(list_transform(string_split(text, ' '),"
+        f" t -> CASE WHEN {em} THEN '<EMAIL>'"
+        f" WHEN {ph} THEN '<PHONE>' ELSE t END), ' ')"
+    )
+    gram = "array_to_string(w[i:i + 4], ' ')"
+    unn = "UNNEST(range(1, GREATEST(len(w) - 4, 0) + 1)) AS t(i)"
+    return f"""
+WITH injected AS (
+  SELECT doc_id, lang, {PII_INJECT_DUCK} AS text FROM documents
+),
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM injected
+),
+eval_grams AS (
+  SELECT DISTINCT {gram} AS gram FROM words, {unn}
+  WHERE doc_id % 97 = 0
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id, {gram} AS gram FROM words, {unn}
+),
+bad AS (
+  SELECT DISTINCT g.doc_id
+  FROM doc_grams g JOIN eval_grams e USING (gram)
+),
+clean AS (
+  SELECT i.doc_id, i.lang, i.text
+  FROM injected i LEFT JOIN bad b USING (doc_id)
+  WHERE b.doc_id IS NULL
+),
+red AS (
+  SELECT doc_id, lang, {red} AS text FROM clean
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CAST({token_count()} AS BIGINT)) AS BIGINT)
+      AS total_tokens
+  FROM red GROUP BY lang
+),
+num AS (
+  SELECT *, CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE))) AS BIGINT)
+    AS w_num
+  FROM agg
+)
+SELECT lang, n_docs, total_tokens, w_num,
+  CAST(w_num AS DOUBLE) / CAST(SUM(w_num) OVER () AS DOUBLE) AS weight,
+  CAST((1000000000 * w_num) // (SUM(w_num) OVER ()) AS BIGINT)
+    AS alloc_tokens
+FROM num
+"""
+
+
 def _o_audio_meta() -> str:
     return """
 WITH p AS (
@@ -4154,6 +4246,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "training_mix": _o_training_mix(),
         "audio_meta": _o_audio_meta(),
         "image_meta": _o_image_meta(),
         "rag_chunks": _o_rag_chunks(),

@@ -221,6 +221,21 @@ def _phone_cond(tok: str = "t") -> str:
     )
 
 
+def redacted_text_expr(text_col: str = "text") -> str:
+    """SQL expression: the text with PII tokens replaced by the
+    <EMAIL>/<PHONE> sentinels (shared by pii_scrub's audit md5 and
+    pipelines that carry the redacted text forward)."""
+    toks = f"split({text_col}, ' ')"
+    em = _email_cond("t")
+    ph = _phone_cond("t")
+    return (
+        f"concat_ws(' ', transform({toks}, t -> CASE"
+        f" WHEN {em} THEN '<EMAIL>'"
+        f" WHEN {ph} THEN '<PHONE>'"
+        f" ELSE t END))"
+    )
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII detection + redaction (the C4/CCNet scrub stage): flag and
     replace email-shaped tokens with <EMAIL> and long digit runs
@@ -246,12 +261,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_phones = F.expr(
         f"size(filter({toks}, t -> NOT {em} AND {ph}))"
     ).cast("long")
-    red = F.expr(
-        f"concat_ws(' ', transform({toks}, t -> CASE"
-        f" WHEN {em} THEN '<EMAIL>'"
-        f" WHEN {ph} THEN '<PHONE>'"
-        f" ELSE t END))"
-    )
+    red = F.expr(redacted_text_expr(text_col))
     return docs.select(
         "doc_id",
         n_emails.alias("n_emails"),

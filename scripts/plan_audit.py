@@ -31,7 +31,7 @@ NAMES = [
     "domain_cap", "link_depth", "noindex_filter", "anchor_stats",
     "host_graph", "seq_packing", "decontaminate", "pii_scrub",
     "mix_weights", "corpus_shuffle", "rag_chunks", "snapshot_compact",
-    "image_meta", "audio_meta",
+    "image_meta", "audio_meta", "training_mix",
 ]
 
 
@@ -143,6 +143,12 @@ def main():
         "  predicates fused with the scan; 0 shuffles); `mix_weights`",
         "  is one lang hash-agg — its single-partition window runs",
         "  over the bounded lang dimension, not the corpus.",
+        "- `training_mix` (curation capstone: inject -> decontaminate",
+        "  -> anti-join removal -> redact -> mixture table): the",
+        "  contaminated list is tiny so the removal is a BROADCAST",
+        "  anti join — the corpus never shuffles for the filter; the",
+        "  redaction is narrow; total shuffles = eval distinct +",
+        "  decon agg + lang agg.",
         "- `image_meta` / `audio_meta`: build + byte-parse are two",
         "  chained mapInPandas stages, 0 shuffles — header scans",
         "  pipeline with the scan; payload pruned for metadata-only",
