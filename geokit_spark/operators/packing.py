@@ -100,7 +100,7 @@ SHUF_MOD = 2_147_483_647
 
 
 def shuffle_key(doc_id_col: str = "doc_id") -> "F.Column":
-    """Deterministic pseudorandom sort key in [0, 2^31): a bounded
+    """Deterministic pseudorandom sort key in [0, 2^31 - 1): a bounded
     LCG mix of the doc_id's low and high parts (the repo-wide
     overflow-safe hash family — Spark 4 ANSI mode and DuckDB both
     fault on int64 wraparound, so no splitmix-style full-width
