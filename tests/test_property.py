@@ -260,3 +260,63 @@ def test_wkb_polygon_rings_roundtrip(rings):
         if closed[0] != closed[-1]:
             closed.append(closed[0])
         assert np.allclose(arr, closed)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    c=st.integers(min_value=2, max_value=64),
+    ov_frac=st.integers(min_value=0, max_value=90),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_formula_covers_every_token(n, c, ov_frac):
+    """The chunk-count/start arithmetic of operators.packing.
+    chunk_documents (same closed forms, plain Python): windows of c
+    every s=c-overlap tokens must cover [0, n) completely, every
+    non-final window is full, and consecutive windows overlap by
+    exactly `overlap` while both are full."""
+    overlap = min(c - 1, (c * ov_frac) // 100)
+    s = c - overlap
+    n_eff = max(n, 1)  # empty text tokenizes to one token
+    n_chunks = 1 if n_eff <= c else (n_eff - c + s - 1) // s + 1
+    covered = set()
+    spans = []
+    for i in range(n_chunks):
+        start = i * s
+        length = min(c, n_eff - start)
+        assert 0 < length <= c
+        assert start < n_eff
+        spans.append((start, length))
+        covered.update(range(start, start + length))
+    assert covered == set(range(n_eff))
+    for (s0, l0), (s1, l1) in zip(spans, spans[1:]):
+        assert l0 == c  # only the final window may be short
+        assert s0 + l0 - s1 == overlap or s1 + l1 == n_eff
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=200
+    ),
+    c=st.integers(min_value=4, max_value=128),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_bins_partition_the_stream(toks, c):
+    """pack_sequences' bin arithmetic (same closed forms, plain
+    Python): per-doc [start div c, (start+max(len,1)-1) div c] spans
+    are monotone, contiguous at the stream level, and `crosses` is
+    exactly 'span wider than one bin'."""
+    start = 0
+    prev_last = 0
+    for t in toks:
+        eff = max(t, 1)
+        first = start // c
+        last = (start + eff - 1) // c
+        assert first <= last
+        assert first == start // c
+        # stream is gap-free: this doc begins in (or right after) the
+        # bin the previous doc ended in
+        assert first >= prev_last - 1 and first - prev_last <= 1
+        crosses = first != last
+        assert crosses == (start % c + eff > c)
+        prev_last = last
+        start += t
