@@ -966,6 +966,17 @@ _PII_INJECT_SPARK = (
 )
 
 
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-word filter (C4 'bad words' stage shape; the list is
+    a parameter — here two demo words, one frequent and one absent).
+    Codegen IN-set predicate, fully narrow."""
+    from geokit_spark.operators.quality import blocklist_stats
+
+    return blocklist_stats(
+        _docs(spark, sf_dir), ["vector", "lineitem"]
+    )
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition of the curation block: PII-injected
     corpus -> 5-gram eval decontamination -> removal via BROADCAST
@@ -2081,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "blocklist": q_blocklist,
         "training_mix": q_training_mix,
         "audio_meta": q_audio_meta,
         "image_meta": q_image_meta,
@@ -3739,6 +3751,22 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_blocklist() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+  CAST(len(list_filter(w, t -> t IN ('lineitem', 'vector')))
+    AS BIGINT) AS n_blocked,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(w, t -> t IN ('lineitem', 'vector')))
+    AS DOUBLE) / CAST(len(w) AS DOUBLE) AS blocked_frac,
+  len(list_filter(w, t -> t IN ('lineitem', 'vector'))) = 0 AS keep
+FROM toks
+"""
+
+
 def _o_training_mix() -> str:
     from geokit_spark.operators.quality import _email_cond, _phone_cond
     from geokit_spark.oracle.qualitysql import PII_INJECT_DUCK
@@ -4246,6 +4274,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "blocklist": _o_blocklist(),
         "training_mix": _o_training_mix(),
         "audio_meta": _o_audio_meta(),
         "image_meta": _o_image_meta(),

@@ -397,3 +397,31 @@ def span_dedup(
         )
     )
     return rebuilt
+
+
+def blocklist_stats(
+    docs: DataFrame, words: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Blocklist-word filtering (the C4 'bad words' stage, list as a
+    parameter): per doc, the count and character-exact fraction of
+    blocked tokens, and the keep verdict (zero hits). The list is a
+    compile-time literal IN-set — small by nature (hundreds of
+    words), so the predicate stays whole-stage codegen with no join
+    at all; fully narrow at any corpus size."""
+    if not words:
+        raise ValueError("blocklist is empty")
+    lst = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+    toks = f"split({text_col}, ' ')"
+    n_blocked = F.expr(
+        f"size(filter({toks}, t -> t IN ({lst})))"
+    ).cast("long")
+    n_tokens = F.expr(f"size({toks})").cast("long")
+    return docs.select(
+        "doc_id",
+        n_blocked.alias("n_blocked"),
+        n_tokens.alias("n_tokens"),
+        (
+            n_blocked.cast("double") / n_tokens.cast("double")
+        ).alias("blocked_frac"),
+        (n_blocked == 0).alias("keep"),
+    )

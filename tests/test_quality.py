@@ -269,3 +269,30 @@ def test_pii_scrub_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_blocklist_stats(spark):
+    docs = _docs(
+        spark,
+        ["bad word here", "all clean text", "bad bad bad"],
+    )
+    out = {
+        r.doc_id: r
+        for r in Q.blocklist_stats(docs, ["bad", "unused"]).collect()
+    }
+    assert (out[0].n_blocked, out[0].keep) == (1, False)
+    assert out[0].blocked_frac == 1 / 3
+    assert (out[1].n_blocked, out[1].keep) == (0, True)
+    assert (out[2].n_blocked, out[2].blocked_frac) == (3, 1.0)
+    # quoting safety + empty list guard
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Q.blocklist_stats(docs, [])
+    ok = Q.blocklist_stats(docs, ["it's"]).collect()
+    assert all(r.n_blocked == 0 for r in ok)
+    plan = (
+        Q.blocklist_stats(docs, ["bad"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
