@@ -966,6 +966,32 @@ _PII_INJECT_SPARK = (
 )
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang vocabulary cardinality: exact countDistinct next to
+    the deterministic KMV (theta) sketch at two k settings — k=64
+    exceeds the synthetic vocab so the sketch returns the EXACT
+    count (the below-k property), k=16 forces real estimation. Both
+    bit-reproducible, unlike engine HLL implementations."""
+    from geokit_spark.operators.dedup import kmv_distinct
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    parts = [
+        kmv_distinct(toks, "tok", by=("lang",), k=k).withColumn(
+            "k", F.lit(k).cast("int")
+        )
+        for k in (16, 64)
+    ]
+    est = parts[0].unionByName(parts[1])
+    return exact.join(est, "lang").select(
+        "lang", "k", "exact_distinct", "est_distinct"
+    )
+
+
 def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist-word filter (C4 'bad words' stage shape; the list is
     a parameter — here two demo words, one frequent and one absent).
@@ -2092,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "distinct_sketch": q_distinct_sketch,
         "blocklist": q_blocklist,
         "training_mix": q_training_mix,
         "audio_meta": q_audio_meta,
@@ -3751,6 +3778,47 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_distinct_sketch() -> str:
+    from geokit_spark.operators.dedup import SKETCH_M
+
+    per_k = "\n  UNION ALL\n  ".join(
+        f"SELECT lang, {k} AS k, MAX(h) AS hk,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_kept"
+        f" FROM rn WHERE rn <= {k} GROUP BY lang"
+        for k in (16, 64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT DISTINCT lang,
+    CAST(('0x' || substring(md5(tok), 1, 12)) AS BIGINT) AS h
+  FROM toks
+),
+rn AS (
+  SELECT lang, h,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM h
+),
+kept AS (
+  {per_k}
+),
+est AS (
+  SELECT lang, k,
+    CAST(CASE WHEN n_kept < k THEN n_kept
+      ELSE (k - 1) * {SKETCH_M} // hk END AS BIGINT) AS est_distinct
+  FROM kept
+),
+ex AS (
+  SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM toks GROUP BY lang
+)
+SELECT ex.lang, k, exact_distinct, est_distinct
+FROM ex JOIN est USING (lang)
+"""
+
+
 def _o_blocklist() -> str:
     return """
 WITH toks AS (
@@ -4274,6 +4342,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "distinct_sketch": _o_distinct_sketch(),
         "blocklist": _o_blocklist(),
         "training_mix": _o_training_mix(),
         "audio_meta": _o_audio_meta(),

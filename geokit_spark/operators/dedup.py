@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -709,3 +709,54 @@ def mirror_clusters(pages) -> "DataFrame":
         .filter(F.col("n_copies") >= 2)
         .select("text_md5", "canonical_url", "n_copies", "n_domains")
     )
+
+
+# --- cardinality sketch ----------------------------------------------------
+
+SKETCH_HASH_BITS = 48  # int64(md5[:12]) — identical parse both engines
+SKETCH_M = 1 << SKETCH_HASH_BITS
+
+
+def sketch_hash_expr(col: str) -> str:
+    """Uniform deterministic 48-bit hash shared bit-for-bit by Spark
+    (conv) and DuckDB ('0x' cast): int64 of the first 12 md5 hex
+    chars."""
+    return (
+        f"cast(conv(substring(md5({col}), 1, 12), 16, 10) as bigint)"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    by: tuple[str, ...] = ("lang",),
+    k: int = 64,
+) -> DataFrame:
+    """Approximate distinct counting with a KMV (theta) sketch: the k
+    smallest distinct 48-bit hashes per group; when fewer than k
+    distinct values exist the count is EXACT (everything was kept),
+    otherwise est = (k-1) * M div h_k. Deterministic integer
+    arithmetic end-to-end — bit-reproducible and oracle-mirrorable,
+    unlike engine HLL implementations.
+
+    100-TB shape: the map side distinct-combines (group, hash) pairs
+    — the one exchange carries each distinct hash once, the same
+    first phase exact countDistinct pays — then a bounded per-group
+    top-k. Groups here are the bounded lang dimension; for
+    high-cardinality groups the theta refinement (per-partition
+    partial top-k before the merge) bounds the exchange at k rows
+    per task."""
+    h = F.expr(sketch_hash_expr(col))
+    kk = int(k)
+    hashes = df.select(*by, h.alias("h")).distinct()
+    w = Window.partitionBy(*by).orderBy("h")
+    kept = hashes.withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") <= kk)
+    agg = kept.groupBy(*by).agg(
+        F.max("h").alias("hk"), F.count("*").alias("n_kept")
+    )
+    est = F.when(F.col("n_kept") < kk, F.col("n_kept")).otherwise(
+        F.expr(f"({kk} - 1) * {SKETCH_M}L div hk")
+    )
+    return agg.select(*by, est.cast("long").alias("est_distinct"))

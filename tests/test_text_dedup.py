@@ -561,3 +561,36 @@ def test_ann_topk_bucketed_no_driver_state(spark):
     ) == pre
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2 or "REPARTITION" in plan
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    from pyspark.sql import functions as F
+
+    from geokit_spark.operators.dedup import kmv_distinct
+
+    vals = spark.createDataFrame(
+        [("g1", f"v{i % 40}") for i in range(4000)]
+        + [("g2", f"w{i % 7}") for i in range(70)],
+        "lang string, tok string",
+    )
+    out = {
+        r.lang: r.est_distinct
+        for r in kmv_distinct(vals, "tok", by=("lang",), k=64).collect()
+    }
+    # below k: exact
+    assert out["g1"] == 40 and out["g2"] == 7
+    # above k: a real estimate within a generous KMV error band
+    est = {
+        r.lang: r.est_distinct
+        for r in kmv_distinct(vals, "tok", by=("lang",), k=16).collect()
+    }
+    assert est["g2"] == 7
+    assert 20 <= est["g1"] <= 80  # 40 true; k=16 KMV ~ +/-25%
+    # deterministic under repartitioning
+    est2 = {
+        r.lang: r.est_distinct
+        for r in kmv_distinct(
+            vals.repartition(13), "tok", by=("lang",), k=16
+        ).collect()
+    }
+    assert est == est2
