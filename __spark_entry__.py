@@ -966,6 +966,24 @@ _PII_INJECT_SPARK = (
 )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed skew diagnosis over the geocoded cell grid: the
+    top-10 hottest cells with exact counts, corpus share, and the
+    imbalance factor. The geocoder plants ~20% of docs in one
+    hot-spot square by design (north rule), so rank 1 must surface
+    it with imbalance >> 1; the per-key counts run through the
+    salted two-stage agg (the diagnostic must survive the very skew
+    it measures)."""
+    from geokit_spark.functions.skew import skew_report
+
+    d = with_geocode(_docs(spark, sf_dir).select("doc_id"))
+    cx, cy = cell_cols(F.col("lon"), F.col("lat"))
+    cells = d.select(
+        "doc_id", cx.alias("cell_x"), cy.alias("cell_y")
+    )
+    return skew_report(cells, ["cell_x", "cell_y"], top=10)
+
+
 def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang vocabulary cardinality: exact countDistinct next to
     the deterministic KMV (theta) sketch at two k settings — k=64
@@ -2118,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "skew_report": q_skew_report,
         "distinct_sketch": q_distinct_sketch,
         "blocklist": q_blocklist,
         "training_mix": q_training_mix,
@@ -3778,6 +3797,34 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_skew_report() -> str:
+    cx, cy = sqlgen.cell_exprs()
+    return f"""
+WITH {sqlgen.geocode_cte()},
+counts AS (
+  SELECT {cx} AS cell_x, {cy} AS cell_y,
+    CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM geo GROUP BY 1, 2
+),
+st AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+    CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+),
+tk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY n_docs DESC, cell_x ASC, cell_y ASC
+  ) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, cell_x, cell_y, n_docs,
+  CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+  CAST(n_docs * n_keys AS DOUBLE) / CAST(total AS DOUBLE)
+    AS imbalance
+FROM tk, st WHERE rank <= 10
+"""
+
+
 def _o_distinct_sketch() -> str:
     from geokit_spark.operators.dedup import SKETCH_M
 
@@ -4342,6 +4389,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "skew_report": _o_skew_report(),
         "distinct_sketch": _o_distinct_sketch(),
         "blocklist": _o_blocklist(),
         "training_mix": _o_training_mix(),

@@ -17,7 +17,7 @@ north rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -60,3 +60,41 @@ def hot_keys(df: DataFrame, key_cols: list[str], threshold_share: float = 0.05):
         .collect()
     )
     return [tuple(r[c] for c in key_cols) + (r["n"],) for r in rows]
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top: int = 10
+) -> DataFrame:
+    """Distributed skew diagnosis: the top-`top` hottest keys with
+    exact counts, corpus share, and the imbalance factor
+    (n * n_keys / total — 1.0 means perfectly uniform, the hot-spot
+    cell shows up as >> 1). The per-key counts themselves run through
+    the SALTED two-stage aggregation (the hot key must not melt the
+    diagnostic that is supposed to find it); the top-k is
+    orderBy+limit, which Catalyst executes as TakeOrderedAndProject
+    (per-partition heap + merge, no global sort). All integers plus
+    two double divisions of exact integers."""
+    counts = salted_count(df, key_cols, salt_col="doc_id")
+    stats = counts.agg(
+        F.sum("n_docs").alias("_total"),
+        F.count("*").alias("_n_keys"),
+    )
+    topk = counts.orderBy(
+        F.col("n_docs").desc(), *[F.col(c).asc() for c in key_cols]
+    ).limit(int(top))
+    out = topk.crossJoin(F.broadcast(stats))
+    w = Window.orderBy(
+        F.col("n_docs").desc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return out.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        *key_cols,
+        F.col("n_docs"),
+        (
+            F.col("n_docs").cast("double") / F.col("_total").cast("double")
+        ).alias("share"),
+        (
+            (F.col("n_docs") * F.col("_n_keys")).cast("double")
+            / F.col("_total").cast("double")
+        ).alias("imbalance"),
+    )

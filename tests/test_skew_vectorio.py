@@ -157,3 +157,26 @@ def test_zordered_layout_files_are_spatially_compact(spark, tmp_path):
             m += ((r["cell_x"] >> k) & 1) << (2 * k)
             m += ((r["cell_y"] >> k) & 1) << (2 * k + 1)
         assert m == r["morton"]
+
+
+def test_skew_report_finds_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from geokit_spark.functions.skew import skew_report
+
+    rows = [(i, 7 if i % 5 else i % 40) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, k int")
+    out = skew_report(df, ["k"], top=3).collect()
+    assert out[0].rank == 1 and out[0].k == 7
+    # key 7 holds 800 of 1000 rows (i%5 != 0), over 33 distinct keys
+    n_keys = len({7 if i % 5 else i % 40 for i in range(1000)})
+    assert out[0].n_docs == 800
+    assert out[0].share == 800 / 1000
+    assert out[0].imbalance == 800 * n_keys / 1000
+    # counts flow through the salted two-stage agg: two exchanges
+    # feed the count, none is a global sort
+    plan = (
+        skew_report(df, ["k"], top=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrdered" in plan
