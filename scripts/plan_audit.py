@@ -31,7 +31,8 @@ NAMES = [
     "domain_cap", "link_depth", "noindex_filter", "anchor_stats",
     "host_graph", "seq_packing", "decontaminate", "pii_scrub",
     "mix_weights", "corpus_shuffle", "rag_chunks", "snapshot_compact",
-    "image_meta", "audio_meta", "training_mix",
+    "image_meta", "audio_meta", "training_mix", "blocklist",
+    "distinct_sketch", "skew_report",
 ]
 
 
@@ -149,6 +150,12 @@ def main():
         "  anti join — the corpus never shuffles for the filter; the",
         "  redaction is narrow; total shuffles = eval distinct +",
         "  decon agg + lang agg.",
+        "- `blocklist` is a codegen IN-set predicate (0 shuffles);",
+        "  `distinct_sketch` pays countDistinct's phase-1 exchange",
+        "  once (distinct partials) + the bounded-group top-k;",
+        "  `skew_report`'s counts go through the salted two-stage",
+        "  agg and the top-k is TakeOrderedAndProject (no global",
+        "  sort).",
         "- `image_meta` / `audio_meta`: build + byte-parse are two",
         "  chained mapInPandas stages, 0 shuffles — header scans",
         "  pipeline with the scan; payload pruned for metadata-only",
