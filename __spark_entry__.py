@@ -966,6 +966,47 @@ _PII_INJECT_SPARK = (
 )
 
 
+def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY — the property that makes a sketch
+    distributed: sketch each half-corpus (doc_id parity) separately,
+    merge the two synopses (sorted distinct union re-truncated to
+    k), and compare against sketching the full corpus directly. The
+    merged sketch must be IDENTICAL to the direct one (k smallest of
+    a union == k smallest of the two k-min sets) — asserted as an
+    output column, not just a test."""
+    from geokit_spark.operators.dedup import (
+        kmv_estimate_col,
+        kmv_merge_col,
+        kmv_sketch,
+    )
+
+    k = 16
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    a = kmv_sketch(
+        toks.filter(F.col("doc_id") % 2 == 0), "tok", by=("lang",), k=k
+    ).withColumnRenamed("sketch", "sa")
+    b = kmv_sketch(
+        toks.filter(F.col("doc_id") % 2 == 1), "tok", by=("lang",), k=k
+    ).withColumnRenamed("sketch", "sb")
+    direct = kmv_sketch(toks, "tok", by=("lang",), k=k).withColumnRenamed(
+        "sketch", "sd"
+    )
+    merged = kmv_merge_col("sa", "sb", k)
+    return (
+        a.join(b, "lang")
+        .join(direct, "lang")
+        .withColumn("sm", merged)
+        .select(
+            "lang",
+            kmv_estimate_col("sm", k).alias("est_merged"),
+            kmv_estimate_col("sd", k).alias("est_direct"),
+            (F.col("sm") == F.col("sd")).alias("identical"),
+        )
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed skew diagnosis over the geocoded cell grid: the
     top-10 hottest cells with exact counts, corpus share, and the
@@ -2136,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "sketch_merge": q_sketch_merge,
         "skew_report": q_skew_report,
         "distinct_sketch": q_distinct_sketch,
         "blocklist": q_blocklist,
@@ -3797,6 +3839,62 @@ def _o_ann_topk() -> str:
     return annsql.ann_topk_sql(k=5, probe_bits=1)
 
 
+def _o_sketch_merge() -> str:
+    from geokit_spark.operators.dedup import SKETCH_M
+
+    k = 16
+    est = (
+        "CASE WHEN len({s}) < %d THEN len({s}) "
+        "ELSE (%d - 1) * %d // {s}[%d] END" % (k, k, SKETCH_M, k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT DISTINCT doc_id % 2 AS half, lang,
+    CAST(('0x' || substring(md5(tok), 1, 12)) AS BIGINT) AS h
+  FROM toks
+),
+rn AS (
+  SELECT half, lang, h, ROW_NUMBER() OVER (
+    PARTITION BY half, lang ORDER BY h
+  ) AS rn
+  FROM (SELECT DISTINCT half, lang, h FROM h) t
+),
+halves AS (
+  SELECT lang,
+    list(CASE WHEN half = 0 THEN h END ORDER BY h)
+      FILTER (half = 0 AND rn <= {k}) AS sa,
+    list(CASE WHEN half = 1 THEN h END ORDER BY h)
+      FILTER (half = 1 AND rn <= {k}) AS sb
+  FROM rn GROUP BY lang
+),
+full_rn AS (
+  SELECT lang, h, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY h
+  ) AS rn
+  FROM (SELECT DISTINCT lang, h FROM h) t
+),
+direct AS (
+  SELECT lang, list(h ORDER BY h) AS sd
+  FROM full_rn WHERE rn <= {k} GROUP BY lang
+),
+m AS (
+  SELECT hv.lang,
+    list_sort(list_distinct(list_concat(hv.sa, hv.sb)))[1:{k}] AS sm,
+    d.sd
+  FROM halves hv JOIN direct d USING (lang)
+)
+SELECT lang,
+  CAST({est.format(s='sm')} AS BIGINT) AS est_merged,
+  CAST({est.format(s='sd')} AS BIGINT) AS est_direct,
+  sm = sd AS identical
+FROM m
+"""
+
+
 def _o_skew_report() -> str:
     cx, cy = sqlgen.cell_exprs()
     return f"""
@@ -4389,6 +4487,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "sketch_merge": _o_sketch_merge(),
         "skew_report": _o_skew_report(),
         "distinct_sketch": _o_distinct_sketch(),
         "blocklist": _o_blocklist(),

@@ -760,3 +760,44 @@ def kmv_distinct(
         F.expr(f"({kk} - 1) * {SKETCH_M}L div hk")
     )
     return agg.select(*by, est.cast("long").alias("est_distinct"))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    by: tuple[str, ...] = ("lang",),
+    k: int = 64,
+) -> DataFrame:
+    """The KMV synopsis itself: per group, the sorted array of the k
+    smallest distinct hashes — a MERGEABLE sketch (union two corpora
+    by merging arrays and re-truncating; the k smallest of a union
+    equal the k smallest of the two k-min sets, exactly). Bounded k
+    longs per group on the wire."""
+    h = F.expr(sketch_hash_expr(col))
+    kk = int(k)
+    hashes = df.select(*by, h.alias("h")).distinct()
+    w = Window.partitionBy(*by).orderBy("h")
+    kept = hashes.withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") <= kk)
+    return kept.groupBy(*by).agg(
+        F.sort_array(F.collect_list("h")).alias("sketch")
+    )
+
+
+def kmv_merge_col(a: str, b: str, k: int) -> F.Column:
+    """Merge two KMV sketch arrays: sorted distinct union, truncated
+    back to k."""
+    return F.expr(
+        f"slice(array_sort(array_distinct(concat({a}, {b}))), 1, {int(k)})"
+    )
+
+
+def kmv_estimate_col(sketch: str, k: int) -> F.Column:
+    """Estimate from a sketch array: exact below k, else
+    (k-1) * M div h_k."""
+    kk = int(k)
+    return F.expr(
+        f"if(size({sketch}) < {kk}, size({sketch}),"
+        f" ({kk} - 1) * {SKETCH_M}L div element_at({sketch}, {kk}))"
+    ).cast("long")

@@ -594,3 +594,40 @@ def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
         ).collect()
     }
     assert est == est2
+
+
+def test_kmv_sketch_merge_identity(spark):
+    from pyspark.sql import functions as F
+
+    from geokit_spark.operators.dedup import (
+        kmv_estimate_col,
+        kmv_merge_col,
+        kmv_sketch,
+    )
+
+    vals = spark.createDataFrame(
+        [(i, "g", f"v{(i * 7) % 90}") for i in range(900)],
+        "doc_id long, lang string, tok string",
+    )
+    k = 8
+    a = kmv_sketch(
+        vals.filter(F.col("doc_id") % 2 == 0), "tok", by=("lang",), k=k
+    ).withColumnRenamed("sketch", "sa")
+    b = kmv_sketch(
+        vals.filter(F.col("doc_id") % 2 == 1), "tok", by=("lang",), k=k
+    ).withColumnRenamed("sketch", "sb")
+    d = kmv_sketch(vals, "tok", by=("lang",), k=k).withColumnRenamed(
+        "sketch", "sd"
+    )
+    row = (
+        a.join(b, "lang").join(d, "lang")
+        .withColumn("sm", kmv_merge_col("sa", "sb", k))
+        .select(
+            (F.col("sm") == F.col("sd")).alias("same"),
+            kmv_estimate_col("sm", k).alias("est"),
+        )
+        .collect()[0]
+    )
+    assert row.same  # merge-then-truncate == direct, exactly
+    # 90 true distinct; k=8 estimate in a generous band
+    assert 30 <= row.est <= 300
