@@ -1090,6 +1090,19 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_weights(red, budget=10**9)
 
 
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-header plumbing made real: minimal ISO-BMFF/MP4
+    containers (ftyp + per-doc variable free box + moov/mvhd v0)
+    built per doc; timescale/duration recovered by a real box walk
+    with exact int64 millisecond duration."""
+    from geokit_spark.operators.multimodal import (
+        build_video_payload,
+        video_meta,
+    )
+
+    return video_meta(build_video_payload(_docs(spark, sf_dir)))
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-header plumbing made real: standards-valid RIFF/WAVE
     containers (variable-length LIST chunk before 'fmt ' — the reader
@@ -2177,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "video_meta": q_video_meta,
         "sketch_merge": q_sketch_merge,
         "skew_report": q_skew_report,
         "distinct_sketch": q_distinct_sketch,
@@ -4039,6 +4053,22 @@ FROM num
 """
 
 
+def _o_video_meta() -> str:
+    return """
+WITH p AS (
+  SELECT doc_id,
+    1000 * (1 + doc_id % 4) AS timescale,
+    1000 + (doc_id * 29) % 100000 AS duration
+  FROM documents
+)
+SELECT doc_id,
+  CAST(timescale AS BIGINT) AS timescale,
+  CAST(duration AS BIGINT) AS duration,
+  CAST((duration * 1000) // timescale AS BIGINT) AS duration_ms
+FROM p
+"""
+
+
 def _o_audio_meta() -> str:
     return """
 WITH p AS (
@@ -4487,6 +4517,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "video_meta": _o_video_meta(),
         "sketch_merge": _o_sketch_merge(),
         "skew_report": _o_skew_report(),
         "distinct_sketch": _o_distinct_sketch(),

@@ -593,3 +593,129 @@ def audio_meta(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
             "n_samples long, duration_ms long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video headers (ISO-BMFF / MP4). ftyp + a variable-length free
+# box (shifts moov per document — the reader must walk boxes) + moov
+# containing mvhd v0 with real timescale/duration fields. The parser
+# walks top-level boxes, descends into moov, and reads mvhd — the
+# shape of every MP4 metadata reader; only track/codec parsing is
+# out of scope.
+
+
+def video_params(doc_id: np.ndarray):
+    """Closed-form per-doc video parameters (mirrored by the SQL
+    oracle)."""
+    d = np.asarray(doc_id, dtype=np.int64)
+    timescale = 1000 * (1 + d % 4)
+    duration = 1000 + (d * 29) % 100000
+    return timescale, duration
+
+
+def _mp4_bytes(timescale: int, duration: int, pad: int) -> bytes:
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+    free = box(b"free", b"f" * pad)
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,  # rate/volume/matrix/next_track (fixed v0 tail)
+    )
+    moov = box(b"moov", mvhd)
+    return ftyp + free + moov
+
+
+def parse_mp4_header(buf: bytes):
+    """Walk top-level ISO-BMFF boxes to moov, then its children to
+    mvhd v0: (timescale, duration) or None. Bounds-checked; size < 8
+    aborts (malformed box)."""
+    if buf is None:
+        return None
+    b = bytes(buf)
+
+    def walk(lo: int, hi: int, tag: bytes):
+        off = lo
+        while off + 8 <= hi:
+            size = int.from_bytes(b[off : off + 4], "big")
+            if size < 8 or off + size > hi:
+                return None
+            if b[off + 4 : off + 8] == tag:
+                return off, size
+            off += size
+        return None
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    moov = walk(0, len(b), b"moov")
+    if moov is None:
+        return None
+    mo, msize = moov
+    mvhd = walk(mo + 8, mo + msize, b"mvhd")
+    if mvhd is None:
+        return None
+    ho, hsize = mvhd
+    if b[ho + 8] != 0 or hsize < 8 + 20:  # v0 only
+        return None
+    timescale = int.from_bytes(b[ho + 20 : ho + 24], "big")
+    duration = int.from_bytes(b[ho + 24 : ho + 28], "big")
+    if timescale == 0:
+        return None
+    return timescale, duration
+
+
+def build_video_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real MP4 header container per doc."""
+    src = docs.select("doc_id")
+
+    def fn(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            ts, du = video_params(ids)
+            payloads = [
+                _mp4_bytes(int(ts[i]), int(du[i]), pad=4 + int(d) % 17)
+                for i, d in enumerate(ids)
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(fn, schema="doc_id long, payload binary")
+
+
+def video_meta(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, timescale, duration, duration_ms) via the box walk;
+    duration_ms = duration * 1000 div timescale, exact int64."""
+    src = pages.select("doc_id", payload_col)
+
+    def fn(batches):
+        for pdf in batches:
+            ts, du, ms = [], [], []
+            for buf in pdf[payload_col]:
+                p = parse_mp4_header(buf)
+                if p is None:
+                    ts.append(None), du.append(None), ms.append(None)
+                else:
+                    t, d = p
+                    ts.append(t)
+                    du.append(d)
+                    ms.append(d * 1000 // t)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "timescale": pd.array(ts, dtype="Int64"),
+                    "duration": pd.array(du, dtype="Int64"),
+                    "duration_ms": pd.array(ms, dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, timescale long, duration long, duration_ms long"
+        ),
+    )

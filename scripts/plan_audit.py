@@ -32,7 +32,7 @@ NAMES = [
     "host_graph", "seq_packing", "decontaminate", "pii_scrub",
     "mix_weights", "corpus_shuffle", "rag_chunks", "snapshot_compact",
     "image_meta", "audio_meta", "training_mix", "blocklist",
-    "distinct_sketch", "skew_report", "sketch_merge",
+    "distinct_sketch", "skew_report", "sketch_merge", "video_meta",
 ]
 
 
@@ -156,7 +156,8 @@ def main():
         "  `skew_report`'s counts go through the salted two-stage",
         "  agg and the top-k is TakeOrderedAndProject (no global",
         "  sort).",
-        "- `image_meta` / `audio_meta`: build + byte-parse are two",
+        "- `image_meta` / `audio_meta` / `video_meta`: build + byte-parse",
+        "  are two",
         "  chained mapInPandas stages, 0 shuffles — header scans",
         "  pipeline with the scan; payload pruned for metadata-only",
         "  consumers.",

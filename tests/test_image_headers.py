@@ -123,3 +123,45 @@ def test_audio_roundtrip_distributed(spark):
             ch[d], sr[d], bi[d], ns[d],
         )
         assert r.duration_ms == int(ns[d]) * 1000 // int(sr[d])
+
+
+def test_mp4_box_walk():
+    from geokit_spark.operators.multimodal import (
+        _mp4_bytes,
+        parse_mp4_header,
+    )
+
+    a = _mp4_bytes(48000, 123456, pad=4)
+    b = _mp4_bytes(48000, 123456, pad=20)
+    assert parse_mp4_header(a) == (48000, 123456)
+    assert parse_mp4_header(b) == (48000, 123456)
+    assert a.find(b"moov") != b.find(b"moov")  # box walk is real
+    # malformed: truncated, missing ftyp, zero-size box loop guard
+    assert parse_mp4_header(a[:10]) is None
+    assert parse_mp4_header(b"\x00\x00\x00\x08fre!rest") is None
+    broken = bytearray(a)
+    i = a.find(b"moov") - 4
+    broken[i : i + 4] = b"\x00\x00\x00\x03"  # size < 8
+    assert parse_mp4_header(bytes(broken)) is None
+
+
+def test_video_roundtrip_distributed(spark):
+    import numpy as np
+
+    from geokit_spark.operators.multimodal import (
+        build_video_payload,
+        video_meta,
+        video_params,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id long"
+    )
+    out = {
+        r.doc_id: r
+        for r in video_meta(build_video_payload(docs)).collect()
+    }
+    ts, du = video_params(np.arange(30))
+    for d in range(30):
+        assert (out[d].timescale, out[d].duration) == (ts[d], du[d])
+        assert out[d].duration_ms == int(du[d]) * 1000 // int(ts[d])
