@@ -1090,6 +1090,19 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_weights(red, budget=10**9)
 
 
+def q_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified multimodal routing: ONE binary column cycling through
+    png/jpeg/gif/wav/mp4 containers (doc_id % 5), sniffed by magic
+    bytes and dispatched to the matching header parser in a single
+    streaming pass — fmt plus the format's two primary fields."""
+    from geokit_spark.operators.multimodal import (
+        build_mixed_payload,
+        media_meta,
+    )
+
+    return media_meta(build_mixed_payload(_docs(spark, sf_dir)))
+
+
 def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-header plumbing made real: minimal ISO-BMFF/MP4
     containers (ftyp + per-doc variable free box + moov/mvhd v0)
@@ -2190,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 follow.
     return {
         # --- new in round 5 -------------------------------------------------
+        "media_router": q_media_router,
         "video_meta": q_video_meta,
         "sketch_merge": q_sketch_merge,
         "skew_report": q_skew_report,
@@ -4053,6 +4067,23 @@ FROM num
 """
 
 
+def _o_media_router() -> str:
+    return """
+SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'mp4' END AS fmt,
+  CAST(CASE doc_id % 5
+    WHEN 3 THEN 8000 * (1 + doc_id % 5)
+    WHEN 4 THEN 1000 * (1 + doc_id % 4)
+    ELSE 16 + (doc_id * 13) % 1000 END AS BIGINT) AS dim1,
+  CAST(CASE doc_id % 5
+    WHEN 3 THEN 100 + (doc_id * 17) % 4000
+    WHEN 4 THEN 1000 + (doc_id * 29) % 100000
+    ELSE 16 + (doc_id * 7) % 800 END AS BIGINT) AS dim2
+FROM documents
+"""
+
+
 def _o_video_meta() -> str:
     return """
 WITH p AS (
@@ -4517,6 +4548,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
+        "media_router": _o_media_router(),
         "video_meta": _o_video_meta(),
         "sketch_merge": _o_sketch_merge(),
         "skew_report": _o_skew_report(),

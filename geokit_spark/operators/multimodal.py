@@ -719,3 +719,90 @@ def video_meta(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
             "doc_id long, timescale long, duration long, duration_ms long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unified media router: ONE binary column holding mixed formats —
+# the real shape of a multimodal corpus table — sniffed by magic
+# bytes and dispatched to the matching header parser in a single
+# streaming pass.
+
+
+def build_mixed_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): format cycles through png/jpeg/gif/wav/mp4
+    by doc_id % 5; each container is the real serialized header."""
+    src = docs.select("doc_id")
+
+    def fn(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            w, h = image_dims(ids)
+            ch, sr, bi, ns = audio_params(ids)
+            ts, du = video_params(ids)
+            payloads = []
+            for i, d in enumerate(ids):
+                m = int(d) % 5
+                if m == 0:
+                    payloads.append(_png_bytes(int(w[i]), int(h[i])))
+                elif m == 1:
+                    payloads.append(
+                        _jpeg_bytes(int(w[i]), int(h[i]), 5 + int(d) % 23)
+                    )
+                elif m == 2:
+                    payloads.append(_gif_bytes(int(w[i]), int(h[i])))
+                elif m == 3:
+                    payloads.append(
+                        _wav_bytes(
+                            int(ch[i]), int(sr[i]), int(bi[i]),
+                            int(ns[i]), pad=4 + int(d) % 19,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        _mp4_bytes(int(ts[i]), int(du[i]), pad=4 + int(d) % 17)
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(fn, schema="doc_id long, payload binary")
+
+
+def media_meta(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, fmt, dim1, dim2): sniff each payload's format and
+    parse its header — dim1/dim2 are the format's primary fields
+    (width/height for images, sample_rate/n_samples for wav,
+    timescale/duration for mp4; unknown -> nulls). One mapInPandas
+    pass over the binary column; no shuffle."""
+    src = pages.select("doc_id", payload_col)
+
+    def fn(batches):
+        for pdf in batches:
+            fmts, d1, d2 = [], [], []
+            for buf in pdf[payload_col]:
+                b = bytes(buf) if buf is not None else b""
+                if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    p = parse_wav_header(b)
+                    if p is None:
+                        fmts.append("unknown"), d1.append(None), d2.append(None)
+                    else:
+                        fmts.append("wav"), d1.append(p[1]), d2.append(p[3])
+                elif len(b) >= 12 and b[4:8] == b"ftyp":
+                    p = parse_mp4_header(b)
+                    if p is None:
+                        fmts.append("unknown"), d1.append(None), d2.append(None)
+                    else:
+                        fmts.append("mp4"), d1.append(p[0]), d2.append(p[1])
+                else:
+                    f, w, h = parse_image_header(b)
+                    fmts.append(f), d1.append(w), d2.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": fmts,
+                    "dim1": pd.array(d1, dtype="Int64"),
+                    "dim2": pd.array(d2, dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        fn, schema="doc_id long, fmt string, dim1 long, dim2 long"
+    )

@@ -32,7 +32,7 @@ NAMES = [
     "host_graph", "seq_packing", "decontaminate", "pii_scrub",
     "mix_weights", "corpus_shuffle", "rag_chunks", "snapshot_compact",
     "image_meta", "audio_meta", "training_mix", "blocklist",
-    "distinct_sketch", "skew_report", "sketch_merge", "video_meta",
+    "distinct_sketch", "skew_report", "sketch_merge", "video_meta", "media_router",
 ]
 
 

@@ -165,3 +165,22 @@ def test_video_roundtrip_distributed(spark):
     for d in range(30):
         assert (out[d].timescale, out[d].duration) == (ts[d], du[d])
         assert out[d].duration_ms == int(du[d]) * 1000 // int(ts[d])
+
+
+def test_media_router_dispatch(spark):
+    from geokit_spark.operators.multimodal import (
+        build_mixed_payload,
+        media_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(25)], "doc_id long"
+    )
+    out = {
+        r.doc_id: r
+        for r in media_meta(build_mixed_payload(docs)).collect()
+    }
+    want_fmt = ["png", "jpeg", "gif", "wav", "mp4"]
+    for d in range(25):
+        assert out[d].fmt == want_fmt[d % 5]
+        assert out[d].dim1 is not None and out[d].dim2 is not None
