@@ -954,6 +954,11 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_band(tilesrc.raster_table(spark, "elev"))
 
 
+# decontamination gram width used by BOTH q_training_mix and its
+# oracle (5 = the span-dedup width; the published 13-gram rule is the
+# operator default but never matches on the tiny synthetic vocab)
+_TRAINING_MIX_N = 5
+
 _PII_INJECT_SPARK = (
     "text"
     " || CASE WHEN doc_id % 5 = 1 THEN"
@@ -993,9 +998,12 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = kmv_sketch(toks, "tok", by=("lang",), k=k).withColumnRenamed(
         "sketch", "sd"
     )
+    # full outer on the halves: a lang whose doc_ids are all one
+    # parity has no row on one side — kmv_merge_col treats the NULL
+    # sketch as empty, matching the oracle's COALESCE
     merged = kmv_merge_col("sa", "sb", k)
     return (
-        a.join(b, "lang")
+        a.join(b, "lang", "full")
         .join(direct, "lang")
         .withColumn("sm", merged)
         .select(
@@ -1081,7 +1089,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_docs = docs.filter((F.col("doc_id") % DECON_EVAL_MOD) == 0)
     bad = (
-        decontaminate(docs, eval_docs, n=5)
+        decontaminate(docs, eval_docs, n=_TRAINING_MIX_N)
         .filter("contaminated")
         .select("doc_id")
     )
@@ -3911,7 +3919,9 @@ direct AS (
 ),
 m AS (
   SELECT hv.lang,
-    list_sort(list_distinct(list_concat(hv.sa, hv.sb)))[1:{k}] AS sm,
+    list_sort(list_distinct(list_concat(
+      COALESCE(hv.sa, []), COALESCE(hv.sb, [])
+    )))[1:{k}] AS sm,
     d.sd
   FROM halves hv JOIN direct d USING (lang)
 )
@@ -4009,7 +4019,11 @@ FROM toks
 
 
 def _o_training_mix() -> str:
-    from geokit_spark.operators.quality import _email_cond, _phone_cond
+    from geokit_spark.operators.quality import (
+        DECON_EVAL_MOD,
+        _email_cond,
+        _phone_cond,
+    )
     from geokit_spark.oracle.qualitysql import PII_INJECT_DUCK
     from geokit_spark.oracle.textsql import token_count
 
@@ -4020,8 +4034,11 @@ def _o_training_mix() -> str:
         f" t -> CASE WHEN {em} THEN '<EMAIL>'"
         f" WHEN {ph} THEN '<PHONE>' ELSE t END), ' ')"
     )
-    gram = "array_to_string(w[i:i + 4], ' ')"
-    unn = "UNNEST(range(1, GREATEST(len(w) - 4, 0) + 1)) AS t(i)"
+    # same gram width / eval mod as q_training_mix — parameterized
+    # from the shared constants so the pair cannot silently drift
+    n1 = _TRAINING_MIX_N - 1
+    gram = f"array_to_string(w[i:i + {n1}], ' ')"
+    unn = f"UNNEST(range(1, GREATEST(len(w) - {n1}, 0) + 1)) AS t(i)"
     return f"""
 WITH injected AS (
   SELECT doc_id, lang, {PII_INJECT_DUCK} AS text FROM documents
@@ -4031,7 +4048,7 @@ words AS (
 ),
 eval_grams AS (
   SELECT DISTINCT {gram} AS gram FROM words, {unn}
-  WHERE doc_id % 97 = 0
+  WHERE doc_id % {DECON_EVAL_MOD} = 0
 ),
 doc_grams AS (
   SELECT DISTINCT doc_id, {gram} AS gram FROM words, {unn}

@@ -63,7 +63,10 @@ def hot_keys(df: DataFrame, key_cols: list[str], threshold_share: float = 0.05):
 
 
 def skew_report(
-    df: DataFrame, key_cols: list[str], top: int = 10
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+    salt_col: str = "doc_id",
 ) -> DataFrame:
     """Distributed skew diagnosis: the top-`top` hottest keys with
     exact counts, corpus share, and the imbalance factor
@@ -74,7 +77,7 @@ def skew_report(
     orderBy+limit, which Catalyst executes as TakeOrderedAndProject
     (per-partition heap + merge, no global sort). All integers plus
     two double divisions of exact integers."""
-    counts = salted_count(df, key_cols, salt_col="doc_id")
+    counts = salted_count(df, key_cols, salt_col=salt_col)
     stats = counts.agg(
         F.sum("n_docs").alias("_total"),
         F.count("*").alias("_n_keys"),

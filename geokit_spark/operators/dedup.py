@@ -726,6 +726,26 @@ def sketch_hash_expr(col: str) -> str:
     )
 
 
+def _kmv_kept(
+    df: DataFrame, col: str, by: tuple[str, ...], k: int
+) -> DataFrame:
+    """Shared KMV pipeline: distinct non-NULL hashes -> per-group
+    k smallest. NULL values are dropped BEFORE ranking — Spark
+    windows sort NULLS FIRST while DuckDB defaults NULLS LAST, so an
+    unfiltered NULL both corrupts the kept set and breaks
+    cross-engine parity."""
+    h = F.expr(sketch_hash_expr(col))
+    hashes = (
+        df.select(*by, h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*by).orderBy("h")
+    return hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= int(k)
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str,
@@ -746,14 +766,8 @@ def kmv_distinct(
     high-cardinality groups the theta refinement (per-partition
     partial top-k before the merge) bounds the exchange at k rows
     per task."""
-    h = F.expr(sketch_hash_expr(col))
     kk = int(k)
-    hashes = df.select(*by, h.alias("h")).distinct()
-    w = Window.partitionBy(*by).orderBy("h")
-    kept = hashes.withColumn(
-        "rn", F.row_number().over(w)
-    ).filter(F.col("rn") <= kk)
-    agg = kept.groupBy(*by).agg(
+    agg = _kmv_kept(df, col, by, kk).groupBy(*by).agg(
         F.max("h").alias("hk"), F.count("*").alias("n_kept")
     )
     est = F.when(F.col("n_kept") < kk, F.col("n_kept")).otherwise(
@@ -773,23 +787,20 @@ def kmv_sketch(
     by merging arrays and re-truncating; the k smallest of a union
     equal the k smallest of the two k-min sets, exactly). Bounded k
     longs per group on the wire."""
-    h = F.expr(sketch_hash_expr(col))
-    kk = int(k)
-    hashes = df.select(*by, h.alias("h")).distinct()
-    w = Window.partitionBy(*by).orderBy("h")
-    kept = hashes.withColumn(
-        "rn", F.row_number().over(w)
-    ).filter(F.col("rn") <= kk)
-    return kept.groupBy(*by).agg(
+    return _kmv_kept(df, col, by, k).groupBy(*by).agg(
         F.sort_array(F.collect_list("h")).alias("sketch")
     )
 
 
 def kmv_merge_col(a: str, b: str, k: int) -> F.Column:
     """Merge two KMV sketch arrays: sorted distinct union, truncated
-    back to k."""
+    back to k. NULL sketches (a group absent from one side) are
+    treated as empty."""
+    ca = f"coalesce({a}, array())"
+    cb = f"coalesce({b}, array())"
     return F.expr(
-        f"slice(array_sort(array_distinct(concat({a}, {b}))), 1, {int(k)})"
+        f"slice(array_sort(array_distinct(concat({ca}, {cb}))),"
+        f" 1, {int(k)})"
     )
 
 

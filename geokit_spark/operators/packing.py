@@ -153,9 +153,11 @@ def chunk_documents(
     in-row transform over the token array, and one explode; zero
     shuffles, zero UDFs, pipelined with the scan."""
     c = int(chunk_tokens)
+    if not 0 <= int(overlap) < c:
+        # a negative overlap would stride PAST the window width and
+        # silently leave coverage gaps between chunks
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     s = c - int(overlap)
-    if s <= 0:
-        raise ValueError("overlap must be < chunk_tokens")
     toks = "split(text, ' ')"
     n = f"size({toks})"
     n_chunks = f"if({n} <= {c}, 1, ({n} - {c} + {s} - 1) div {s} + 1)"

@@ -145,13 +145,28 @@ class SnapshotTable:
         Walks the version chain and collects ``added_dirs`` of APPEND
         commits only — a compaction commit rewrites existing rows
         without adding any, so an incremental consumer must skip it
-        (the Iceberg incremental-append-scan rule). Raises if the
-        range crosses an expired (no longer retained) manifest."""
+        (the Iceberg incremental-append-scan rule). from_version=0
+        short-circuits to the snapshot's own data_dirs (every row
+        exactly once even across compactions), which keeps "read
+        everything" working after old manifests have been expired; a
+        from_version > 0 range that crosses an expired manifest
+        raises."""
         if to_version <= from_version:
             raise ValueError("to_version must be > from_version")
+        if from_version == 0:
+            return spark.read.parquet(
+                *self.manifest(to_version)["data_dirs"]
+            )
         dirs: list[str] = []
         for v in range(from_version + 1, to_version + 1):
-            man = self.manifest(v)
+            try:
+                man = self.manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"incremental range ({from_version}, {to_version}] "
+                    f"crosses expired snapshot v{v}; re-baseline from "
+                    "version 0"
+                ) from None
             if man.get("operation", "append") == "append":
                 dirs.extend(man["added_dirs"])
         if not dirs:
@@ -228,9 +243,21 @@ class SnapshotTable:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         drop, keep = vs[:-keep_last], vs[-keep_last:]
+        # manifests record absolute-or-relative paths as committed;
+        # compare by BASENAME (every data dir lives directly under
+        # data_dir by construction) so a table opened via a different
+        # path spelling / after a move can never GC live data
         live: set[str] = set()
         for v in keep:
-            live.update(self.manifest(v)["data_dirs"])
+            live.update(
+                os.path.basename(os.path.normpath(p))
+                for p in self.manifest(v)["data_dirs"]
+            )
+        # manifests first, then GC: a crash mid-GC leaves only
+        # recoverable orphans (re-run expire to finish); the reverse
+        # order could leave surviving manifests pointing at deleted
+        # dirs. Non-directory entries (stray files) are skipped, never
+        # rmtree'd.
         expired = []
         for v in drop:
             os.unlink(os.path.join(self.manifest_dir, f"v{v}.json"))
@@ -238,7 +265,7 @@ class SnapshotTable:
         removed = []
         for d in sorted(os.listdir(self.data_dir)):
             full = os.path.join(self.data_dir, d)
-            if full not in live:
+            if d not in live and os.path.isdir(full):
                 shutil.rmtree(full)
                 removed.append(full)
         return {"expired_versions": expired, "removed_dirs": removed}

@@ -205,3 +205,14 @@ def test_chunk_documents_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from geokit_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+
+    for ov in (-1, 8, 9):
+        with _pt.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=8, overlap=ov)

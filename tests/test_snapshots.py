@@ -157,3 +157,42 @@ def test_expire_keeps_append_chain_dirs(table, spark):
     assert out["expired_versions"] == [1]
     assert out["removed_dirs"] == []  # v2/v3 still reference s1's dir
     assert table.read(spark, 2).count() > 0
+
+
+def test_expire_is_path_spelling_safe(tmp_path, spark, docs):
+    # commit via one path spelling, expire via another (trailing
+    # slash + a '..' hop): basename GC must not touch live data
+    import os
+
+    root = str(tmp_path / "tbl2")
+    t = SnapshotTable(root)
+    t.commit_append(docs.limit(20), commit_key="a")
+    t.commit_append(docs.limit(20), commit_key="b")
+    alias = os.path.join(str(tmp_path), "x", "..", "tbl2") + os.sep
+    t2 = SnapshotTable(alias)
+    out = t2.expire(keep_last=1)
+    assert out["removed_dirs"] == []  # v2 chain-references s1's dir
+    assert t.read(spark).count() == 40
+
+
+def test_expire_skips_stray_files(table, spark, docs):
+    import os
+
+    stray = os.path.join(table.data_dir, "NOTES.txt")
+    with open(stray, "w") as fh:
+        fh.write("x")
+    table.compact(spark, commit_key="cmp-1")
+    out = table.expire(keep_last=1)
+    assert len(out["removed_dirs"]) == 3
+    assert os.path.exists(stray)  # never rmtree'd
+    assert table.read(spark).count() == docs.count()
+
+
+def test_incremental_from_zero_after_expire(table, spark, docs):
+    table.compact(spark, commit_key="cmp-1")  # v4
+    table.expire(keep_last=1)
+    # 'everything' still works via the snapshot's own data_dirs
+    assert table.read_incremental(spark, 0, 4).count() == docs.count()
+    # a from>0 range crossing expired manifests raises clearly
+    with pytest.raises(ValueError, match="expired"):
+        table.read_incremental(spark, 1, 4)

@@ -631,3 +631,15 @@ def test_kmv_sketch_merge_identity(spark):
     assert row.same  # merge-then-truncate == direct, exactly
     # 90 true distinct; k=8 estimate in a generous band
     assert 30 <= row.est <= 300
+
+
+def test_kmv_null_values_dropped(spark):
+    from geokit_spark.operators.dedup import kmv_distinct
+
+    vals = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b"), ("g", None)],
+        "lang string, tok string",
+    )
+    out = kmv_distinct(vals, "tok", by=("lang",), k=8).collect()
+    # NULLs are not values: exact distinct count is 2
+    assert out[0].est_distinct == 2
