@@ -150,6 +150,10 @@ def main():
         "  anti join — the corpus never shuffles for the filter; the",
         "  redaction is narrow; total shuffles = eval distinct +",
         "  decon agg + lang agg.",
+        "- `sketch_merge`: the full-outer half-join cannot broadcast",
+        "  (outer side must be complete), so it sort-merges — over",
+        "  the BOUNDED per-group synopsis rows (one row per lang),",
+        "  never corpus data.",
         "- `blocklist` is a codegen IN-set predicate (0 shuffles);",
         "  `distinct_sketch` pays countDistinct's phase-1 exchange",
         "  once (distinct partials) + the bounded-group top-k;",
