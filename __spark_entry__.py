@@ -1930,6 +1930,19 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), min_df=3)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring dedup (Lee et al. 2022 style):
+    every word position covered by an 8-gram occurring in more than
+    one distinct document is removed; reports per doc the removed
+    position count, the number of MAXIMAL merged duplicated spans,
+    and the md5 of the rebuilt text. Duplicate detection is one
+    map-side-combinable gram-keyed exchange (min/max doc_id per
+    gram), never a per-gram positions list."""
+    from geokit_spark.operators.quality import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir))
+
+
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver-specified input shape (BASELINE.json input_hint):
     (url, warc_ts, html binary, text, lang) pages derived
@@ -2210,6 +2223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new operators) run FIRST; the 50 rows already green in
     # CORRECTNESS_r02 follow.
     return {
+        # --- new in round 6 -------------------------------------------------
+        "substring_dedup": q_substring_dedup,
         # --- new in round 5 -------------------------------------------------
         "media_router": q_media_router,
         "video_meta": q_video_meta,
@@ -4285,6 +4300,12 @@ def _o_span_dedup() -> str:
     return qualitysql.span_dedup_sql(min_df=3)
 
 
+def _o_substring_dedup() -> str:
+    from geokit_spark.oracle import qualitysql
+
+    return qualitysql.substring_dedup_sql()
+
+
 def _o_pages_extract() -> str:
     from geokit_spark.oracle import pagesql
 
@@ -4558,6 +4579,7 @@ FROM golden
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "substring_dedup": _o_substring_dedup(),
         "geocode_cells": _o_geocode_cells(),
         "cell_counts": _o_cell_counts(),
         "pip_region": _o_pip_region(),

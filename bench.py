@@ -205,6 +205,7 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     # matrix re-score; pytest-verified equal to the fold/oracle path)
     from geokit_spark.operators.similarity import (
         ann_topk_arrow,
+        release_ann_result,
         suggest_n_planes,
     )
 
@@ -221,11 +222,16 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         ).alias("embedding"),
     )
     np_ = suggest_n_planes(n_vec, target_bucket=16)
-    timed(
-        "ann_topk",
-        lambda: ann_topk_arrow(emb, k=5, n_planes=np_).count(),
-        n_vec,
-    )
+
+    def _ann_rep():
+        # sidecar reaping is explicit now — release per rep so bench
+        # loops don't accumulate one matrix copy per invocation
+        r = ann_topk_arrow(emb, k=5, n_planes=np_)
+        n = r.count()
+        release_ann_result(r)
+        return n
+
+    timed("ann_topk", _ann_rep, n_vec)
 
     # ANN BEYOND the broadcast cap: ann_topk_bucketed at 2M vectors —
     # no driver-side matrix, no sidecar; embeddings cross the wire

@@ -80,10 +80,14 @@ def _strip_www(host: Column) -> Column:
 
 
 def surt_key(url: Column) -> Column:
-    _, host, _, path, sortq = _parts(url)
+    # SURT keeps NON-default ports (host:8080 vs host:9090 are distinct
+    # origins): portkeep is '' for absent/default ports, ':NNNN' else,
+    # appended after the reversed labels — 'com,example:8080)/path'.
+    _, host, portkeep, path, sortq = _parts(url)
     h = _strip_www(host)
     return F.concat(
         F.array_join(F.reverse(F.split(h, "\\.")), ","),
+        portkeep,
         F.lit(")"),
         path,
         _qpart(sortq),
@@ -104,7 +108,10 @@ def url_path_id(url: Column) -> Column:
 
 
 def registrable_domain(url: Column) -> Column:
-    labs = F.split(_strip_www(url_host(url)), "\\.")
+    # url_host already strips one leading 'www.'; stripping again here
+    # would mis-fold degenerate hosts (www.www.x.com would lose two
+    # labels, and host 'www.com' would collapse to bare 'com').
+    labs = F.split(url_host(url), "\\.")
     n = F.size(labs)
     tld = F.try_element_at(labs, n)
     sld = F.try_element_at(labs, n - 1)

@@ -41,6 +41,9 @@ MAX_MEAN_WORD_LEN = 8.0
 SPAN_N = 5  # words per span-dedup n-gram (= dedup.BOILER_N)
 SPAN_DF = 20  # corpus document-frequency threshold (= dedup.BOILER_DF)
 
+SUBSTR_N = 8  # minimum duplicated-substring length (words) for
+#              substring_dedup — the Lee-et-al-style memorization gate
+
 
 def _grams_expr(n: int, words: str = "split(text, ' ')") -> str:
     """SQL-expression array of word n-grams (space-joined). The
@@ -154,7 +157,11 @@ def quality_filter(
     )
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     reason = (
-        F.when(nw < F.lit(MIN_WORDS), F.lit("too_short"))
+        # NULL text must fail the gate explicitly: every numeric WHEN
+        # below evaluates NULL on NULL input and would fall through to
+        # otherwise('ok'), silently keeping an empty document.
+        F.when(F.col("text").isNull(), F.lit("null_text"))
+        .when(nw < F.lit(MIN_WORDS), F.lit("too_short"))
         .when(nw > F.lit(MAX_WORDS), F.lit("too_long"))
         .when(mean_len < F.lit(MIN_MEAN_WORD_LEN), F.lit("word_len_low"))
         .when(mean_len > F.lit(MAX_MEAN_WORD_LEN), F.lit("word_len_high"))
@@ -397,6 +404,88 @@ def span_dedup(
         )
     )
     return rebuilt
+
+
+def substring_dedup(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
+    """Exact cross-document substring deduplication (the Lee et al.
+    2022 'Deduplicating Training Data Makes Language Models Better'
+    memorization control): any word position covered by an n-gram
+    that occurs in MORE THAN ONE DISTINCT DOCUMENT is removed, and
+    the document is rebuilt from the surviving words. Because every
+    position of a duplicated substring of length >= n is covered by
+    at least one duplicated n-gram, the union of covers removes
+    exactly the maximal cross-document duplicated substrings of
+    length >= n — without materializing a suffix array.
+
+    Differs from span_dedup (corpus-frequency boilerplate, df >=
+    min_df): here ANY cross-document duplicate counts, which is the
+    training-set memorization criterion, not the boilerplate one.
+
+    Returns (doc_id, n_words, n_dup, n_spans, clean_md5): n_dup =
+    positions removed, n_spans = number of MAXIMAL merged duplicated
+    spans (a position starts a span iff its predecessor position is
+    not covered — the interval merge, evaluated declaratively on the
+    per-doc cover set), clean_md5 = md5 of the rebuilt text.
+
+    100-TB plan shape: ONE gram-keyed exchange for duplicate
+    detection — groupBy(gram).agg(min(doc_id), max(doc_id)) is
+    map-side combinable (two longs per gram per map task, never a
+    positions list, so a corpus-hot boilerplate gram cannot OOM a
+    reducer), filter min != max. The gram->positions join back is a
+    semi join on the gram key (size-aware broadcast when the dup set
+    is small); the per-doc cover set is one doc-keyed exchange of
+    bounded arrays. Text bytes are never shuffled — only md5 keys
+    and int positions."""
+    from ..plans.hints import size_aware_broadcast
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"if(size(split(text, ' ')) >= {n},"
+                f" transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                f" i -> struct(i AS i, md5(concat_ws(' ', slice(split(text, ' '), i, {n}))) AS g)),"
+                f" array())"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("ngram_md5"))
+    dup = size_aware_broadcast(
+        grams.groupBy("ngram_md5")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("ngram_md5")
+    )
+    cover = (
+        grams.join(dup, "ngram_md5", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("dropped"))
+    )
+    return docs.join(cover, "doc_id", "left").select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_words"),
+        F.coalesce(F.size("dropped").cast("long"), F.lit(0).cast("long")).alias(
+            "n_dup"
+        ),
+        F.coalesce(
+            F.expr(
+                "size(filter(dropped, p -> NOT array_contains(dropped, p - 1)))"
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_spans"),
+        F.md5(
+            F.when(F.col("dropped").isNull(), F.col("text")).otherwise(
+                F.expr(
+                    "concat_ws(' ', transform(filter("
+                    "  transform(split(text, ' '), (w, i) -> struct(i + 1 AS p, w AS w)),"
+                    "  s -> NOT array_contains(dropped, s.p)), s -> s.w))"
+                )
+            )
+        ).alias("clean_md5"),
+    )
 
 
 def blocklist_stats(

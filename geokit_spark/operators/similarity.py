@@ -391,25 +391,35 @@ def ivf_topk(
 _ANN_SIDECARS: list[str] = []  # staged .npy copies awaiting reap
 
 
-def _reap_sidecars():
-    """Delete sidecar matrices staged by PRIOR ann_topk_arrow calls
-    (their jobs are assumed consumed — materialize each result before
-    re-invoking). Keeps long-lived sessions from accumulating one
-    matrix copy per invocation in the SparkFiles directory."""
+def _unlink_paths(paths):
     import os
 
-    while _ANN_SIDECARS:
-        p = _ANN_SIDECARS.pop()
+    for p in paths:
         try:
             os.unlink(p)
         except OSError:
             pass  # already reaped / never materialized
 
 
+def release_ann_result(df) -> None:
+    """Reclaim the sidecar matrices staged for ONE ann_topk_arrow
+    result (its `_ann_sidecars` handle) once that DataFrame has been
+    materialized. No-op for DataFrames without the handle."""
+    paths = getattr(df, "_ann_sidecars", ())
+    _unlink_paths(paths)
+    for p in paths:
+        if p in _ANN_SIDECARS:
+            _ANN_SIDECARS.remove(p)
+
+
 def reap_ann_sidecars():
-    """Public hook for service loops: reclaim all staged ANN sidecar
-    files once outstanding ann_topk_arrow results are consumed."""
-    _reap_sidecars()
+    """Public hook for service loops: reclaim ALL staged ANN sidecar
+    files once every outstanding ann_topk_arrow result is consumed.
+    This is the ONLY bulk reap — ann_topk_arrow never deletes a prior
+    call's files implicitly, so two live (un-collected) ANN results
+    can coexist safely."""
+    _unlink_paths(_ANN_SIDECARS)
+    _ANN_SIDECARS.clear()
 
 
 def _plane_matrix(n_planes: int, n_tables: int) -> np.ndarray:
@@ -496,7 +506,6 @@ def ann_topk_arrow(
     import tempfile
     import uuid
 
-    _reap_sidecars()
     tag = uuid.uuid4().hex
     tmp = tempfile.gettempdir()
     paths = {}
@@ -511,17 +520,18 @@ def ann_topk_arrow(
         paths[name] = os.path.basename(p)
     # Both the originals and the staged SparkFiles copies must outlive
     # THIS job (the returned DataFrame is lazy, and executors fetch
-    # from the original URI at first task) — they are reaped at the
-    # START of the next ann_topk_arrow call (consume each result
-    # before re-invoking) or via reap_ann_sidecars() from a long-lived
-    # service loop.
+    # from the original URI at first task). Reaping is EXPLICIT only:
+    # per-result via release_ann_result(df) (the `_ann_sidecars`
+    # handle on the returned DataFrame, like pagerank's _edge_cache),
+    # or in bulk via reap_ann_sidecars() from a service loop — a new
+    # call never deletes a prior call's still-lazy result's files.
     from pyspark import SparkFiles
 
     root = SparkFiles.getRootDirectory()
-    _ANN_SIDECARS.extend(
+    call_sidecars = [
         os.path.join(tmp, f"annmat_{tag}_{name}.npy") for name in paths
-    )
-    _ANN_SIDECARS.extend(os.path.join(root, b) for b in paths.values())
+    ] + [os.path.join(root, b) for b in paths.values()]
+    _ANN_SIDECARS.extend(call_sidecars)
 
     def buckets_fn(batches):
         import pyarrow as pa
@@ -634,9 +644,11 @@ def ann_topk_arrow(
             ["vec_id", "rank", "neighbor_id"],
         )
 
-    return cand.mapInArrow(
+    out = cand.mapInArrow(
         topk_fn, schema="vec_id long, rank int, neighbor_id long"
     )
+    out._ann_sidecars = call_sidecars
+    return out
 
 
 def ann_topk_bucketed(

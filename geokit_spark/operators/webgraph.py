@@ -356,10 +356,19 @@ def cap_per_domain(pages: DataFrame, k: int = 5) -> DataFrame:
     registrable domain (deterministic total order: warc_ts, then url):
     the standard guard against a handful of giant hosts dominating a
     training corpus. One shuffle on the domain key, rank inside the
-    partition; AQE's skew-join/partition splitting handles the
-    pathological mega-domain, and k is a constant so the retained set
-    is O(domains), not O(pages). Returns the kept pages plus their
-    (domain, capture_rank)."""
+    partition. What makes the pathological mega-domain safe at 100 TB
+    is Spark >= 3.5's rank-limit pushdown: because the filter is
+    ``row_number() <= k`` directly over the window, the optimizer
+    inserts a PARTIAL WindowGroupLimit BELOW the exchange (map-side
+    top-k per domain), so the shuffle carries at most k rows per
+    domain per map partition — NOT all of the mega-domain's pages.
+    (AQE does not split Window partitions; it is not the mechanism.)
+    tests/test_webgraph.py pins the Partial WindowGroupLimit node in
+    the executed plan so a refactor that breaks pushdown eligibility
+    (e.g. ranking over a computed column Spark can't push) fails
+    loudly instead of silently re-becoming a scale-killer. k is a
+    constant so the retained set is O(domains), not O(pages). Returns
+    the kept pages plus their (domain, capture_rank)."""
     from pyspark.sql import Window
 
     from ..functions.url import registrable_domain

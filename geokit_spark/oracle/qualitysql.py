@@ -19,6 +19,7 @@ from ..operators.quality import (
     MIN_WORDS,
     SPAN_DF,
     SPAN_N,
+    SUBSTR_N,
 )
 from .sqlgen import d
 from .textsql import tokens
@@ -95,6 +96,7 @@ def quality_filter_sql(relation: str = "documents") -> str:
     )
     nstop = f"len(list_filter({toks}, x -> x IN ({lst})))"
     reason = f"""CASE
+    WHEN text IS NULL THEN 'null_text'
     WHEN {nw} < {MIN_WORDS} THEN 'too_short'
     WHEN {nw} > {MAX_WORDS} THEN 'too_long'
     WHEN {mean} < {d(MIN_MEAN_WORD_LEN)} THEN 'word_len_low'
@@ -161,6 +163,61 @@ SELECT d.doc_id,
     AS n_dropped,
   md5(COALESCE(c.s, '')) AS clean_md5
 FROM documents d LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
+def substring_dedup_sql(n: int = SUBSTR_N) -> str:
+    """operators.quality.substring_dedup mirror: duplicated = gram in
+    >1 distinct doc (MIN(doc_id) <> MAX(doc_id) — same criterion, but
+    the oracle derives the cover/spans/rebuild through independent
+    relational joins instead of per-doc array lambdas."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i, md5(array_to_string(w[i:i + {n - 1}], ' ')) AS g
+  FROM words, UNNEST(range(1, GREATEST(len(w) - {n - 1}, 0) + 1)) AS t(i)
+),
+dup AS (
+  SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+),
+cover AS (
+  SELECT DISTINCT gr.doc_id, gr.i + o.o AS p
+  FROM grams gr JOIN dup USING (g), UNNEST(range(0, {n})) AS o(o)
+),
+spans AS (
+  SELECT c.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_dup,
+    CAST(SUM(CASE WHEN c2.p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_spans
+  FROM cover c LEFT JOIN cover c2
+    ON c2.doc_id = c.doc_id AND c2.p = c.p - 1
+  GROUP BY c.doc_id
+),
+poswords AS (
+  SELECT doc_id, i AS p, w[i] AS word
+  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+kept AS (
+  SELECT pw.doc_id, pw.p, pw.word
+  FROM poswords pw LEFT JOIN cover c
+    ON c.doc_id = pw.doc_id AND c.p = pw.p
+  WHERE c.p IS NULL
+),
+cleaned AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS s
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+  COALESCE(s.n_dup, 0) AS n_dup,
+  COALESCE(s.n_spans, 0) AS n_spans,
+  md5(CASE WHEN s.doc_id IS NULL THEN d.text
+           ELSE COALESCE(c.s, '') END) AS clean_md5
+FROM documents d
+LEFT JOIN spans s USING (doc_id)
+LEFT JOIN cleaned c ON c.doc_id = d.doc_id
 """
 
 

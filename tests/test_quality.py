@@ -296,3 +296,43 @@ def test_blocklist_stats(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_substring_dedup_cross_doc_only(spark):
+    """Lee-et-al semantics: a span duplicated ACROSS documents is
+    removed from every document carrying it; a span repeated only
+    WITHIN one document is kept (min(doc)==max(doc) is not a
+    cross-doc duplicate)."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"          # exactly n=8 words
+    rows = [
+        f"{shared} i j",                         # doc 0: span at 1-8
+        f"x {shared} y z",                       # doc 1: span at 2-9
+        f"{shared} mid {shared}",                # doc 2: twice
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9 u1 u2 u3 u4 u5 u6 u7 u8 u9",
+    ]
+    out = {
+        r.doc_id: r for r in Q.substring_dedup(_docs(spark, rows)).collect()
+    }
+    exp = {0: "i j", 1: "x y z", 2: "mid", 3: rows[3]}
+    for i, txt in exp.items():
+        assert out[i].clean_md5 == hashlib.md5(txt.encode()).hexdigest(), i
+    assert out[0].n_dup == 8 and out[0].n_spans == 1
+    assert out[1].n_dup == 8 and out[1].n_spans == 1
+    # doc 2 carries the shared span twice -> two maximal spans
+    assert out[2].n_dup == 16 and out[2].n_spans == 2
+    # doc 3's repeat is intra-document only: u-grams never cross docs
+    assert out[3].n_dup == 0 and out[3].n_spans == 0
+
+
+def test_substring_dedup_maximal_span_merge(spark):
+    """Overlapping duplicated 8-grams of one long shared run must
+    merge into ONE maximal span, not per-gram islands."""
+    run = " ".join(f"s{i}" for i in range(14))  # 14-word shared run
+    rows = [f"{run} tail0", f"head1 {run}", "solo doc with unique words"]
+    out = {
+        r.doc_id: r for r in Q.substring_dedup(_docs(spark, rows)).collect()
+    }
+    assert out[0].n_dup == 14 and out[0].n_spans == 1
+    assert out[0].clean_md5 == hashlib.md5(b"tail0").hexdigest()
+    assert out[1].n_dup == 14 and out[1].n_spans == 1
+    assert out[2].n_dup == 0

@@ -459,9 +459,11 @@ def test_simhash_null_text_matches_jvm(spark):
     assert fast[1] == 0
 
 
-def test_ann_sidecars_reaped_across_calls(spark):
-    """Repeated ann_topk_arrow invocations must not accumulate sidecar
-    .npy files: each call reaps the previous call's staged matrices."""
+def test_ann_sidecar_release_handles(spark):
+    """ADVICE r5: a new ann_topk_arrow call must NOT reap a prior
+    call's sidecars (two live un-collected results coexist); reaping
+    is explicit — per-result via release_ann_result(df) or in bulk
+    via reap_ann_sidecars()."""
     import glob
     import os
 
@@ -474,11 +476,20 @@ def test_ann_sidecars_reaped_across_calls(spark):
     tmp = tempfile.gettempdir()
     # delta-based: /tmp may hold annmat files from OTHER processes
     pre_tmp = set(glob.glob(os.path.join(tmp, "annmat_*.npy")))
-    for _ in range(10):
-        similarity.ann_topk_arrow(emb, k=3).count()
-    live = glob.glob(os.path.join(root, "annmat_*.npy"))
-    # only the LAST call's three sidecars (ids, m, norms) may remain
-    assert len(live) <= 3
+    similarity.reap_ann_sidecars()
+    # two live results built BEFORE either is collected: both must
+    # still materialize (the old implicit reap broke the first one)
+    r1 = similarity.ann_topk_arrow(emb, k=3)
+    r2 = similarity.ann_topk_arrow(emb, k=3)
+    assert r1.count() > 0
+    assert r2.count() > 0
+    # per-result release removes exactly that call's files
+    r1_files = [p for p in r1._ann_sidecars if os.path.exists(p)]
+    assert r1_files
+    similarity.release_ann_result(r1)
+    assert not any(os.path.exists(p) for p in r1._ann_sidecars)
+    assert any(os.path.exists(p) for p in r2._ann_sidecars)
+    # bulk reap clears the rest
     similarity.reap_ann_sidecars()
     assert not glob.glob(os.path.join(root, "annmat_*.npy"))
     # and no NEW originals left behind in tempdir

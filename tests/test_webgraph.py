@@ -37,15 +37,16 @@ CANON_CASES = [
         "com,example)/a/b?a=2&z=1",
     ),
     (
+        # SURT keeps non-default ports: distinct origins stay distinct
         "http://example.com:8080/x",
         "http://example.com:8080/x",
-        "com,example)/x",
+        "com,example:8080)/x",
     ),
     ("https://example.com/x", "https://example.com/x", "com,example)/x"),
     # no scheme, no path, no query
     ("example.com", "://example.com", "com,example)"),
     # port kept when non-default for the scheme
-    ("http://h.net:443/p", "http://h.net:443/p", "net,h)/p"),
+    ("http://h.net:443/p", "http://h.net:443/p", "net,h:443)/p"),
     # empty query after '?' normalizes away the '?'
     ("https://h.net/p?", "https://h.net/p", "net,h)/p"),
 ]
@@ -250,6 +251,39 @@ def test_cap_per_domain_earliest_k(spark):
         ("b.example", 1, "https://b.example/p/4"),
         ("b.example", 2, "https://b.example/p/5"),
     ]
+
+
+def test_cap_per_domain_mapside_window_group_limit(spark):
+    """Pin the 100-TB scale guarantee of cap_per_domain: Spark >= 3.5
+    pushes the ``row_number() <= k`` filter down as a PARTIAL
+    WindowGroupLimit BELOW the domain exchange (map-side top-k per
+    domain), so a mega-domain contributes at most k rows per map
+    partition to the shuffle. If a refactor breaks rank-pushdown
+    eligibility this assertion fails instead of silently shipping the
+    whole mega-domain through one task."""
+    from datetime import datetime, timezone
+
+    from geokit_spark.operators.webgraph import cap_per_domain
+
+    ts = datetime.fromtimestamp(100, tz=timezone.utc).replace(tzinfo=None)
+    pages = spark.createDataFrame(
+        [(f"https://a.example/p/{i}", ts) for i in range(50)],
+        "url string, warc_ts timestamp",
+    )
+    kept = cap_per_domain(pages, k=2)
+    kept.collect()  # force the executed (AQE-final) plan
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    limits = [
+        ln for ln in plan.splitlines() if "WindowGroupLimit" in ln
+    ]
+    assert any("Partial" in ln for ln in limits), plan
+    # the Partial node must sit BELOW the exchange: in the plan string
+    # (top-down) the exchange line appears before the Partial limit
+    ex_at = plan.index("Exchange hashpartitioning(domain")
+    partial_at = plan.index(
+        [ln for ln in limits if "Partial" in ln][0].strip()
+    )
+    assert partial_at > ex_at, plan
 
 
 def test_anchors_from_html_malformed():
