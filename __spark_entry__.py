@@ -1930,6 +1930,34 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), min_df=3)
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BPE tokenization with the committed frozen merge
+    table (functions/bpe): per doc, word/token counts and a
+    position-weighted int64 checksum of the exact token-id sequence.
+    The oracle re-derives every id through an independent recursive-
+    CTE implementation of the same committed spec — a drift anywhere
+    (table, tie-break, leftmost rule, vocab indexing) flips the
+    checksum."""
+    from geokit_spark.functions.bpe import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
+def q_seq_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seq_packing on REAL tokenizer output: the committed-BPE token
+    counts (lang rides through the Arrow batch — no join back) feed
+    the identical pack_counts shard/cumsum/bin arithmetic, making the
+    packing audit reflect actual subword budgets instead of the
+    whitespace proxy. Plan: one narrow Arrow pass + one shard-key
+    exchange + final agg."""
+    from geokit_spark.functions.bpe import bpe_token_stats
+    from geokit_spark.operators.packing import pack_counts, packing_stats
+
+    counts = bpe_token_stats(_docs(spark, sf_dir), passthrough=("lang",))
+    packed = pack_counts(counts, context_len=512, shard_docs=256)
+    return packing_stats(packed)
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cross-document substring dedup (Lee et al. 2022 style):
     every word position covered by an 8-gram occurring in more than
@@ -2225,6 +2253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 6 -------------------------------------------------
         "substring_dedup": q_substring_dedup,
+        "bpe_tokens": q_bpe_tokens,
+        "seq_packing_bpe": q_seq_packing_bpe,
         # --- new in round 5 -------------------------------------------------
         "media_router": q_media_router,
         "video_meta": q_video_meta,
@@ -4306,6 +4336,18 @@ def _o_substring_dedup() -> str:
     return qualitysql.substring_dedup_sql()
 
 
+def _o_bpe_tokens() -> str:
+    from geokit_spark.oracle import bpesql
+
+    return bpesql.bpe_tokens_sql()
+
+
+def _o_seq_packing_bpe() -> str:
+    from geokit_spark.oracle import bpesql
+
+    return bpesql.bpe_pack_sql(context_len=512, shard_docs=256)
+
+
 def _o_pages_extract() -> str:
     from geokit_spark.oracle import pagesql
 
@@ -4580,6 +4622,8 @@ FROM golden
 def oracle_sql() -> dict[str, str]:
     return {
         "substring_dedup": _o_substring_dedup(),
+        "bpe_tokens": _o_bpe_tokens(),
+        "seq_packing_bpe": _o_seq_packing_bpe(),
         "geocode_cells": _o_geocode_cells(),
         "cell_counts": _o_cell_counts(),
         "pip_region": _o_pip_region(),

@@ -45,9 +45,27 @@ def pack_sequences(
     text as one (empty) token, so every document advances the stream
     by >= 1; the greatest(n, 1) guard keeps bin_last well-defined if
     a caller ever substitutes a tokenizer that can emit 0."""
+    n_tok = token_count(F.col("text")).cast("long")
+    return pack_counts(
+        docs.select("doc_id", "lang", n_tok.alias("n_tokens")),
+        context_len=context_len,
+        shard_docs=shard_docs,
+    )
+
+
+def pack_counts(
+    counts: DataFrame,
+    context_len: int = 512,
+    shard_docs: int = 256,
+) -> DataFrame:
+    """pack_sequences over a PRE-TOKENIZED frame (doc_id, lang,
+    n_tokens) — the tokenizer is a parameter, not a baked-in choice:
+    the whitespace proxy and the committed-BPE counts
+    (functions/bpe.bpe_token_stats) both feed the identical packing
+    arithmetic. Same plan: one shard-key exchange, in-partition
+    window cumsum."""
     c = int(context_len)
     shard = F.expr(f"doc_id div {int(shard_docs)}")
-    n_tok = token_count(F.col("text")).cast("long")
     w = (
         Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
@@ -55,11 +73,11 @@ def pack_sequences(
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
     out = (
-        docs.select(
+        counts.select(
             "doc_id",
             "lang",
             shard.alias("shard"),
-            n_tok.alias("n_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
         )
         .withColumn("start_off", start)
         .withColumn("bin_first", F.expr(f"start_off div {c}"))
