@@ -1958,6 +1958,16 @@ def q_seq_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(packed)
 
 
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (fastText-shaped inference):
+    unigram+bigram hashing-trick features, deterministic integer
+    weights, per-doc score sum, keep = score >= 0. Fully narrow plan
+    — fuses with the scan, no shuffle/join/Python."""
+    from geokit_spark.operators.quality import classifier_scores
+
+    return classifier_scores(_docs(spark, sf_dir))
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cross-document substring dedup (Lee et al. 2022 style):
     every word position covered by an 8-gram occurring in more than
@@ -2255,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "bpe_tokens": q_bpe_tokens,
         "seq_packing_bpe": q_seq_packing_bpe,
+        "classifier_scores": q_classifier_scores,
         # --- new in round 5 -------------------------------------------------
         "media_router": q_media_router,
         "video_meta": q_video_meta,
@@ -4348,6 +4359,12 @@ def _o_seq_packing_bpe() -> str:
     return bpesql.bpe_pack_sql(context_len=512, shard_docs=256)
 
 
+def _o_classifier_scores() -> str:
+    from geokit_spark.oracle import qualitysql
+
+    return qualitysql.classifier_scores_sql()
+
+
 def _o_pages_extract() -> str:
     from geokit_spark.oracle import pagesql
 
@@ -4624,6 +4641,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _o_substring_dedup(),
         "bpe_tokens": _o_bpe_tokens(),
         "seq_packing_bpe": _o_seq_packing_bpe(),
+        "classifier_scores": _o_classifier_scores(),
         "geocode_cells": _o_geocode_cells(),
         "cell_counts": _o_cell_counts(),
         "pip_region": _o_pip_region(),

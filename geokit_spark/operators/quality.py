@@ -488,6 +488,67 @@ def substring_dedup(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     )
 
 
+# hashing-trick classifier contract (committed): feature space =
+# unigrams + bigrams, D hash buckets, integer weights derived from
+# the bucket id by the repo-wide overflow-safe LCG mix. A real
+# deployment broadcasts LEARNED float weights; deriving them from the
+# committed formula keeps the exact same plan shape (per-feature
+# weight lookup + per-doc sum) while making the scores int64 so the
+# DuckDB oracle reproduces them bit-exactly.
+CLS_BUCKETS = 4096
+CLS_LCG_A = 1103515245
+CLS_LCG_C = 12345
+CLS_LCG_M = 2147483648
+CLS_WRANGE = 2001  # weights in [-1000, 1000]
+
+
+def _weight_sql(feat: str) -> str:
+    """Dialect-NEUTRAL weight-of-feature SQL except the hex->int64
+    cast, which each engine spells differently (hash48 passed in)."""
+    return (
+        f"((({feat} % {CLS_BUCKETS}) * {CLS_LCG_A} + {CLS_LCG_C})"
+        f" % {CLS_LCG_M}) % {CLS_WRANGE} - 1000"
+    )
+
+
+def classifier_scores(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """fastText-shaped model-based quality filter (inference only):
+    unigram+bigram features -> hashing trick into CLS_BUCKETS ->
+    per-feature integer weight -> per-document score sum ->
+    keep = score >= 0. This is the 'model-based quality classifier'
+    stage of modern curation pipelines (CCNet/DCLM-style), with the
+    learned weight vector replaced by the committed deterministic
+    formula so the score is exact int64 cross-engine.
+
+    100-TB shape: FULLY NARROW — per-row array lambdas over the token
+    list, no shuffle, no join, no Python; fuses with the scan. The
+    weight 'vector' costs nothing to ship because it is a formula; a
+    learned vector would be a broadcast lookup in the same plan
+    position."""
+    toks = f"split({text_col}, ' ')"
+    bigrams = (
+        f"if(size({toks}) >= 2,"
+        f" transform(sequence(1, size({toks}) - 1),"
+        f" i -> concat_ws(' ', slice({toks}, i, 2))), array())"
+    )
+    feats = f"concat({toks}, {bigrams})"
+    h48 = "cast(conv(substring(md5(f), 1, 12), 16, 10) as bigint)"
+    score = F.expr(
+        f"aggregate({feats}, 0L, (acc, f) -> acc + ({_weight_sql(h48)}))"
+    )
+    n_feats = F.expr(f"size({feats})").cast("long")
+    return docs.select(
+        "doc_id",
+        F.coalesce(n_feats, F.lit(0).cast("long")).alias("n_features"),
+        F.coalesce(score, F.lit(0).cast("long")).alias("score"),
+        (
+            F.col(text_col).isNotNull() & (F.coalesce(score, F.lit(0)) >= 0)
+        ).alias("keep"),
+    )
+
+
 def blocklist_stats(
     docs: DataFrame, words: list[str], text_col: str = "text"
 ) -> DataFrame:

@@ -221,6 +221,40 @@ LEFT JOIN cleaned c ON c.doc_id = d.doc_id
 """
 
 
+def classifier_scores_sql() -> str:
+    """operators.quality.classifier_scores mirror: the oracle builds
+    the feature stream relationally (unigram/bigram UNNEST) instead
+    of array lambdas; the weight formula is interpolated VERBATIM
+    from the engine (quality._weight_sql), only the hex->int64 cast
+    differs by dialect (the verified '0x'-cast route)."""
+    from ..operators.quality import _weight_sql
+
+    h48 = "CAST(('0x' || substring(md5(f), 1, 12)) AS BIGINT)"
+    w = _weight_sql(h48)
+    return f"""
+WITH words AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, UNNEST(t) AS f FROM words
+  UNION ALL
+  SELECT doc_id, array_to_string(t[i:i + 1], ' ') AS f
+  FROM words, UNNEST(range(1, GREATEST(len(t) - 1, 0) + 1)) AS o(i)
+),
+scored AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_features,
+    CAST(SUM({w}) AS BIGINT) AS score
+  FROM feats GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(s.n_features, 0) AS n_features,
+  COALESCE(s.score, 0) AS score,
+  (d.text IS NOT NULL AND COALESCE(s.score, 0) >= 0) AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 PII_INJECT_DUCK = (
     "text"
     " || CASE WHEN doc_id % 5 = 1 THEN"

@@ -336,3 +336,40 @@ def test_substring_dedup_maximal_span_merge(spark):
     assert out[0].clean_md5 == hashlib.md5(b"tail0").hexdigest()
     assert out[1].n_dup == 14 and out[1].n_spans == 1
     assert out[2].n_dup == 0
+
+
+def test_classifier_scores_hand_case(spark):
+    """Recompute the committed hash->weight formula in Python for a
+    tiny doc and pin the exact int64 score."""
+    text = "alpha beta gamma"
+    feats = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+
+    def w(f):
+        h = int(hashlib.md5(f.encode()).hexdigest()[:12], 16)
+        return (
+            (h % Q.CLS_BUCKETS) * Q.CLS_LCG_A + Q.CLS_LCG_C
+        ) % Q.CLS_LCG_M % Q.CLS_WRANGE - 1000
+
+    exp = sum(w(f) for f in feats)
+    out = Q.classifier_scores(_docs(spark, [text])).collect()[0]
+    assert out.n_features == 5
+    assert out.score == exp
+    assert out.keep == (exp >= 0)
+
+
+def test_classifier_scores_null_and_single_word(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in Q.classifier_scores(df).collect()}
+    assert out[0].n_features == 0 and out[0].score == 0
+    assert out[0].keep is False                   # NULL text never kept
+    assert out[1].n_features == 1                 # no bigram from 1 word
+
+
+def test_classifier_scores_is_narrow(spark):
+    plan = Q.classifier_scores(
+        _docs(spark, ["a b c"])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
