@@ -16,10 +16,19 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      GEOKIT_BENCH_DOCS (default 20_000_000; light all-JVM stages run
      at GEOKIT_LIGHT_MULT x that, default 4 -> 80M),
      GEOKIT_BENCH_REPS (default 2, min-of-reps steady state),
+     GEOKIT_BENCH_RETRIES (default 3: extra reps granted to a stage
+     whose rep ran under measured external load OR exceeded 1.3x its
+     clean reference row — the round-5 driver runs were contaminated
+     and the sentinel only RECORDED it; now the bench acts on it),
      GEOKIT_BENCH_CACHE (default 0: generation included — it is part
      of the pipeline and keeps memory flat at any scale).
 The same settings produce BENCH/BASELINE.md via scripts/scaling_run.py,
 so per-round BENCH_r{N}.json and the baseline are directly comparable.
+
+Every stage also reports MEASURED bytes moved per run (shuffle r/w,
+scan input, Arrow-IPC python-worker traffic — geokit_spark.metrics),
+so data-motion claims in BENCH/BASELINE.md rest on counters, not
+workload classification.
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from geokit_spark import metrics  # noqa: E402
 from geokit_spark.functions.geo import (  # noqa: E402
     cell_cols,
     grid_cell_id,
@@ -45,13 +55,74 @@ from geokit_spark.session import get_spark  # noqa: E402
 from geokit_spark.sources import tiles as tilesrc  # noqa: E402
 
 
+class Calibrator:
+    """Persistent-pool load probe: the machine's CURRENT pure-CPU
+    throughput, re-measurable in ~1-2 s between stage reps (the pool
+    is spawned and warmed once, unlike calibrate_quick's cold pool).
+    Used to GATE reps: a rep timed while the shared VM carried
+    external load is suspect and earns the stage a bounded retry."""
+
+    def __init__(self, procs: int):
+        import multiprocessing as mp
+
+        self.procs = procs
+        self._pool = mp.Pool(procs)
+        self._pool.map(_burn_cpu, range(procs))  # warm
+
+    def rate(self) -> float:
+        t0 = time.perf_counter()
+        n = 2 * self.procs
+        self._pool.map(_burn_cpu, range(n))
+        return n / (time.perf_counter() - t0)
+
+    def close(self):
+        self._pool.terminate()
+
+
+def load_reference() -> dict:
+    """Clean-run per-stage reference (BENCH/reference_20m.json):
+    retry thresholds + idle calibration anchors. Missing file -> no
+    reference gating (calibration gating still applies via defaults).
+    """
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        "reference_20m.json",
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def idle_rate(ref: dict, procs: int) -> float | None:
+    """Idle tasks/s at `procs`, interpolated between the stored
+    anchors (throughput is sublinear in procs on this VM, so linear
+    interpolation between measured anchors beats a single scale)."""
+    anchors = sorted(
+        (int(k), float(v))
+        for k, v in ref.get("idle_tasks_per_sec", {}).items()
+    )
+    if not anchors:
+        return None
+    if procs <= anchors[0][0]:
+        return anchors[0][1] * procs / anchors[0][0]
+    for (p0, r0), (p1, r1) in zip(anchors, anchors[1:]):
+        if procs <= p1:
+            return r0 + (r1 - r0) * (procs - p0) / (p1 - p0)
+    p1, r1 = anchors[-1]
+    return r1 * procs / p1
+
+
 def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
-    """Returns {name: (seconds, rows_processed)}.
+    """Returns {name: {sec, rows, cal, retries, bytes}}.
 
     Stage order matters: the UDF-heavy joins run FIRST — the 80M-row
     bulk JVM stages leave GC debt that (measured) slows a following
     Arrow-UDF stage ~4x on this box."""
     reps = int(os.environ.get("GEOKIT_BENCH_REPS", "2"))
+    max_retries = int(os.environ.get("GEOKIT_BENCH_RETRIES", "3"))
     use_cache = os.environ.get("GEOKIT_BENCH_CACHE", "0") != "0"
     light_mult = int(os.environ.get("GEOKIT_LIGHT_MULT", "4"))
     # optional comma-separated stage subset (default: all) — lets the
@@ -60,6 +131,18 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     only = os.environ.get("GEOKIT_BENCH_STAGES", "")
     only_set = {s.strip() for s in only.split(",") if s.strip()} or None
     parts = max(2 * cpus, 16)
+
+    ref = load_reference()
+    ref_cfg = ref.get("config", {})
+    ref_q = (
+        ref.get("queries", {})
+        if ref_cfg.get("bench_docs") == n_docs
+        and ref_cfg.get("cpus") == cpus
+        else {}
+    )
+    idle = idle_rate(ref, cpus)
+    calib = Calibrator(cpus)
+    counter = metrics.ByteCounter(spark)
 
     def make_pages(n):
         # numPartitions set at generation time: no repartition shuffle
@@ -82,15 +165,48 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     def timed(name, fn, rows):
         if only_set is not None and name not in only_set:
             return
+        snap0 = counter.snapshot()
         fn()  # warm-up: python worker pool, broadcasts, code paths —
         # long-running executors amortize these; steady-state is the
         # cluster-honest number
+        runs = 1
         best = float("inf")
-        for _ in range(reps):
+        best_cal = None
+        good = attempts = 0
+        cal = None
+        need_cal = True
+        # a rep is SUSPECT if it ran under measured external load
+        # (calibration < 90% of the idle anchor) or came out >1.3x the
+        # clean reference row; suspects earn bounded extra reps — the
+        # round-5 failure mode (driver-run contamination recorded but
+        # not acted on) ends here.
+        while good < reps and attempts < reps + max_retries:
+            if need_cal:
+                cal = calib.rate()
+                need_cal = False
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        results[name] = (best, rows)
+            dt = time.perf_counter() - t0
+            runs += 1
+            attempts += 1
+            if dt < best:
+                best, best_cal = dt, cal
+            loaded = idle is not None and cal < 0.9 * idle
+            slow = name in ref_q and dt > 1.3 * ref_q[name]
+            if loaded or slow:
+                need_cal = True
+            else:
+                good += 1
+        moved = metrics.per_run(
+            metrics.delta(snap0, counter.snapshot()), runs
+        )
+        results[name] = {
+            "sec": best,
+            "rows": rows,
+            "cal": round(best_cal, 2) if best_cal is not None else None,
+            "retries": max(attempts - reps, 0),
+            "bytes": moved,
+        }
 
     cx, cy = cell_cols(F.col("lon"), F.col("lat"))
     # pip joins are all-JVM since round 2 (codegen crossing test) and
@@ -367,6 +483,7 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         ).collect()
 
     timed("seq_packing", run_pack, n_pk)
+    calib.close()
     return results
 
 
@@ -456,11 +573,23 @@ def main():
     n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "20000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     cal = calibrate_quick(cpus)
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    # UI on: the monitoring REST API is the byte-counter source
+    # (geokit_spark.metrics); retained limits sized so a full suite
+    # (O(100) executions) never evicts a stage mid-window.
+    spark = get_spark(
+        "bench",
+        cores=cpus,
+        shuffle_partitions=max(cpus, 8),
+        extra={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "10000",
+            "spark.sql.ui.retainedExecutions": "10000",
+        },
+    )
 
     results = bench_queries(spark, sf_dir, n_docs, cpus)
-    queries = {k: round(v[0], 3) for k, v in results.items()}
-    total = round(sum(v[0] for v in results.values()), 3)
+    queries = {k: round(v["sec"], 3) for k, v in results.items()}
+    total = round(sum(v["sec"] for v in results.values()), 3)
     doc_stages = [
         "tiling_cell_counts", "pip_region_semi_join", "pip_zones_join",
         "extract_values", "knn_ring", "minhash_signatures",
@@ -468,9 +597,22 @@ def main():
         "pagerank", "corpus_pipeline", "seq_packing",
     ]
     docs_per_sec = {
-        k: int(results[k][1] / results[k][0])
+        k: int(results[k]["rows"] / results[k]["sec"])
         for k in doc_stages
         if k in results
+    }
+    bytes_per_run = {
+        k: {f: v["bytes"][f] for f in (
+            "shuffle_write", "shuffle_read", "input",
+            "py_sent", "py_returned",
+        )}
+        for k, v in results.items()
+        if v["bytes"]["available"]
+    }
+    mb_moved_per_sec = {
+        k: round(metrics.moved_bytes(v["bytes"]) / v["sec"] / 2**20, 1)
+        for k, v in results.items()
+        if v["bytes"]["available"]
     }
     out = {
         "metric": "headline_suite_wall_sec",
@@ -482,10 +624,16 @@ def main():
         "cpus": cpus,
         "docs_per_sec": docs_per_sec,
         "calibration": cal,
+        "stage_calibration": {k: v["cal"] for k, v in results.items()},
+        "stage_retries": {
+            k: v["retries"] for k, v in results.items() if v["retries"]
+        },
+        "bytes_per_run": bytes_per_run,
+        "mb_moved_per_sec": mb_moved_per_sec,
     }
     if "zonal_stats" in results:
         out["tiles_per_sec"] = int(
-            results["zonal_stats"][1] / results["zonal_stats"][0]
+            results["zonal_stats"]["rows"] / results["zonal_stats"]["sec"]
         )
     spark.stop()
     print(json.dumps(out))

@@ -107,15 +107,15 @@ class Ellipsoid:
 class SRS:
     """Lightweight SRS descriptor (stands in for osr.SpatialReference)."""
 
-    kind: str  # 'latlon' | 'webmerc' | 'laea' | 'tmerc' | 'lcc'
+    kind: str  # 'latlon' | 'webmerc' | 'laea' | 'tmerc' | 'lcc' | 'stere'
     lat0: float = 0.0
     lon0: float = 0.0
     false_e: float = 0.0
     false_n: float = 0.0
     name: str = ""
-    k0: float = 1.0  # central-meridian scale (tmerc; UTM = 0.9996)
-    lat1: float = 0.0  # standard parallels (lcc 2SP only)
-    lat2: float = 0.0
+    k0: float = 1.0  # central scale (tmerc: UTM 0.9996; stere variant A)
+    lat1: float = 0.0  # standard parallels (lcc 2SP; stere variant B
+    lat2: float = 0.0  # uses lat1 as the standard parallel lat_ts)
     ellps: str = "GRS80"
     # 7-parameter Helmert to WGS84 (EPSG position-vector 9606):
     # (tx, ty, tz [m], rx, ry, rz [arc-sec], ds [ppm]); empty = the
@@ -191,8 +191,9 @@ def load_srs(source) -> SRS:
             f"unsupported EPSG code {source}; closed-form set: 4326, "
             "3857, 3035, centeredLAEA, UTM 32601-32660/32701-32760, "
             "ETRS89-UTM 25828-25838, LCC 2154/3034, 27700, 2193, 2180, "
-            "NAD83-UTM 26901-26923, RGF93-CC 3942-3950, 4258, 4269 — "
-            "or construct any tmerc/lcc/laea grid with "
+            "NAD83-UTM 26901-26923, RGF93-CC 3942-3950, 4258, 4269, "
+            "polar stereographic 3413/3031/3976/3032/5041/5042 — "
+            "or construct any tmerc/lcc/laea/polar-stere grid with "
             "kernels.srs.from_params(...)"
         )
     if isinstance(source, str):
@@ -244,10 +245,23 @@ def from_params(
                 "laea is implemented on GRS80 only (every registered "
                 "LAEA grid uses it); pass ellps='GRS80'"
             )
+    elif proj in ("stere", "polar_stereographic"):
+        kind = "stere"
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                "stere is implemented in the POLAR aspect only "
+                "(lat0 = +/-90, EPSG methods 9810/9829); the oblique "
+                "aspect is a different projection method"
+            )
+        if lat1 != 0.0 and lat0 * lat1 < 0.0:
+            raise ValueError(
+                "standard parallel lat1 must be on the same "
+                "hemisphere as the pole lat0"
+            )
     else:
         raise ValueError(
             f"unsupported projection method {proj!r}; supported: "
-            "tmerc, lcc (2SP), laea"
+            "tmerc, lcc (2SP), laea, stere (polar)"
         )
     Ellipsoid(ellps)  # validate early
     if towgs84 and len(towgs84) not in (3, 7):
@@ -307,6 +321,35 @@ def _epsg_param(code: int) -> SRS | None:
     # engine's accuracy (ETRS89, NAD83)
     if code in (4258, 4269):
         return SRS("latlon", name=f"EPSG:{code}")
+    # polar stereographic grids (all WGS84): variant B (standard
+    # parallel, EPSG method 9829) for the NSIDC/Antarctic grids,
+    # variant A (k0 at the pole, method 9810) for UPS
+    if code == 3413:  # NSIDC Sea Ice Polar Stereographic North
+        return from_params(
+            "stere", 90.0, -45.0, lat1=70.0, ellps="WGS84",
+            name="EPSG:3413",
+        )
+    if code == 3031:  # Antarctic Polar Stereographic
+        return from_params(
+            "stere", -90.0, 0.0, lat1=-71.0, ellps="WGS84",
+            name="EPSG:3031",
+        )
+    if code == 3976:  # NSIDC Sea Ice Polar Stereographic South
+        return from_params(
+            "stere", -90.0, 0.0, lat1=-70.0, ellps="WGS84",
+            name="EPSG:3976",
+        )
+    if code == 3032:  # Australian Antarctic Polar Stereographic
+        return from_params(
+            "stere", -90.0, 70.0, 6000000.0, 6000000.0, lat1=-71.0,
+            ellps="WGS84", name="EPSG:3032",
+        )
+    if code in (5041, 5042):  # WGS 84 / UPS North, South (variant A)
+        return from_params(
+            "stere", 90.0 if code == 5041 else -90.0, 0.0,
+            2000000.0, 2000000.0, k0=0.994, ellps="WGS84",
+            name=f"EPSG:{code}",
+        )
     return None
 
 
@@ -583,6 +626,83 @@ def lcc_inverse(x, y, srs: SRS):
 
 
 # ---------------------------------------------------------------------------
+# polar stereographic (EPSG methods 9810 variant A / 9829 variant B),
+# EPSG Guidance Note 7-2 §1.3.7.2-3 equations. The south aspect is the
+# north aspect with latitude and grid north folded (phi -> -phi,
+# N-offset sign flipped), so one code path serves both poles.
+
+
+def _stere_cm(e: float) -> float:
+    """sqrt((1+e)^(1+e) (1-e)^(1-e)) — the GN7-2 rho denominator."""
+    return math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+
+
+def _stere_consts(srs: SRS):
+    """(ellipsoid, north?, effective k0). Variant B (lat1 = standard
+    parallel lat_ts != 0) derives the pole scale k0 from lat_ts via
+    t_F/m_F; variant A uses the declared k0 directly."""
+    ell = _ell(srs)
+    north = srs.lat0 > 0.0
+    if srs.lat1 != 0.0:
+        e = ell.e1
+        phif = math.radians(abs(srs.lat1))
+        esin = e * math.sin(phif)
+        tf = math.tan(math.pi / 4.0 - phif / 2.0) * (
+            (1.0 + esin) / (1.0 - esin)
+        ) ** (e / 2.0)
+        mf = math.cos(phif) / math.sqrt(1.0 - ell.e2 * math.sin(phif) ** 2)
+        k0 = mf * _stere_cm(e) / (2.0 * tf)
+    else:
+        k0 = srs.k0
+    return ell, north, k0
+
+
+def stere_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ell, north, k0 = _stere_consts(srs)
+    e = ell.e1
+    phi = np.radians(lat if north else -lat)
+    lam = np.radians(lon - srs.lon0)
+    esin = e * np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * (
+        (1.0 + esin) / (1.0 - esin)
+    ) ** (e / 2.0)
+    rho = 2.0 * ell.a * k0 * t / _stere_cm(e)
+    east = srs.false_e + rho * np.sin(lam)
+    dn = rho * np.cos(lam)
+    return east, srs.false_n - dn if north else srs.false_n + dn
+
+
+def stere_inverse(x, y, srs: SRS):
+    """(easting, northing) meters -> (lon, lat) degrees. Latitude via
+    the GN7-2 fixpoint on the isometric-latitude relation (quadratic
+    convergence; 10 rounds reaches float64 roundoff). rho == 0 (the
+    pole itself) falls out naturally: t = 0 -> phi = pi/2, lam = 0."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ell, north, k0 = _stere_consts(srs)
+    e = ell.e1
+    dx = x - srs.false_e
+    dy = y - srs.false_n
+    rho = np.hypot(dx, dy)
+    t = rho * _stere_cm(e) / (2.0 * ell.a * k0)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(10):
+        esin = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - esin) / (1.0 + esin)) ** (e / 2.0)
+        )
+    lam = np.arctan2(dx, -dy) if north else np.arctan2(dx, dy)
+    lat = np.degrees(phi)
+    return (
+        np.degrees(lam) + srs.lon0,
+        lat if north else -lat,
+    )
+
+
+# ---------------------------------------------------------------------------
 # datum bridge: 7-parameter Helmert via geocentric coordinates (EPSG
 # position-vector convention, method 9606); applied when an SRS
 # declares towgs84 (non-WGS84-equivalent datum, e.g. OSGB36)
@@ -667,6 +787,8 @@ def _to_latlon(x, y, srs: SRS):
         return tmerc_inverse(x, y, srs)
     if srs.kind == "lcc":
         return lcc_inverse(x, y, srs)
+    if srs.kind == "stere":
+        return stere_inverse(x, y, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 
@@ -681,6 +803,8 @@ def _from_latlon(lon, lat, srs: SRS):
         return tmerc_forward(lon, lat, srs)
     if srs.kind == "lcc":
         return lcc_forward(lon, lat, srs)
+    if srs.kind == "stere":
+        return stere_forward(lon, lat, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 

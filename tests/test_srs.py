@@ -346,3 +346,97 @@ def test_grs80_parity_after_parameterization():
     e, n = S.tmerc_forward([6.083], [50.775], S.load_srs(32632))
     e2, n2 = S.xy_transform([6.083], [50.775], 4326, 32632)
     assert e[0] == e2[0] and n[0] == n2[0]
+
+
+def test_polar_stereographic_gn72_worked_examples():
+    """EPSG GN7-2 §1.3.7.2/3 worked examples pin both variants:
+    variant B (standard parallel) via WGS84 / Australian Antarctic
+    Polar Stereographic (EPSG:3032), variant A (pole scale k0) via
+    WGS84 / UPS North (EPSG:5041)."""
+    from geokit_spark.kernels import srs as S
+
+    e, n = S.stere_forward([120.0], [-75.0], S.load_srs(3032))
+    assert abs(e[0] - 7255380.79) < 0.01
+    assert abs(n[0] - 7053389.56) < 0.01
+    e, n = S.stere_forward([44.0], [73.0], S.load_srs(5041))
+    assert abs(e[0] - 3320416.75) < 0.01
+    assert abs(n[0] - 632668.43) < 0.01
+
+
+def test_polar_stereographic_variant_consistency():
+    """Variant B's derived pole scale must reproduce variant A: UPS's
+    k0 = 0.994 corresponds to a standard parallel of ~81.114528
+    (published UPS property); building the same grid from that lat_ts
+    gives the same grid coordinates to sub-mm."""
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    ups = S.load_srs(5041)
+    # solve lat_ts for k0 = 0.994 by bisection on the derived scale
+    lo, hi = 70.0, 90.0
+    for _ in range(60):
+        mid = (lo + hi) / 2.0
+        k = S._stere_consts(
+            S.from_params("stere", 90.0, 0.0, lat1=mid, ellps="WGS84")
+        )[2]
+        lo, hi = (mid, hi) if k < 0.994 else (lo, mid)
+    assert abs(mid - 81.114528) < 1e-3
+    vb = S.from_params(
+        "stere", 90.0, 0.0, 2000000.0, 2000000.0, lat1=mid, ellps="WGS84"
+    )
+    lons = np.array([44.0, -120.0, 0.0])
+    lats = np.array([73.0, 85.0, 64.0])
+    ea, na = S.stere_forward(lons, lats, ups)
+    eb, nb = S.stere_forward(lons, lats, vb)
+    assert np.abs(ea - eb).max() < 1e-3
+    assert np.abs(na - nb).max() < 1e-3
+
+
+def test_polar_stereographic_roundtrip_both_poles():
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    rng = np.random.default_rng(7)
+    for code, lo_lat, hi_lat in ((3413, 55.0, 90.0), (3031, -90.0, -55.0)):
+        srs = S.load_srs(code)
+        lons = rng.uniform(-180.0, 180.0, 500)
+        lats = rng.uniform(lo_lat, hi_lat, 500)
+        x, y = S.stere_forward(lons, lats, srs)
+        lon2, lat2 = S.stere_inverse(x, y, srs)
+        dlon = np.abs((lon2 - lons + 180.0) % 360.0 - 180.0)
+        assert dlon.max() < 1e-9
+        assert np.abs(lat2 - lats).max() < 1e-9
+    # the pole itself maps to the false origin and back
+    s = S.load_srs(3413)
+    x, y = S.stere_forward([10.0], [90.0], s)
+    assert abs(x[0] - s.false_e) < 1e-6 and abs(y[0] - s.false_n) < 1e-6
+    lon, lat = S.stere_inverse(x, y, s)
+    assert abs(lat[0] - 90.0) < 1e-12
+
+
+def test_polar_stereographic_in_generic_transform():
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    x, y = S.xy_transform([-45.0, 100.0], [70.0, 80.0], 4326, 3413)
+    lon, lat = S.xy_transform(x, y, 3413, 4326)
+    assert np.abs(lon - np.array([-45.0, 100.0])).max() < 1e-9
+    assert np.abs(lat - np.array([70.0, 80.0])).max() < 1e-9
+    # registry parameters
+    s = S.load_srs(3413)
+    assert (s.kind, s.lat0, s.lon0, s.lat1) == ("stere", 90.0, -45.0, 70.0)
+    assert S.load_srs(3031).lat1 == -71.0
+
+
+def test_polar_stereographic_from_params_validation():
+    import pytest as _pytest
+
+    from geokit_spark.kernels import srs as S
+
+    with _pytest.raises(ValueError, match="POLAR"):
+        S.from_params("stere", 52.0, 10.0, lat1=52.0, ellps="WGS84")
+    with _pytest.raises(ValueError, match="hemisphere"):
+        S.from_params("stere", 90.0, 0.0, lat1=-70.0, ellps="WGS84")
