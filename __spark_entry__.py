@@ -1100,9 +1100,11 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified multimodal routing: ONE binary column cycling through
-    png/jpeg/gif/wav/mp4 containers (doc_id % 5), sniffed by magic
-    bytes and dispatched to the matching header parser in a single
-    streaming pass — fmt plus the format's two primary fields."""
+    png/jpeg/gif/wav/mp4/webp containers (doc_id % 6; the webp slot
+    rotates all three real chunk layouts VP8/VP8L/VP8X), sniffed by
+    magic bytes and dispatched to the matching header parser in a
+    single streaming pass — fmt plus the format's two primary
+    fields."""
     from geokit_spark.operators.multimodal import (
         build_mixed_payload,
         media_meta,
@@ -4143,13 +4145,14 @@ FROM num
 def _o_media_router() -> str:
     return """
 SELECT doc_id,
-  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'mp4' END AS fmt,
-  CAST(CASE doc_id % 5
+  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4'
+    ELSE 'webp' END AS fmt,
+  CAST(CASE doc_id % 6
     WHEN 3 THEN 8000 * (1 + doc_id % 5)
     WHEN 4 THEN 1000 * (1 + doc_id % 4)
     ELSE 16 + (doc_id * 13) % 1000 END AS BIGINT) AS dim1,
-  CAST(CASE doc_id % 5
+  CAST(CASE doc_id % 6
     WHEN 3 THEN 100 + (doc_id * 17) % 4000
     WHEN 4 THEN 1000 + (doc_id * 29) % 100000
     ELSE 16 + (doc_id * 7) % 800 END AS BIGINT) AS dim2

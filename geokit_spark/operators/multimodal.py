@@ -364,6 +364,40 @@ def _gif_bytes(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x80\x00\x00" + b"\x3b"
 
 
+def _webp_bytes(w: int, h: int, flavor: int) -> bytes:
+    """Standards-valid WebP container (RIFF form type 'WEBP'), one of
+    the three real chunk layouts: VP8 (lossy keyframe: 3-byte frame
+    tag, 9D 01 2A start code, 14-bit LE dims), VP8L (lossless: 2F
+    signature, packed 14-bit w-1/h-1 bitstream), VP8X (extended:
+    flags + 24-bit LE canvas w-1/h-1). Odd-length chunks get the RIFF
+    word-alignment pad byte, exactly as the spec requires."""
+    import struct
+
+    if flavor == 0:
+        tag = b"VP8 "
+        payload = (
+            b"\x00\x00\x00"  # frame tag (keyframe, version 0)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+        )
+    elif flavor == 1:
+        tag = b"VP8L"
+        v = (w - 1) | ((h - 1) << 14)  # alpha/version zero in top bits
+        payload = b"\x2f" + struct.pack("<I", v)
+    else:
+        tag = b"VP8X"
+        payload = (
+            b"\x02\x00\x00\x00"  # flags (ICC bit set) + reserved
+            + struct.pack("<I", w - 1)[:3]
+            + struct.pack("<I", h - 1)[:3]
+        )
+    chunk = tag + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def build_image_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a real PNG / JPEG / GIF header container per
     document (format = doc_id % 3), dimensions by closed form."""
@@ -406,6 +440,24 @@ def parse_image_header(buf: bytes):
             int.from_bytes(b[6:8], "little"),
             int.from_bytes(b[8:10], "little"),
         )
+    if b[:4] == b"RIFF" and len(b) >= 16 and b[8:12] == b"WEBP":
+        tag = b[12:16]  # first chunk header at 12, payload at 20
+        if tag == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            return (
+                "webp",
+                int.from_bytes(b[26:28], "little") & 0x3FFF,
+                int.from_bytes(b[28:30], "little") & 0x3FFF,
+            )
+        if tag == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            v = int.from_bytes(b[21:25], "little")
+            return "webp", (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1
+        if tag == b"VP8X" and len(b) >= 30:
+            return (
+                "webp",
+                int.from_bytes(b[24:27], "little") + 1,
+                int.from_bytes(b[27:30], "little") + 1,
+            )
+        return "unknown", None, None
     if b[:2] == b"\xff\xd8":
         off = 2
         while off + 4 <= len(b):
@@ -729,8 +781,12 @@ def video_meta(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def build_mixed_payload(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload): format cycles through png/jpeg/gif/wav/mp4
-    by doc_id % 5; each container is the real serialized header."""
+    """(doc_id, payload): format cycles through png/jpeg/gif/wav/mp4/
+    webp by doc_id % 6; each container is the real serialized header.
+    The webp slot rotates through all three chunk layouts (VP8 /
+    VP8L / VP8X by (doc_id // 6) % 3) while its dims stay the shared
+    closed form — the oracle is flavor-independent, so the parser must
+    decode three distinct bitstream layouts to the same answer."""
     src = docs.select("doc_id")
 
     def fn(batches):
@@ -741,7 +797,7 @@ def build_mixed_payload(docs: DataFrame) -> DataFrame:
             ts, du = video_params(ids)
             payloads = []
             for i, d in enumerate(ids):
-                m = int(d) % 5
+                m = int(d) % 6
                 if m == 0:
                     payloads.append(_png_bytes(int(w[i]), int(h[i])))
                 elif m == 1:
@@ -757,9 +813,15 @@ def build_mixed_payload(docs: DataFrame) -> DataFrame:
                             int(ns[i]), pad=4 + int(d) % 19,
                         )
                     )
-                else:
+                elif m == 4:
                     payloads.append(
                         _mp4_bytes(int(ts[i]), int(du[i]), pad=4 + int(d) % 17)
+                    )
+                else:
+                    payloads.append(
+                        _webp_bytes(
+                            int(w[i]), int(h[i]), (int(d) // 6) % 3
+                        )
                     )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

@@ -174,13 +174,61 @@ def test_media_router_dispatch(spark):
     )
 
     docs = spark.createDataFrame(
-        [(i,) for i in range(25)], "doc_id long"
+        [(i,) for i in range(36)], "doc_id long"
     )
     out = {
         r.doc_id: r
         for r in media_meta(build_mixed_payload(docs)).collect()
     }
-    want_fmt = ["png", "jpeg", "gif", "wav", "mp4"]
-    for d in range(25):
-        assert out[d].fmt == want_fmt[d % 5]
+    want_fmt = ["png", "jpeg", "gif", "wav", "mp4", "webp"]
+    for d in range(36):
+        assert out[d].fmt == want_fmt[d % 6]
         assert out[d].dim1 is not None and out[d].dim2 is not None
+    # the three webp slots in range(36) hit all three chunk layouts
+    # ((d // 6) % 3 for d = 5, 11, 17, 23, 29, 35 -> 0, 1, 2, ...)
+    # and every one reports the same closed-form dims
+    from geokit_spark.operators.multimodal import image_dims
+
+    for d in (5, 11, 17, 23, 29, 35):
+        w, h = image_dims([d])
+        assert (out[d].dim1, out[d].dim2) == (int(w[0]), int(h[0]))
+
+
+def test_webp_all_three_layouts():
+    from geokit_spark.operators.multimodal import _webp_bytes
+
+    for flavor in (0, 1, 2):
+        b = _webp_bytes(640, 480, flavor)
+        # RIFF size field covers everything after the 8-byte header
+        import struct
+
+        assert b[:4] == b"RIFF" and b[8:12] == b"WEBP"
+        assert struct.unpack("<I", b[4:8])[0] == len(b) - 8
+        assert len(b) % 2 == 0  # word-aligned container
+        assert parse_image_header(b) == ("webp", 640, 480)
+    # layout-specific signatures actually differ
+    assert _webp_bytes(9, 9, 0)[12:16] == b"VP8 "
+    assert _webp_bytes(9, 9, 1)[12:16] == b"VP8L"
+    assert _webp_bytes(9, 9, 2)[12:16] == b"VP8X"
+    # 14-bit packing edge: max dims the VP8 lossy header can carry
+    assert parse_image_header(_webp_bytes(16383, 16383, 0)) == (
+        "webp", 16383, 16383,
+    )
+    assert parse_image_header(_webp_bytes(16384, 1, 1)) == (
+        "webp", 16384, 1,
+    )  # VP8L w-1 fits 14 bits up to 16384
+
+
+def test_webp_truncation_and_unknown_chunk():
+    from geokit_spark.operators.multimodal import _webp_bytes
+
+    b = _webp_bytes(100, 50, 0)
+    for cut in (11, 15, 22, 29):
+        assert parse_image_header(b[:cut])[0] == "unknown"
+    # RIFF/WEBP with an unrecognized first chunk -> unknown, not crash
+    weird = b[:12] + b"ALPH" + b[16:]
+    assert parse_image_header(weird)[0] == "unknown"
+    # VP8 chunk with a corrupt start code -> unknown
+    bad = bytearray(b)
+    bad[23] = 0x00
+    assert parse_image_header(bytes(bad))[0] == "unknown"
