@@ -2258,10 +2258,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS for the driver's per-round budget: queries the
-    # driver has not yet recorded green (round-2 tail + this round's
-    # new operators) run FIRST; the 50 rows already green in
-    # CORRECTNESS_r02 follow.
+    # ORDER MATTERS for the driver's per-round budget (first 50):
+    # _DRIVER_FRONT rotates (a) this round's new/changed rows first,
+    # then (b) the rows whose last driver-green is OLDEST, so every
+    # query re-earns a driver check at worst every other round. The
+    # base dict below keeps its grouped-by-round layout for reading.
+    base = _queries_base()
+    out = {k: base[k] for k in _DRIVER_FRONT}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
+
+
+# round 6: 5 new/changed rows, then the 37 rows last driver-checked in
+# rounds <= 3, then the oldest round-4 rows to fill the 50 budget.
+_DRIVER_FRONT = [
+    # new / changed in round 6
+    "substring_dedup",
+    "bpe_tokens",
+    "seq_packing_bpe",
+    "classifier_scores",
+    "media_router",
+    # stale: last driver-green in rounds <= 3
+    "region_mask_area",
+    "indicate_values",
+    "kernel_max3",
+    "warp_average",
+    "warp_near",
+    "warp_bilinear",
+    "warp_cubic",
+    "warp_cutline",
+    "warp_cubicspline",
+    "warp_stats",
+    "mosaic_combine",
+    "knn",
+    "count_features",
+    "interp_average",
+    "subtiles_zones",
+    "extract_clip",
+    "connected_components",
+    "extract_multi",
+    "contours",
+    "box_predicates",
+    "mutate_vector",
+    "union_area_cells",
+    "multimodal_meta",
+    "bisect",
+    "text_features",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "dedup_clusters",
+    "stratified_sample",
+    "pipeline_filter",
+    "embed_centroids",
+    "normalize_text",
+    "multimodal_frames",
+    "contour_lines",
+    "sieve",
+    "indicate_features",
+    # oldest round-4 rows filling the remaining budget
+    "pip_region",
+    "pip_region2",
+    "zonal_stats",
+    "extract_values",
+    "interp_bilinear",
+    "interp_cubic",
+    "gradient_raster",
+    "gradient_points",
+]
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 6 -------------------------------------------------
         "substring_dedup": q_substring_dedup,
