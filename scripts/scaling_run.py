@@ -45,12 +45,15 @@ def _burn(_):
 
 def _burn_mem(_):
     """DRAM-stream burn (64 MB working set, pure copies/adds): the
-    machine's MEMORY-BANDWIDTH scaling ceiling — the relevant bound
-    for data-motion stages (shuffle, Arrow IPC, row conversion), which
-    on this VM saturates far below the compute ceiling (measured
-    ~1.3x from 4x processes vs ~2.2x for cache-resident compute). A
-    real 4x cluster multiplies DRAM channels with nodes, so the
-    class-matched ceiling is the cluster-relevant normalizer."""
+    machine's MEMORY-BANDWIDTH ceiling. Round 5 normalized two stages
+    against it BY CLASSIFICATION; round 6 measured the actual bytes
+    (geokit_spark.metrics counters in bench.py) and found every stage
+    moves <5% of stream bandwidth across visible boundaries — so no
+    stage earns this ceiling and the table now grades everything
+    against the CPU ceiling. The burn is kept to report the measured
+    stream bandwidth next to each stage's achieved bytes/sec: the
+    EVIDENCE that the dm classification was retired, not assumed
+    away."""
     import numpy as np
 
     a = np.ones(8_000_000, dtype=np.float64)
@@ -61,16 +64,9 @@ def _burn_mem(_):
     return 0
 
 
-# stages whose wall time is dominated by data motion (Arrow IPC +
-# shuffle bytes) rather than cache-resident compute: normalized
-# against the bandwidth ceiling.
-# - ann_topk_large: 2M binary embeddings cross the python boundary
-#   three times (bucket, gather, re-score)
-# - html_extract: measured — the pure-python kernel does 234k rows/s
-#   per core (so 8 compute-bound cores would be ~1.9M rows/s) but the
-#   stage observes 0.84M at local[8]: >55% of wall is Arrow transfer
-#   of the html bytes, and the 8->32 marginal limiter is bandwidth
-DATA_MOTION_STAGES = {"ann_topk_large", "html_extract"}
+# bytes one _burn_mem task streams through DRAM: 12 iterations x
+# 2 np.add calls x (read 64 MB + write 64 MB)
+MEM_BYTES_PER_TASK = 12 * 2 * 2 * 8_000_000 * 8
 
 
 def calibrate() -> dict:
@@ -93,6 +89,11 @@ def calibrate() -> dict:
                 rates[n] = 64 / (_t.perf_counter() - t0)
         out[name] = rates
         out[f"{name}_ceiling"] = (rates[32] / rates[8]) / 4.0
+    # measured DRAM-stream bandwidth (bytes/s) at each parallelism —
+    # the denominator for each stage's achieved-bytes/sec evidence
+    out["stream_bw_bytes"] = {
+        n: out["mem"][n] * MEM_BYTES_PER_TASK for n in (8, 32)
+    }
     # backward-compat fields (round <= 4 shape)
     out[8] = out["cpu"][8]
     out[32] = out["cpu"][32]
@@ -103,13 +104,22 @@ def calibrate() -> dict:
 def _merge_best(runs: list[dict]) -> dict:
     """Per-stage best (max docs/s, min seconds) across full bench runs
     — the box shows rare pathological legs (GC/host interference);
-    best-of-rounds is the steady-state estimator."""
+    best-of-rounds is the steady-state estimator. Byte counters ride
+    along with whichever run held the stage's best time (per-run
+    traffic is deterministic, so any run's counters are the stage's)."""
     out = dict(runs[0])
     out["queries"] = dict(runs[0]["queries"])
     out["docs_per_sec"] = dict(runs[0]["docs_per_sec"])
+    out["mb_moved_per_sec"] = dict(runs[0].get("mb_moved_per_sec", {}))
+    out["bytes_per_run"] = dict(runs[0].get("bytes_per_run", {}))
     for r in runs[1:]:
         for k, v in r["queries"].items():
-            out["queries"][k] = min(out["queries"].get(k, v), v)
+            if v < out["queries"].get(k, float("inf")):
+                out["queries"][k] = v
+                if k in r.get("mb_moved_per_sec", {}):
+                    out["mb_moved_per_sec"][k] = r["mb_moved_per_sec"][k]
+                if k in r.get("bytes_per_run", {}):
+                    out["bytes_per_run"][k] = r["bytes_per_run"][k]
         for k, v in r["docs_per_sec"].items():
             out["docs_per_sec"][k] = max(out["docs_per_sec"].get(k, v), v)
     return out
@@ -129,6 +139,7 @@ def main():
     stages = list(r8["docs_per_sec"].keys())
     ceil = cal["cpu_ceiling"]
     mceil = cal["mem_ceiling"]
+    bw8 = cal["stream_bw_bytes"][8]
     lines = [
         "# BENCH/BASELINE — two-parallelism scaling run",
         "",
@@ -142,16 +153,23 @@ def main():
         f"processes vs {cal['cpu'][32]:.1f} at 32 — **{4 * ceil:.2f}x** "
         f"(efficiency {ceil:.2f}) from 4x processes; a DRAM-stream burn "
         f"(64 MB working sets) measured {cal['mem'][8]:.1f} vs "
-        f"{cal['mem'][32]:.1f} — only **{4 * mceil:.2f}x** (efficiency "
-        f"{mceil:.2f}): the VM's memory bandwidth is nearly saturated at "
-        "8 processes. A real 4x-node cluster multiplies DRAM channels, "
-        "NICs and disks together with cores, so each stage's normalized "
-        "column divides by the ceiling of its WORKLOAD CLASS: "
-        "cache-resident compute stages (codegen joins, tiling, kernels) "
-        "by the CPU ceiling; data-motion stages (marked `dm`: Arrow IPC "
-        "+ shuffle dominated, e.g. the 2M-vector bucketed ANN whose "
-        "bytes cross the python boundary three times) by the bandwidth "
-        "ceiling.",
+        f"{cal['mem'][32]:.1f} tasks/s — {4 * mceil:.2f}x (efficiency "
+        f"{mceil:.2f}), i.e. stream bandwidth "
+        f"~{bw8 / 2**30:.1f} GiB/s is nearly saturated at 8 processes. "
+        "Every stage's normalized column divides by the **CPU ceiling**. "
+        "Round 5 graded two stages against the bandwidth ceiling by "
+        "workload classification; round 6 MEASURED the bytes (per-stage "
+        "shuffle r+w, scan input and Arrow python-worker traffic — the "
+        "`MB/s moved` column, from geokit_spark.metrics counters) and "
+        "found every stage's visible data motion is <5% of stream "
+        "bandwidth, so NO stage earns the bandwidth ceiling and the dm "
+        "classification is retired. What actually limits the Arrow-heavy "
+        "stages is per-task time inflation under concurrency (identical "
+        "bytes and identical work at both parallelism levels, but "
+        "~2.2-2.4x task-seconds at 32 vs 8 — measured via "
+        "executorCpuTime + python-worker run time), which is the same "
+        "phenomenon the CPU burn calibrates (its inflation is ~2.1x), "
+        "so the CPU ceiling is the honest normalizer for them too.",
         "",
         "**Regime note**: per-stage times must be compute-bound to "
         "measure scaling; this table uses 100M docs, with the all-JVM "
@@ -167,8 +185,8 @@ def main():
         "the mmap sidecar matrix, and selects top-k vectorized (no "
         "pair-distinct exchange, no JVM window sort).",
         "",
-        "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency | normalized |",
-        "|---|---|---|---|---|---|",
+        "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency | normalized | MB/s moved @32 | % of stream bw |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     effs = []
     for s in stages:
@@ -177,16 +195,22 @@ def main():
         sp = d32 / d8
         eff = sp / 4.0
         effs.append((s, eff))
-        c = mceil if s in DATA_MOTION_STAGES else ceil
-        tag = " (dm)" if s in DATA_MOTION_STAGES else ""
+        mbs = r32.get("mb_moved_per_sec", {}).get(s)
+        if mbs is not None:
+            bw32 = cal["stream_bw_bytes"][32]
+            mb_col = f"{mbs:,.0f}"
+            pct_col = f"{100 * mbs * 2**20 / bw32:.1f}%"
+        else:
+            mb_col = pct_col = "n/a"
         lines.append(
-            f"| {s}{tag} | {d8:,} | {d32:,} | {sp:.2f}x | {eff:.2f} | {min(eff / c, 1.25):.2f} |"
+            f"| {s} | {d8:,} | {d32:,} | {sp:.2f}x | {eff:.2f} "
+            f"| {min(eff / ceil, 1.25):.2f} | {mb_col} | {pct_col} |"
         )
     t8 = sum(r8["queries"].values())
     t32 = sum(r32["queries"].values())
     sp = t8 / t32
     lines += [
-        f"| **suite wall time** | {t8:.1f}s | {t32:.1f}s | {sp:.2f}x | {sp / 4:.2f} | {min(sp / 4 / ceil, 1.25):.2f} |",
+        f"| **suite wall time** | {t8:.1f}s | {t32:.1f}s | {sp:.2f}x | {sp / 4:.2f} | {min(sp / 4 / ceil, 1.25):.2f} | | |",
         "",
         f"Calibration raw: `{json.dumps({str(k): v for k, v in cal.items()})}`",
         "",
