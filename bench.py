@@ -352,8 +352,10 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
     # ANN BEYOND the broadcast cap: ann_topk_bucketed at 2M vectors —
     # no driver-side matrix, no sidecar; embeddings cross the wire
     # once per table as fixed-stride BINARY cells (the layout a 100-TB
-    # embedding store uses). Partition count pinned (64) so the 8- vs
-    # 32-core scaling runs compare the identical job.
+    # embedding store uses). Partition count pinned (128) so the 8- vs
+    # 32-core scaling runs compare the identical job; 128 measured
+    # best for 8->32 scaling (4 waves at 32 average out bucket-skew
+    # stragglers; 64's 2-wave schedule lost ~10% to wave tails).
     from geokit_spark.operators.similarity import ann_topk_bucketed
 
     n_large = int(os.environ.get("GEOKIT_BENCH_ANN_LARGE", "2000000"))
@@ -365,7 +367,7 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         "ann_topk_large",
         lambda: ann_topk_bucketed(
             _synth_emb_binary(spark, n_large, parts, offset=next(seq)),
-            k=5, n_planes=npl, n_tables=2, n_partitions=64,
+            k=5, n_planes=npl, n_tables=2, n_partitions=128,
             binary_dtype="float32",
         ).count(),
         n_large,

@@ -33,6 +33,9 @@ NAMES = [
     "mix_weights", "corpus_shuffle", "rag_chunks", "snapshot_compact",
     "image_meta", "audio_meta", "training_mix", "blocklist",
     "distinct_sketch", "skew_report", "sketch_merge", "video_meta", "media_router",
+    # round 6
+    "substring_dedup", "bpe_tokens", "seq_packing_bpe",
+    "classifier_scores",
 ]
 
 
@@ -170,6 +173,23 @@ def main():
         "  `snapshot_compact` is a protocol demo over scalar rows",
         "  (per-version 1-row aggs combined by broadcast nest, like",
         "  snapshot_reads).",
+        "- `substring_dedup` (round 6): ONE gram-keyed exchange",
+        "  (duplicated 8-grams via distinct-doc counts) + the doc_id",
+        "  interval-merge agg; the rebuild is narrow — corpus text",
+        "  never shuffles, only (gram_hash, doc_id, pos) triples.",
+        "- `bpe_tokens` / `seq_packing_bpe`: the tokenizer is a single",
+        "  narrow Arrow kernel (committed merge table is a broadcast",
+        "  literal, per-batch word memoization); the BPE pack variant",
+        "  reuses pack_sequences' one (lang, shard) exchange.",
+        "- `classifier_scores`: FULLY NARROW (0 shuffles, 0 python) —",
+        "  unigram+bigram hashing-trick features as array lambdas",
+        "  fused with the scan; a learned weight vector would occupy",
+        "  the same plan position as a broadcast lookup.",
+        "- `ann_topk_bucketed` (round-6 layout): partial top-k crosses",
+        "  the merge exchange as ONE 16k-byte packed cell per",
+        "  (vec_id, bucket) row — 5x fewer shuffle rows than",
+        "  row-per-pair, measured 102 -> 27 JVM-cpu-seconds of shuffle",
+        "  row framing at 2M vectors / 32 cores.",
         "",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

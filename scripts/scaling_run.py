@@ -177,13 +177,13 @@ def main():
         "PIP — both pip joins) at 4x that. The driver's per-round "
         "bench.py runs the same pipeline at 20M docs for speed; "
         "compare it against the dedicated 20M reference row below, "
-        "not this table. The ann_topk row is capped at 100k vectors "
-        "(beyond that the bucket-join volume swamps the suite on this "
-        "box); the operator runs the fused two-shuffle plan — bucket "
-        "equijoin, then one vec_id repartition into a single Arrow "
-        "pass that dedupes multi-table collisions, re-scores against "
-        "the mmap sidecar matrix, and selects top-k vectorized (no "
-        "pair-distinct exchange, no JVM window sort).",
+        "not this table. The headline ANN row is `ann_topk_large` — "
+        "ann_topk_bucketed at 2M vectors, 128 pinned partitions, "
+        "round-6 packed partial cells (one 16k-byte binary cell per "
+        "(vec_id, bucket) row crosses the merge exchange instead of "
+        "k rows — measured 102 -> 27 JVM-cpu-seconds of shuffle row "
+        "framing at 32 cores, throughput +70%). The `ann_topk` row "
+        "is the small-corpus broadcast path (sidecar mmap re-score).",
         "",
         "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency | normalized | MB/s moved @32 | % of stream bw |",
         "|---|---|---|---|---|---|---|---|",
