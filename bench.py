@@ -173,17 +173,15 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
         best = float("inf")
         best_cal = None
         good = attempts = 0
-        cal = None
-        need_cal = True
         # a rep is SUSPECT if it ran under measured external load
-        # (calibration < 90% of the idle anchor) or came out >1.3x the
-        # clean reference row; suspects earn bounded extra reps — the
+        # (calibration probed IMMEDIATELY BEFORE EVERY rep — a stale
+        # probe would miss load arriving mid-stage and wave the
+        # contaminated rep through) or came out >1.3x the clean
+        # reference row; suspects earn bounded extra reps — the
         # round-5 failure mode (driver-run contamination recorded but
         # not acted on) ends here.
         while good < reps and attempts < reps + max_retries:
-            if need_cal:
-                cal = calib.rate()
-                need_cal = False
+            cal = calib.rate()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -193,9 +191,7 @@ def bench_queries(spark, sf_dir: str, n_docs: int, cpus: int):
                 best, best_cal = dt, cal
             loaded = idle is not None and cal < 0.9 * idle
             slow = name in ref_q and dt > 1.3 * ref_q[name]
-            if loaded or slow:
-                need_cal = True
-            else:
+            if not (loaded or slow):
                 good += 1
         moved = metrics.per_run(
             metrics.delta(snap0, counter.snapshot()), runs

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 import urllib.request
 
 _UNIT = {
@@ -87,8 +88,24 @@ class ByteCounter:
             return json.loads(r.read())
 
     def snapshot(self) -> dict:
+        """Settled cumulative counters: the status store is fed by an
+        ASYNC listener queue, so a read taken the instant an action
+        returns can miss the tail of the stage just finished (its
+        bytes would then leak into the NEXT window's delta). Read
+        until two consecutive polls agree (bounded), which empirically
+        settles within one poll on this box."""
         if self._base is None:
             return _zeros(False)
+        prev = None
+        for _ in range(5):
+            cur = self._read()
+            if not cur["available"] or cur == prev:
+                return cur
+            prev = cur
+            time.sleep(0.25)
+        return prev
+
+    def _read(self) -> dict:
         try:
             out = _zeros(True)
             for s in self._rest("/stages?status=complete"):

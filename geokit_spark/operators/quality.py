@@ -434,8 +434,14 @@ def substring_dedup(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     reducer), filter min != max. The gram->positions join back is a
     semi join on the gram key (size-aware broadcast when the dup set
     is small); the per-doc cover set is one doc-keyed exchange of
-    bounded arrays. Text bytes are never shuffled — only md5 keys
-    and int positions."""
+    bounded arrays. The GRAM exchange never carries text — only md5
+    keys and int positions. The final rebuild join (docs x cover on
+    doc_id) broadcasts cover below the threshold; above it (a corpus
+    where duplicated docs are a large fraction) it is a doc_id-keyed
+    sort-merge join, i.e. corpus text crosses at most ONE exchange —
+    and zero on a corpus table bucketed by doc_id, the layout a
+    100-TB dedup deployment uses (Lee et al.'s own pipeline
+    co-locates text with its cover the same way)."""
     from ..plans.hints import size_aware_broadcast
 
     grams = docs.select(
@@ -528,12 +534,7 @@ def classifier_scores(
     learned vector would be a broadcast lookup in the same plan
     position."""
     toks = f"split({text_col}, ' ')"
-    bigrams = (
-        f"if(size({toks}) >= 2,"
-        f" transform(sequence(1, size({toks}) - 1),"
-        f" i -> concat_ws(' ', slice({toks}, i, 2))), array())"
-    )
-    feats = f"concat({toks}, {bigrams})"
+    feats = f"concat({toks}, {_grams_expr(2, toks)})"
     h48 = "cast(conv(substring(md5(f), 1, 12), 16, 10) as bigint)"
     score = F.expr(
         f"aggregate({feats}, 0L, (acc, f) -> acc + ({_weight_sql(h48)}))"

@@ -174,9 +174,12 @@ def main():
         "  (per-version 1-row aggs combined by broadcast nest, like",
         "  snapshot_reads).",
         "- `substring_dedup` (round 6): ONE gram-keyed exchange",
-        "  (duplicated 8-grams via distinct-doc counts) + the doc_id",
-        "  interval-merge agg; the rebuild is narrow — corpus text",
-        "  never shuffles, only (gram_hash, doc_id, pos) triples.",
+        "  (duplicated 8-grams via distinct-doc counts, map-side",
+        "  combinable min/max — never a positions list) + the doc_id",
+        "  cover agg; the gram exchange carries only md5 keys + int",
+        "  positions. The rebuild join broadcasts the cover below the",
+        "  threshold; above it corpus text crosses at most ONE",
+        "  doc_id-keyed exchange (zero on a doc_id-bucketed table).",
         "- `bpe_tokens` / `seq_packing_bpe`: the tokenizer is a single",
         "  narrow Arrow kernel (committed merge table is a broadcast",
         "  literal, per-batch word memoization); the BPE pack variant",
