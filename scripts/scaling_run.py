@@ -28,7 +28,9 @@ def run_bench(cpus: int, n_docs: int) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        # calibration probes + byte-snapshot settles + load-gated
+        # retries can add minutes to a contaminated 100M local[8] leg
+        timeout=1800,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
