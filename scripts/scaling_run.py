@@ -128,7 +128,10 @@ def _merge_best(runs: list[dict]) -> dict:
 
 
 def main():
-    n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "20000000"))
+    # the published table's regime is 100M docs (light all-JVM stages
+    # at 4x that) — the driver bench's 20M default is too small for
+    # the bulk JVM stages to outrun the scheduler at 32 cores
+    n_docs = int(os.environ.get("GEOKIT_BENCH_DOCS", "100000000"))
     rounds = int(os.environ.get("GEOKIT_SCALING_ROUNDS", "2"))
     cal = calibrate()
     runs8, runs32 = [], []
