@@ -195,6 +195,30 @@ def q_gradient_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gradient_octants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect OCTANT report (the driver-green row for the gradient's
+    direction path): D8-style 45-degree binning of the exact (ns, ew)
+    gradient vector — pure float comparisons, no atan2 — then a
+    per-octant rollup with order-free stats (count + min/max slope).
+    The CASE text is shared verbatim with the oracle
+    (operators/kernel.aspect_octant_case)."""
+    from geokit_spark.operators.kernel import aspect_octant_case
+
+    g = q_gradient_raster(spark, sf_dir)
+    return (
+        g.select(
+            F.expr(aspect_octant_case()).cast("int").alias("octant"),
+            "slope",
+        )
+        .groupBy("octant")
+        .agg(
+            F.count("*").cast("long").alias("n_pixels"),
+            F.min("slope").alias("min_slope"),
+            F.max("slope").alias("max_slope"),
+        )
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics over zones (reference rasterStats with cutline,
     raster.py:586-635)."""
@@ -2278,6 +2302,7 @@ _DRIVER_FRONT = [
     "seq_packing_bpe",
     "classifier_scores",
     "media_router",
+    "gradient_octants",
     # stale: last driver-green in rounds <= 3
     "region_mask_area",
     "indicate_values",
@@ -2396,6 +2421,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": q_simhash_near,
         # --- new in round 3 -------------------------------------------------
         "gradient_raster": q_gradient_raster,
+        "gradient_octants": q_gradient_octants,
         "rasterize_all_touched": q_rasterize_all_touched,
         "extract_clip_concave": q_extract_clip_concave,
         "union_geom": q_union_geom,
@@ -3267,6 +3293,21 @@ g AS (
 SELECT CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy, ns, ew,
        SQRT(ns * ns + ew * ew) AS slope
 FROM g
+"""
+
+
+def _o_gradient_octants() -> str:
+    from geokit_spark.operators.kernel import aspect_octant_case
+
+    inner = _o_gradient_raster()
+    return f"""
+WITH grad AS ({inner})
+SELECT CAST({aspect_octant_case()} AS INT) AS octant,
+  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+  MIN(slope) AS min_slope,
+  MAX(slope) AS max_slope
+FROM grad
+GROUP BY 1
 """
 
 
@@ -4764,6 +4805,7 @@ def oracle_sql() -> dict[str, str]:
         "interp_cubic": _o_interp_cubic(),
         "gradient_points": _o_gradient_points(),
         "gradient_raster": _o_gradient_raster(),
+        "gradient_octants": _o_gradient_octants(),
         "zonal_stats": _o_zonal_stats(),
         "rasterize_zones": _o_rasterize_zones(),
         "rasterize_all_touched": _o_rasterize_all_touched(),

@@ -101,6 +101,31 @@ def kernel_filter_tiles(
     )
 
 
+def aspect_octant_case(ns: str = "ns", ew: str = "ew") -> str:
+    """Aspect OCTANT classification of the gradient vector (the D8
+    flow-direction binning of reference gradient mode='dir',
+    raster.py:740-753): sector boundaries sit on the 45-degree
+    diagonals and the axes, so the whole classification is pure float
+    COMPARISONS of the exact (ns, ew) fields — no atan2, hence
+    bit-identical between the JVM and DuckDB (the continuous aspect
+    stays numpy-pytest-verified; this gives the aspect PATH a
+    driver-green oracle row). Octants 0..7 go N, NE, E, SE, S, SW, W,
+    NW in half-open 45-degree sectors starting at due north
+    (boundary ties resolve by the shared CASE order); -1 = flat.
+    The SQL is dialect-neutral and shared VERBATIM with the oracle."""
+    return (
+        f"CASE WHEN {ns} = 0 AND {ew} = 0 THEN -1"
+        f" WHEN {ew} >= 0 AND {ns} > 0 AND {ns} >= {ew} THEN 0"
+        f" WHEN {ew} > 0 AND {ns} > 0 THEN 1"
+        f" WHEN {ew} > 0 AND {ns} <= 0 AND {ew} >= -{ns} THEN 2"
+        f" WHEN {ew} > 0 AND {ns} < 0 THEN 3"
+        f" WHEN {ew} <= 0 AND {ns} < 0 AND -{ns} >= -{ew} THEN 4"
+        f" WHEN {ew} < 0 AND {ns} < 0 THEN 5"
+        f" WHEN {ew} < 0 AND {ns} >= 0 AND -{ew} >= {ns} THEN 6"
+        f" ELSE 7 END"
+    )
+
+
 def latlon_to_m_factors(y_min: float, y_max: float) -> tuple[float, float]:
     """The reference's factor='latlonToM' scaling (raster.py:707-715):
     meters per degree at the raster's mid latitude. Computed DRIVER-

@@ -54,3 +54,33 @@ def test_bytecounter_unavailable_without_ui():
     c = metrics.ByteCounter(FakeSpark())
     s = c.snapshot()
     assert not s["available"] and s["shuffle_write"] == 0
+
+
+def test_aspect_octant_case_boundaries():
+    """Octant conventions pinned on hand vectors via DuckDB (the CASE
+    text is shared verbatim between Spark and the oracle, so one
+    dialect-neutral evaluation pins both)."""
+    import duckdb
+
+    from geokit_spark.operators.kernel import aspect_octant_case
+
+    cases = [
+        (0.0, 0.0, -1),   # flat
+        (1.0, 0.0, 0),    # due north
+        (1.0, 1.0, 0),    # 45-degree tie -> N octant (CASE order)
+        (0.5, 1.0, 1),    # NE..E
+        (0.0, 1.0, 2),    # due east
+        (-1.0, 1.0, 2),   # 135-degree tie -> E..SE octant
+        (-1.0, 0.5, 3),   # SE..S
+        (-1.0, 0.0, 4),   # due south
+        (-1.0, -1.0, 4),  # 225-degree tie
+        (-0.5, -1.0, 5),  # SW..W
+        (0.0, -1.0, 6),   # due west
+        (1.0, -1.0, 6),   # 315-degree tie
+        (1.0, -0.5, 7),   # NW..N
+    ]
+    rows = ", ".join(f"({ns}, {ew})" for ns, ew, _ in cases)
+    got = duckdb.sql(
+        f"SELECT {aspect_octant_case()} FROM (VALUES {rows}) t(ns, ew)"
+    ).fetchall()
+    assert [g[0] for g in got] == [o for _, _, o in cases]
