@@ -107,7 +107,7 @@ class Ellipsoid:
 class SRS:
     """Lightweight SRS descriptor (stands in for osr.SpatialReference)."""
 
-    kind: str  # 'latlon' | 'webmerc' | 'laea' | 'tmerc' | 'lcc' | 'stere'
+    kind: str  # latlon|webmerc|laea|tmerc|lcc|stere|merc (ellipsoidal)
     lat0: float = 0.0
     lon0: float = 0.0
     false_e: float = 0.0
@@ -192,8 +192,9 @@ def load_srs(source) -> SRS:
             "3857, 3035, centeredLAEA, UTM 32601-32660/32701-32760, "
             "ETRS89-UTM 25828-25838, LCC 2154/3034, 27700, 2193, 2180, "
             "NAD83-UTM 26901-26923, RGF93-CC 3942-3950, 4258, 4269, "
-            "polar stereographic 3413/3031/3976/3032/5041/5042 — "
-            "or construct any tmerc/lcc/laea/polar-stere grid with "
+            "polar stereographic 3413/3031/3976/3032/5041/5042, "
+            "ellipsoidal Mercator 3395/3002 — or construct any "
+            "tmerc/lcc/laea/polar-stere/merc grid with "
             "kernels.srs.from_params(...)"
         )
     if isinstance(source, str):
@@ -245,6 +246,15 @@ def from_params(
                 "laea is implemented on GRS80 only (every registered "
                 "LAEA grid uses it); pass ellps='GRS80'"
             )
+    elif proj in ("merc", "mercator_1sp", "mercator_2sp"):
+        kind = "merc"
+        if lat0 != 0.0:
+            raise ValueError(
+                "ellipsoidal Mercator's natural-origin latitude is the "
+                "equator (lat0 = 0, EPSG methods 9804/9805); the scale "
+                "comes from k0 (variant A) or the standard parallel "
+                "lat1 (variant B)"
+            )
     elif proj in ("stere", "polar_stereographic"):
         kind = "stere"
         if abs(lat0) != 90.0:
@@ -261,7 +271,7 @@ def from_params(
     else:
         raise ValueError(
             f"unsupported projection method {proj!r}; supported: "
-            "tmerc, lcc (2SP), laea, stere (polar)"
+            "tmerc, lcc (2SP), laea, stere (polar), merc (ellipsoidal)"
         )
     Ellipsoid(ellps)  # validate early
     if towgs84 and len(towgs84) not in (3, 7):
@@ -349,6 +359,15 @@ def _epsg_param(code: int) -> SRS | None:
             "stere", 90.0 if code == 5041 else -90.0, 0.0,
             2000000.0, 2000000.0, k0=0.994, ellps="WGS84",
             name=f"EPSG:{code}",
+        )
+    # ellipsoidal Mercator grids (methods 9804/9805) — NOT web-mercator
+    if code == 3395:  # WGS 84 / World Mercator (variant A, k0 = 1)
+        return from_params("merc", 0.0, 0.0, ellps="WGS84",
+                           name="EPSG:3395")
+    if code == 3002:  # Makassar / NEIEZ (variant A on Bessel 1841)
+        return from_params(
+            "merc", 0.0, 110.0, 3900000.0, 900000.0, k0=0.997,
+            ellps="bessel", name="EPSG:3002",
         )
     return None
 
@@ -703,6 +722,63 @@ def stere_inverse(x, y, srs: SRS):
 
 
 # ---------------------------------------------------------------------------
+# ellipsoidal Mercator (EPSG methods 9804 variant A / 9805 variant B)
+# — NOT the spherical web-mercator 'webmerc' (EPSG:3857): 3395-style
+# grids use the true ellipsoidal isometric latitude. GN7-2 §1.3.3
+# equations; shares the conformal-latitude fixpoint with lcc/stere.
+
+
+def _merc_k0(srs: SRS):
+    """Variant B derives the equator scale from the standard parallel
+    lat1 (k0 = m(lat1)); variant A uses the declared k0."""
+    ell = _ell(srs)
+    if srs.lat1 != 0.0:
+        phi1 = math.radians(abs(srs.lat1))
+        return ell, math.cos(phi1) / math.sqrt(
+            1.0 - ell.e2 * math.sin(phi1) ** 2
+        )
+    return ell, srs.k0
+
+
+def merc1sp_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ell, k0 = _merc_k0(srs)
+    e = ell.e1
+    phi = np.radians(lat)
+    esin = e * np.sin(phi)
+    y = (
+        ell.a
+        * k0
+        * np.log(
+            np.tan(np.pi / 4.0 + phi / 2.0)
+            * ((1.0 - esin) / (1.0 + esin)) ** (e / 2.0)
+        )
+    )
+    x = ell.a * k0 * np.radians(lon - srs.lon0)
+    return srs.false_e + x, srs.false_n + y
+
+
+def merc1sp_inverse(x, y, srs: SRS):
+    """(easting, northing) meters -> (lon, lat) degrees; latitude via
+    the shared isometric-latitude fixpoint (quadratic convergence)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ell, k0 = _merc_k0(srs)
+    e = ell.e1
+    t = np.exp(-(y - srs.false_n) / (ell.a * k0))
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(10):
+        esin = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - esin) / (1.0 + esin)) ** (e / 2.0)
+        )
+    lon = srs.lon0 + np.degrees((x - srs.false_e) / (ell.a * k0))
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # datum bridge: 7-parameter Helmert via geocentric coordinates (EPSG
 # position-vector convention, method 9606); applied when an SRS
 # declares towgs84 (non-WGS84-equivalent datum, e.g. OSGB36)
@@ -789,6 +865,8 @@ def _to_latlon(x, y, srs: SRS):
         return lcc_inverse(x, y, srs)
     if srs.kind == "stere":
         return stere_inverse(x, y, srs)
+    if srs.kind == "merc":
+        return merc1sp_inverse(x, y, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 
@@ -805,6 +883,8 @@ def _from_latlon(lon, lat, srs: SRS):
         return lcc_forward(lon, lat, srs)
     if srs.kind == "stere":
         return stere_forward(lon, lat, srs)
+    if srs.kind == "merc":
+        return merc1sp_forward(lon, lat, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 

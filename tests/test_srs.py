@@ -440,3 +440,72 @@ def test_polar_stereographic_from_params_validation():
         S.from_params("stere", 52.0, 10.0, lat1=52.0, ellps="WGS84")
     with _pytest.raises(ValueError, match="hemisphere"):
         S.from_params("stere", 90.0, 0.0, lat1=-70.0, ellps="WGS84")
+
+
+def test_ellipsoidal_mercator_gn72_worked_example():
+    """EPSG GN7-2 §1.3.3 Mercator (variant A) worked example:
+    Makassar / NEIEZ (EPSG:3002, Bessel 1841, k0 = 0.997)."""
+    from geokit_spark.kernels import srs as S
+
+    s = S.load_srs(3002)
+    e, n = S.merc1sp_forward([120.0], [-3.0], s)
+    assert abs(e[0] - 5009726.58) < 0.01
+    assert abs(n[0] - 569150.82) < 0.01
+    lon, lat = S.merc1sp_inverse(e, n, s)
+    assert abs(lon[0] - 120.0) < 1e-9 and abs(lat[0] + 3.0) < 1e-9
+
+
+def test_world_mercator_3395():
+    """EPSG:3395 pinned three independent ways: the equivalent
+    isometric-latitude formulation a*(asinh(tan phi) - e*atanh(e sin
+    phi)) (different code path, same math), exact roundtrips across
+    the usable band, and x-agreement with spherical web-mercator on
+    the equator (where the ellipsoidal and spherical forms coincide
+    in easting)."""
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    w = S.load_srs(3395)
+    assert (w.kind, w.ellps, w.k0) == ("merc", "WGS84", 1.0)
+    ell = S.Ellipsoid("WGS84")
+    phis = np.radians(np.array([0.0, 12.5, 53.0, -74.0, 84.9]))
+    y_alt = ell.a * (
+        np.arcsinh(np.tan(phis))
+        - ell.e1 * np.arctanh(ell.e1 * np.sin(phis))
+    )
+    _, y = S.merc1sp_forward(np.zeros(5), np.degrees(phis), w)
+    assert np.abs(y - y_alt).max() < 1e-6
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(-180.0, 180.0, 500)
+    lats = rng.uniform(-85.0, 85.0, 500)
+    x, yy = S.merc1sp_forward(lons, lats, w)
+    lo, la = S.merc1sp_inverse(x, yy, w)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+    x_sph, _ = S.xy_transform([10.0], [0.0], 4326, 3857)
+    x_ell, _ = S.xy_transform([10.0], [0.0], 4326, 3395)
+    assert abs(x_sph[0] - x_ell[0]) < 1e-6
+    # ...and off the equator they genuinely differ (ellipsoidal vs
+    # spherical northing) — the families must not be conflated
+    _, y_sph = S.xy_transform([0.0], [45.0], 4326, 3857)
+    _, y_ell = S.xy_transform([0.0], [45.0], 4326, 3395)
+    assert abs(y_sph[0] - y_ell[0]) > 10000
+
+
+def test_mercator_from_params_validation():
+    import pytest as _pytest
+
+    from geokit_spark.kernels import srs as S
+
+    with _pytest.raises(ValueError, match="equator"):
+        S.from_params("merc", 10.0, 0.0, ellps="WGS84")
+    # variant B: k0 derived from the standard parallel
+    vb = S.from_params("merc", 0.0, 51.0, lat1=42.0, ellps="krass")
+    ell, k0 = S._merc_k0(vb)
+    import math
+
+    exp = math.cos(math.radians(42.0)) / math.sqrt(
+        1.0 - ell.e2 * math.sin(math.radians(42.0)) ** 2
+    )
+    assert abs(k0 - exp) < 1e-15
