@@ -193,8 +193,8 @@ def load_srs(source) -> SRS:
             "ETRS89-UTM 25828-25838, LCC 2154/3034, 27700, 2193, 2180, "
             "NAD83-UTM 26901-26923, RGF93-CC 3942-3950, 4258, 4269, "
             "polar stereographic 3413/3031/3976/3032/5041/5042, "
-            "ellipsoidal Mercator 3395/3002 — or construct any "
-            "tmerc/lcc/laea/polar-stere/merc grid with "
+            "ellipsoidal Mercator 3395/3002, RD New 28992 — or construct "
+            "any tmerc/lcc/laea/stere/sterea/merc grid with "
             "kernels.srs.from_params(...)"
         )
     if isinstance(source, str):
@@ -246,6 +246,13 @@ def from_params(
                 "laea is implemented on GRS80 only (every registered "
                 "LAEA grid uses it); pass ellps='GRS80'"
             )
+    elif proj in ("sterea", "oblique_stereographic"):
+        kind = "sterea"
+        if abs(lat0) >= 89.0:
+            raise ValueError(
+                "sterea is the OBLIQUE/equatorial stereographic (EPSG "
+                "method 9809); use proj='stere' for the polar aspect"
+            )
     elif proj in ("merc", "mercator_1sp", "mercator_2sp"):
         kind = "merc"
         if lat0 != 0.0:
@@ -271,7 +278,8 @@ def from_params(
     else:
         raise ValueError(
             f"unsupported projection method {proj!r}; supported: "
-            "tmerc, lcc (2SP), laea, stere (polar), merc (ellipsoidal)"
+            "tmerc, lcc (2SP), laea, stere (polar), sterea (oblique), "
+            "merc (ellipsoidal)"
         )
     Ellipsoid(ellps)  # validate early
     if towgs84 and len(towgs84) not in (3, 7):
@@ -359,6 +367,17 @@ def _epsg_param(code: int) -> SRS | None:
             "stere", 90.0 if code == 5041 else -90.0, 0.0,
             2000000.0, 2000000.0, k0=0.994, ellps="WGS84",
             name=f"EPSG:{code}",
+        )
+    # Amersfoort / RD New (oblique stereographic on Bessel 1841 +
+    # the published Amersfoort->WGS84 Helmert)
+    if code == 28992:
+        return from_params(
+            "sterea", 52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+            5.0 + 23.0 / 60.0 + 15.500 / 3600.0,
+            155000.0, 463000.0, k0=0.9999079, ellps="bessel",
+            towgs84=(565.417, 50.3319, 465.552, -0.398957, 0.343988,
+                     -1.8774, 4.0725),
+            name="EPSG:28992",
         )
     # ellipsoidal Mercator grids (methods 9804/9805) — NOT web-mercator
     if code == 3395:  # WGS 84 / World Mercator (variant A, k0 = 1)
@@ -722,6 +741,97 @@ def stere_inverse(x, y, srs: SRS):
 
 
 # ---------------------------------------------------------------------------
+# oblique stereographic (EPSG method 9809, the "double stereographic":
+# ellipsoid -> conformal sphere -> spherical oblique stereographic) —
+# the Dutch RD New grid's method. GN7-2 §1.3.7.1 equations.
+
+
+@lru_cache(maxsize=None)
+def _sterea_consts(ellps: str, lat0: float):
+    ell = Ellipsoid(ellps)
+    e = ell.e1
+    phi0 = math.radians(lat0)
+    s0 = math.sin(phi0)
+    rho0 = ell.a * (1.0 - ell.e2) / (1.0 - ell.e2 * s0 * s0) ** 1.5
+    nu0 = ell.a / math.sqrt(1.0 - ell.e2 * s0 * s0)
+    big_r = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1.0 + ell.e2 * math.cos(phi0) ** 4 / (1.0 - ell.e2))
+    s1 = (1.0 + s0) / (1.0 - s0)
+    s2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (s1 * s2**e) ** n
+    sin_chi0 = (w1 - 1.0) / (w1 + 1.0)
+    c = (
+        (n + s0) * (1.0 - sin_chi0) / ((n - s0) * (1.0 + sin_chi0))
+    )
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    return ell, big_r, n, c, chi0
+
+
+def sterea_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ell, big_r, n, c, chi0 = _sterea_consts(srs.ellps, srs.lat0)
+    e = ell.e1
+    phi = np.radians(lat)
+    sphi = np.sin(phi)
+    lam_d = n * np.radians(lon - srs.lon0)  # Lambda - Lambda0
+    sa = (1.0 + sphi) / (1.0 - sphi)
+    sb = (1.0 - e * sphi) / (1.0 + e * sphi)
+    w = c * (sa * sb**e) ** n
+    chi = np.arcsin((w - 1.0) / (w + 1.0))
+    b = (
+        1.0
+        + np.sin(chi) * math.sin(chi0)
+        + np.cos(chi) * math.cos(chi0) * np.cos(lam_d)
+    )
+    rk2 = 2.0 * big_r * srs.k0
+    east = srs.false_e + rk2 * np.cos(chi) * np.sin(lam_d) / b
+    north = srs.false_n + rk2 * (
+        np.sin(chi) * math.cos(chi0)
+        - np.cos(chi) * math.sin(chi0) * np.cos(lam_d)
+    ) / b
+    return east, north
+
+
+def sterea_inverse(x, y, srs: SRS):
+    """(easting, northing) meters -> (lon, lat) degrees; conformal
+    latitude recovered geometrically (GN7-2 g/h/i/j construction),
+    then the ellipsoidal latitude by the GN7-2 isometric-latitude
+    Newton iteration (converges to float64 roundoff in <=6 rounds)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ell, big_r, n, c, chi0 = _sterea_consts(srs.ellps, srs.lat0)
+    e = ell.e1
+    rk2 = 2.0 * big_r * srs.k0
+    dx = x - srs.false_e
+    dy = y - srs.false_n
+    g = rk2 * math.tan(math.pi / 4.0 - chi0 / 2.0)
+    h = 2.0 * rk2 * math.tan(chi0) + g
+    i = np.arctan2(dx, h + dy)
+    j = np.arctan2(dx, g - dy) - i
+    chi = chi0 + 2.0 * np.arctan((dy - dx * np.tan(j / 2.0)) / rk2)
+    lam_d = j + 2.0 * i  # Lambda - Lambda0
+    lon = srs.lon0 + np.degrees(lam_d / n)
+    # isometric latitude on the ellipsoid from the conformal sphere
+    psi = 0.5 * np.log(
+        (1.0 + np.sin(chi)) / (c * (1.0 - np.sin(chi)))
+    ) / n
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(8):
+        esin = e * np.sin(phi)
+        psi_i = (
+            np.log(np.tan(phi / 2.0 + np.pi / 4.0))
+            - (e / 2.0) * np.log((1.0 + esin) / (1.0 - esin))
+        )
+        phi = phi - (psi_i - psi) * np.cos(phi) * (
+            1.0 - esin * esin
+        ) / (1.0 - ell.e2)
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # ellipsoidal Mercator (EPSG methods 9804 variant A / 9805 variant B)
 # — NOT the spherical web-mercator 'webmerc' (EPSG:3857): 3395-style
 # grids use the true ellipsoidal isometric latitude. GN7-2 §1.3.3
@@ -867,6 +977,8 @@ def _to_latlon(x, y, srs: SRS):
         return stere_inverse(x, y, srs)
     if srs.kind == "merc":
         return merc1sp_inverse(x, y, srs)
+    if srs.kind == "sterea":
+        return sterea_inverse(x, y, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 
@@ -885,6 +997,8 @@ def _from_latlon(lon, lat, srs: SRS):
         return stere_forward(lon, lat, srs)
     if srs.kind == "merc":
         return merc1sp_forward(lon, lat, srs)
+    if srs.kind == "sterea":
+        return sterea_forward(lon, lat, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 

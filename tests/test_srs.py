@@ -211,11 +211,13 @@ def test_load_srs_unknown_code_lists_supported_set():
 
     from geokit_spark.kernels.srs import load_srs
 
-    # 28992 (Dutch RD New) is oblique stereographic — a projection
-    # METHOD outside the closed-form set (27700 etc. now resolve via
-    # the parameterized registry)
+    # 28992 (Dutch RD New, oblique stereographic) resolves since
+    # round 6; 54009 (World Mollweide — pseudocylindrical,
+    # non-conformal) remains a projection METHOD outside the
+    # closed-form set and must raise with the supported list
+    assert load_srs(28992).kind == "sterea"
     with pytest.raises(ValueError, match="from_params"):
-        load_srs(28992)
+        load_srs(54009)
 
 
 def test_lcc_2sp_lambert93_and_etrs89():
@@ -323,8 +325,11 @@ def test_parameterized_registry_roundtrips():
     assert (cc45.lat0, cc45.lat1, cc45.lat2) == (45.0, 44.25, 45.75)
     assert cc45.false_n == 1200000.0 + 3 * 1000000.0
     # from_params validation
+    # sterea became a supported method in round 6; oblique Mercator
+    # stays outside the set
+    assert from_params("sterea", 52.0, 5.0, ellps="bessel").kind == "sterea"
     with pytest.raises(ValueError, match="projection method"):
-        from_params("sterea")
+        from_params("omerc")
     with pytest.raises(ValueError, match="ellipsoid"):
         from_params("tmerc", ellps="nope")
     with pytest.raises(ValueError, match="towgs84"):
@@ -509,3 +514,55 @@ def test_mercator_from_params_validation():
         1.0 - ell.e2 * math.sin(math.radians(42.0)) ** 2
     )
     assert abs(k0 - exp) < 1e-15
+
+
+def test_oblique_stereographic_rd_new():
+    """EPSG GN7-2 §1.3.7.1 oblique ("double") stereographic worked
+    example: Amersfoort / RD New (EPSG:28992, Bessel 1841):
+    53N 6E -> E 196105.283, N 557057.739."""
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    s = S.load_srs(28992)
+    assert (s.kind, s.ellps) == ("sterea", "bessel")
+    e, n = S.sterea_forward([6.0], [53.0], s)
+    assert abs(e[0] - 196105.283) < 0.01
+    assert abs(n[0] - 557057.739) < 0.01
+    # projection origin maps to the false origin
+    e0, n0 = S.sterea_forward([s.lon0], [s.lat0], s)
+    assert abs(e0[0] - s.false_e) < 1e-6 and abs(n0[0] - s.false_n) < 1e-6
+    # roundtrip across the Dutch territory
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(3.0, 7.5, 500)
+    lats = rng.uniform(50.5, 54.0, 500)
+    x, y = S.sterea_forward(lons, lats, s)
+    lo, la = S.sterea_inverse(x, y, s)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+    # central scale k0 at the origin via a numeric north derivative
+    # (conformal: scale is isotropic), against the published 0.9999079
+    _, na = S.sterea_forward([s.lon0], [s.lat0], s)
+    _, nb = S.sterea_forward([s.lon0], [s.lat0 + 1e-4], s)
+    import math
+
+    ell = S.Ellipsoid("bessel")
+    phi = math.radians(s.lat0 + 5e-5)
+    m = ell.a * (1 - ell.e2) / (1 - ell.e2 * math.sin(phi) ** 2) ** 1.5
+    scale = (nb[0] - na[0]) / (math.radians(1e-4) * m)
+    assert abs(scale - 0.9999079) < 1e-6
+    # the Amersfoort datum bridge engages in the generic transform:
+    # RD -> WGS84 of the origin must differ from the no-Helmert
+    # inverse by ~100 m (the Amersfoort shift), not be identical
+    lon_w, lat_w = S.xy_transform([s.false_e], [s.false_n], 28992, 4326)
+    dlat = abs(lat_w[0] - s.lat0) * 111000.0
+    assert 10.0 < dlat < 300.0
+
+
+def test_sterea_from_params_validation():
+    import pytest as _pytest
+
+    from geokit_spark.kernels import srs as S
+
+    with _pytest.raises(ValueError, match="polar"):
+        S.from_params("sterea", 90.0, 0.0, ellps="WGS84")
