@@ -107,7 +107,7 @@ class Ellipsoid:
 class SRS:
     """Lightweight SRS descriptor (stands in for osr.SpatialReference)."""
 
-    kind: str  # latlon|webmerc|laea|tmerc|lcc|stere|merc (ellipsoidal)
+    kind: str  # latlon|webmerc|laea|tmerc|lcc|stere|sterea|merc
     lat0: float = 0.0
     lon0: float = 0.0
     false_e: float = 0.0
@@ -232,8 +232,10 @@ def from_params(
     Conformal Conic 2SP (9802) or Lambert Azimuthal Equal Area (1027)
     on any registered ellipsoid, with an optional 7-parameter Helmert
     to WGS84 for non-WGS84-equivalent datums. This covers the bulk of
-    national EPSG grids without a PROJ dependency; unknown projection
-    METHODS (oblique stereographic, Albers, ...) still raise."""
+    national EPSG grids without a PROJ dependency — plus polar
+    stereographic (9810/9829), oblique "double" stereographic (9809)
+    and ellipsoidal Mercator (9804/9805); unknown projection METHODS
+    (oblique Mercator, Albers, Mollweide, ...) still raise."""
     proj = proj.strip().lower()
     if proj in ("tmerc", "transverse_mercator"):
         kind = "tmerc"
@@ -255,6 +257,11 @@ def from_params(
             )
     elif proj in ("merc", "mercator_1sp", "mercator_2sp"):
         kind = "merc"
+        if abs(lat1) >= 90.0:
+            raise ValueError(
+                "Mercator standard parallel lat1 must satisfy "
+                "|lat1| < 90 (k0 = m(lat1) degenerates at the pole)"
+            )
         if lat0 != 0.0:
             raise ValueError(
                 "ellipsoidal Mercator's natural-origin latitude is the "
@@ -274,6 +281,12 @@ def from_params(
             raise ValueError(
                 "standard parallel lat1 must be on the same "
                 "hemisphere as the pole lat0"
+            )
+        if abs(lat1) >= 90.0:
+            raise ValueError(
+                "stere standard parallel lat1 must satisfy "
+                "|lat1| < 90 (the derived pole scale degenerates "
+                "at the pole itself; use k0 / variant A there)"
             )
     else:
         raise ValueError(
@@ -384,9 +397,12 @@ def _epsg_param(code: int) -> SRS | None:
         return from_params("merc", 0.0, 0.0, ellps="WGS84",
                            name="EPSG:3395")
     if code == 3002:  # Makassar / NEIEZ (variant A on Bessel 1841)
+        # published EPSG Makassar -> WGS84 geocentric translations
+        # (the Makassar datum is NOT WGS84-equivalent: ~800 m shift)
         return from_params(
             "merc", 0.0, 110.0, 3900000.0, 900000.0, k0=0.997,
-            ellps="bessel", name="EPSG:3002",
+            ellps="bessel", towgs84=(-587.8, 519.75, 145.76),
+            name="EPSG:3002",
         )
     return None
 
@@ -599,6 +615,23 @@ def tmerc_inverse(e, n, srs: SRS):
 # Lambert Conformal Conic, 2SP (EPSG method 9802) on GRS80
 
 
+def _phi_from_t(t, e1: float):
+    """Shared conformal-latitude fixpoint: latitude phi from the
+    isometric-latitude parameter t = tan(pi/4 - chi/2) (GN7-2; used
+    verbatim by the lcc, polar-stere and Mercator inverses — identical
+    expressions and iteration count, so extracting it preserves every
+    oracle-pinned bit). Quadratic convergence; 10 rounds reach float64
+    roundoff for |lat| < 89."""
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(10):
+        esin = e1 * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - esin) / (1.0 + esin)) ** (e1 / 2.0)
+        )
+    return phi
+
+
+
 def _lcc_m(phi, e2=E2):
     return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
 
@@ -654,13 +687,7 @@ def lcc_inverse(x, y, srs: SRS):
     t = np.power(r / (ell.a * fc), 1.0 / n)
     th = np.arctan2(sign * dx, sign * dy)
     lon = srs.lon0 + np.degrees(th / n)
-    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
-    for _ in range(10):
-        esin = ell.e1 * np.sin(phi)
-        phi = np.pi / 2.0 - 2.0 * np.arctan(
-            t * ((1.0 - esin) / (1.0 + esin)) ** (ell.e1 / 2.0)
-        )
-    return lon, np.degrees(phi)
+    return lon, np.degrees(_phi_from_t(t, ell.e1))
 
 
 # ---------------------------------------------------------------------------
@@ -726,12 +753,7 @@ def stere_inverse(x, y, srs: SRS):
     dy = y - srs.false_n
     rho = np.hypot(dx, dy)
     t = rho * _stere_cm(e) / (2.0 * ell.a * k0)
-    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
-    for _ in range(10):
-        esin = e * np.sin(phi)
-        phi = np.pi / 2.0 - 2.0 * np.arctan(
-            t * ((1.0 - esin) / (1.0 + esin)) ** (e / 2.0)
-        )
+    phi = _phi_from_t(t, e)
     lam = np.arctan2(dx, -dy) if north else np.arctan2(dx, dy)
     lat = np.degrees(phi)
     return (
@@ -844,9 +866,7 @@ def _merc_k0(srs: SRS):
     ell = _ell(srs)
     if srs.lat1 != 0.0:
         phi1 = math.radians(abs(srs.lat1))
-        return ell, math.cos(phi1) / math.sqrt(
-            1.0 - ell.e2 * math.sin(phi1) ** 2
-        )
+        return ell, float(_lcc_m(phi1, ell.e2))
     return ell, srs.k0
 
 
@@ -878,14 +898,8 @@ def merc1sp_inverse(x, y, srs: SRS):
     ell, k0 = _merc_k0(srs)
     e = ell.e1
     t = np.exp(-(y - srs.false_n) / (ell.a * k0))
-    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
-    for _ in range(10):
-        esin = e * np.sin(phi)
-        phi = np.pi / 2.0 - 2.0 * np.arctan(
-            t * ((1.0 - esin) / (1.0 + esin)) ** (e / 2.0)
-        )
     lon = srs.lon0 + np.degrees((x - srs.false_e) / (ell.a * k0))
-    return lon, np.degrees(phi)
+    return lon, np.degrees(_phi_from_t(t, e))
 
 
 # ---------------------------------------------------------------------------

@@ -112,7 +112,10 @@ def aspect_octant_case(ns: str = "ns", ew: str = "ew") -> str:
     driver-green oracle row). Octants 0..7 go N, NE, E, SE, S, SW, W,
     NW in half-open 45-degree sectors starting at due north
     (boundary ties resolve by the shared CASE order); -1 = flat.
-    The SQL is dialect-neutral and shared VERBATIM with the oracle."""
+    The SQL is dialect-neutral and shared VERBATIM with the oracle.
+    Arguments may be compound expressions — every substitution is
+    parenthesized (a bare '-{ns}' would mis-negate 'a - b')."""
+    ns, ew = f"({ns})", f"({ew})"
     return (
         f"CASE WHEN {ns} = 0 AND {ew} = 0 THEN -1"
         f" WHEN {ew} >= 0 AND {ns} > 0 AND {ns} >= {ew} THEN 0"
