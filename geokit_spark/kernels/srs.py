@@ -3,9 +3,9 @@ coordinate transforms (reference srs.py:22-142 loadSRS,
 srs.py:145-225 centeredLAEA, srs.py xyTransform).
 
 The reference delegates to osgeo/proj; this engine implements the
-three projection families its workflows actually use as vectorized
-numpy closed forms, so transforms run inside Arrow-batched pandas UDFs
-with no native dependency:
+projection families real workflows use as vectorized numpy closed
+forms, so transforms run inside Arrow-batched pandas UDFs with no
+native dependency:
 
 * ``latlon``  — EPSG:4326 geographic coordinates (the pivot).
 * ``webmerc`` — EPSG:3857 spherical web mercator (kernels.tiling).
@@ -13,6 +13,17 @@ with no native dependency:
   (EPSG method 1027 / Snyder 1987 §24): EPSG:3035 (the reference's
   universal default, regionmask.py:80-82) and the reference's
   ``centeredLAEA(lon, lat)`` ad-hoc variant.
+* ``tmerc``   — Transverse Mercator via the 6th-order Krüger series
+  (UTM, ETRS89-UTM, OSGB 27700, NZTM 2193, ...).
+* ``lcc``     — Lambert Conformal Conic 2SP (Lambert-93, LCC Europe).
+* ``stere``   — POLAR stereographic, variants A+B (EPSG 3413/3031,
+  UPS 5041/5042).
+* ``sterea``  — oblique "double" stereographic (EPSG:28992 RD New).
+* ``merc``    — ellipsoidal Mercator, variants A+B (EPSG:3395,
+  NEIEZ) — distinct from the spherical web-mercator path.
+
+Non-conformal exotics (oblique Mercator, Albers, Mollweide) raise
+with the supported set listed.
 
 Forward/inverse formulas follow the published EPSG Guidance Note 7-2
 oblique-aspect equations; the GN7-2 worked example (50N 5E ->
