@@ -307,6 +307,21 @@ def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warp_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp resampleAlg='lanczos' (6x6 windowed sinc, a=3, weight-
+    normalized) onto the target grid (raster.py:2142-2157) — the 14th
+    and last resampling alg at oracle grade. sin is libm, so the
+    weights come from the driver-computed per-target-index table
+    (operators/warp.lanczos_tables) that the DuckDB oracle embeds as
+    exact literals: the table is the parity contract."""
+    from geokit_spark.operators.warp import warp_to_grid
+
+    return warp_to_grid(
+        tilesrc.raster_table(spark, "elev"), alg="lanczos",
+        lanczos_exact=True,
+    )
+
+
 def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """warp with the cutline option (reference raster.py:2226-2238):
     'near' resample onto the target grid, then target pixels whose
@@ -2020,6 +2035,21 @@ def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction_report(pages_from_docs(_docs(spark, sf_dir)))
 
 
+def q_pages_extract_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-source extraction audit as pages_extract, but
+    through the all-JVM extractor variant (pages.extract_text_sql:
+    locate/substring body slice + lazy-regex block scan + per-block
+    replace chain, zero Python crossings — the throughput path for
+    well-formed crawls; BENCH html_extract_sql row). Sharing
+    pages_extract's oracle text makes the gate itself the
+    cross-implementation equivalence check at corpus scale."""
+    from geokit_spark.sources.pages import extraction_report, pages_from_docs
+
+    return extraction_report(
+        pages_from_docs(_docs(spark, sf_dir)), engine="sql"
+    )
+
+
 def q_pages_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship spatial semi-join expressed over the input_hint page
     table end-to-end: doc ids are parsed BACK from the url column
@@ -2293,68 +2323,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-# round 6: 5 new/changed rows, then the 37 rows last driver-checked in
-# rounds <= 3, then the oldest round-4 rows to fill the 50 budget.
+# round 7: new/changed rows first (warp_lanczos is new; the other four
+# sit downstream of this round's code changes — aspect-octant NULL arm,
+# sieve auto-routing + component-graph refactor, the packed-cell int32
+# guard), then the 36 rows last driver-checked in round 4, then the
+# oldest round-5 rows to fill the 50 budget.
 _DRIVER_FRONT = [
-    # new / changed in round 6
-    "substring_dedup",
-    "bpe_tokens",
-    "seq_packing_bpe",
-    "classifier_scores",
-    "media_router",
+    # new / changed in round 7
+    "warp_lanczos",
+    "pages_extract_sql",
     "gradient_octants",
-    # stale: last driver-green in rounds <= 3
-    "region_mask_area",
-    "indicate_values",
-    "kernel_max3",
-    "warp_average",
-    "warp_near",
-    "warp_bilinear",
-    "warp_cubic",
-    "warp_cutline",
-    "warp_cubicspline",
-    "warp_stats",
-    "mosaic_combine",
-    "knn",
-    "count_features",
-    "interp_average",
-    "subtiles_zones",
-    "extract_clip",
-    "connected_components",
-    "extract_multi",
-    "contours",
-    "box_predicates",
-    "mutate_vector",
-    "union_area_cells",
-    "multimodal_meta",
-    "bisect",
-    "text_features",
-    "dedup_exact",
-    "ngram_jaccard",
-    "minhash_lsh",
-    "dedup_clusters",
-    "stratified_sample",
-    "pipeline_filter",
-    "embed_centroids",
-    "normalize_text",
-    "multimodal_frames",
-    "contour_lines",
     "sieve",
-    "indicate_features",
-    # oldest round-4 rows filling the remaining budget
-    "pip_region",
-    "pip_region2",
-    "zonal_stats",
-    "extract_values",
-    "interp_bilinear",
-    "interp_cubic",
-    "gradient_raster",
+    "connected_components",
+    "ann_topk_bucketed",
+    # stale: last driver-green in round 4
+    "line_crossings",
+    "region_mask_area_holes",
+    "srs_transform_lcc",
+    "simhash",
+    "simhash_near",
+    "rasterize_all_touched",
+    "extract_clip_concave",
+    "union_geom",
+    "boilerplate_ngrams",
+    "contour_polygons",
+    "geo_dedup",
+    "warp_scale_up",
+    "morton_cells",
+    "events_sessions",
+    "multimodal_container",
+    "extract_window",
+    "stream_dedup",
+    "lineage_resume",
+    "indicate_features_buffered",
+    "indicate_values_buffered",
+    "lang_zone_cube",
+    "wkb_areas",
+    "srs_transform",
+    "polygonize",
+    "geom_ops",
+    "location_dedup",
+    "embed_topk",
+    "ann_topk",
+    "ivf_topk",
+    "embed_near_dup",
+    "events_daily",
+    "geocode_cells",
+    "cell_counts",
+    "pip_zones_join",
     "gradient_points",
+    "rasterize_zones",
+    # oldest round-5 rows filling the remaining budget
+    "video_meta",
+    "sketch_merge",
+    "skew_report",
+    "distinct_sketch",
+    "blocklist",
+    "training_mix",
+    "audio_meta",
+    "image_meta",
 ]
 
 
 def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- new in round 7 -------------------------------------------------
+        "warp_lanczos": q_warp_lanczos,
+        "pages_extract_sql": q_pages_extract_sql,
         # --- new in round 6 -------------------------------------------------
         "substring_dedup": q_substring_dedup,
         "bpe_tokens": q_bpe_tokens,
@@ -3008,6 +3043,74 @@ wv AS (
 SELECT CAST(jx AS INT) AS jx, CAST(jy AS INT) AS jy,
   {final} AS value
 FROM wv
+"""
+
+
+def _o_warp_lanczos() -> str:
+    """Oracle for warp resampleAlg='lanczos' (6x6 windowed sinc, a=3,
+    weight-normalized per GDAL). sin is libm — never oracle-safe — so
+    the weights are NOT computed in SQL: operators/warp.lanczos_tables
+    builds the per-target-index weight table once with python math.sin
+    and BOTH engines consume those exact float64s (Spark by array
+    lookup, this SQL as VALUES literals joined on jx/jy). The stencil
+    base (clamp(floor(g), 2, 508)) and the accumulation tree
+    (left-assoc over kx then ky, then / (sx * sy)) mirror
+    warp_to_grid.per_target token-for-token."""
+    from geokit_spark.operators.warp import lanczos_tables
+
+    wxt, sxt, wyt, syt = lanczos_tables()
+    wx_rows = ",\n    ".join(
+        "(" + ", ".join(
+            [str(j)] + [d(float(wxt[j, k])) for k in range(6)]
+            + [d(float(sxt[j]))]
+        ) + ")"
+        for j in range(wxt.shape[0])
+    )
+    wy_rows = ",\n    ".join(
+        "(" + ", ".join(
+            [str(j)] + [d(float(wyt[j, k])) for k in range(6)]
+            + [d(float(syt[j]))]
+        ) + ")"
+        for j in range(wyt.shape[0])
+    )
+    taps = ",\n    ".join(
+        f"CAST({sqlgen.elev_expr(f'(ixb + {dx - 2})', f'(iyb + {dy - 2})')} AS DOUBLE) AS v{dx}{dy}"
+        for dy in range(6)
+        for dx in range(6)
+    )
+    rows = [
+        "(" + " + ".join(f"wx{kx} * v{kx}{ky}" for kx in range(6)) + ")"
+        for ky in range(6)
+    ]
+    final = " + ".join(f"wy{ky} * {rows[ky]}" for ky in range(6))
+    return f"""
+WITH {_warp_target_cte()},
+wx(kjx, wx0, wx1, wx2, wx3, wx4, wx5, sx) AS (VALUES
+    {wx_rows}),
+wy(kjy, wy0, wy1, wy2, wy3, wy4, wy5, sy) AS (VALUES
+    {wy_rows}),
+g AS (
+  SELECT jx, jy,
+    (cx - {d(XMIN)}) / {d(PIX_DX)} - CAST(0.5 AS DOUBLE) AS gx,
+    ({d(YMAX)} - cy) / {d(PIX_DY)} - CAST(0.5 AS DOUBLE) AS gy
+  FROM tgt
+),
+st AS (
+  SELECT jx, jy,
+    CAST(LEAST(GREATEST(FLOOR(gx), 2), {RASTER_W - 4}) AS BIGINT) AS ixb,
+    CAST(LEAST(GREATEST(FLOOR(gy), 2), {RASTER_H - 4}) AS BIGINT) AS iyb
+  FROM g
+),
+v AS (
+  SELECT jx, jy, ixb, iyb,
+    {taps}
+  FROM st
+)
+SELECT CAST(v.jx AS INT) AS jx, CAST(v.jy AS INT) AS jy,
+  ({final}) / (sx * sy) AS value
+FROM v
+JOIN wx ON v.jx = wx.kjx
+JOIN wy ON v.jy = wy.kjy
 """
 
 
@@ -4759,6 +4862,11 @@ def oracle_sql() -> dict[str, str]:
         "pip_region2": _o_pip_region2(),
         "pip_zones_join": _o_pip_zones_join(),
         "pages_extract": _o_pages_extract(),
+        # intentionally the SAME oracle text as pages_extract: the JVM
+        # extractor variant must reproduce the byte kernel's audit
+        # bit-for-bit (n_byte_exact == n_pages through a different
+        # execution path)
+        "pages_extract_sql": _o_pages_extract(),
         "pages_pip": _o_pages_pip(),
         "media_router": _o_media_router(),
         "video_meta": _o_video_meta(),
@@ -4816,6 +4924,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_near": _o_warp_near(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_stencil4("cubic"),
+        "warp_lanczos": _o_warp_lanczos(),
         "warp_cutline": _o_warp_cutline(),
         "warp_cubicspline": _o_warp_stencil4("cubicspline"),
         "warp_stats": _o_warp_stats(),

@@ -23,9 +23,13 @@ local < TILE_SIZE² ≤ 2^12 — collision-free for any raster up to
 2^26 × 2^24 tiles (the round-1 (tile_x*1000+tile_y) base collided at
 tile_y ≥ 1000); coordinates are validated in the labeling stage.
 
-sieve keeps a driver-side merge loop (its smallest-first
-merge-into-largest-neighbor order is inherently sequential); only the
-component-level summary/adjacency rows are collected, never pixels.
+sieve has two executions of one merge contract: a driver-side loop
+over the collected COMPONENT-granularity graph (never pixels), and —
+for component counts where even that collect is too much — a fully
+distributed fixpoint that processes order-minimal-within-distance-2
+pending components in parallel rounds (bit-identical by construction
+and by pytest; see _sieve_merge_distributed). sieve_merge auto-routes
+on component count.
 """
 
 from __future__ import annotations
@@ -390,25 +394,20 @@ def sieve_small_components(
     )
 
 
-def _component_graph(
+def _component_graph_df(
     tiles: DataFrame, connectivity: int = 4
-) -> tuple[pd.DataFrame, pd.DataFrame]:
+) -> tuple[DataFrame, DataFrame]:
     """COMPONENT-granularity graph of a labeled raster, reduced
-    entirely in Spark; only the component-level result is collected.
+    entirely in Spark and returned as DataFrames (nothing collected).
 
-    Returns (comp, adj) pandas frames:
+    Returns (comp, adj):
       comp: (root, value, n, pix) — one row per global connected
             component (same-value seam merges resolved by the
             distributed _resolve_roots), pix = min canonical pixel id.
       adj:  (ra, rb) with ra < rb — one row per unordered pair of
             TOUCHING components (within-tile adjacency + cross-value
             seam pairs, both mapped through the root mapping and
-            deduplicated in Spark).
-
-    Driver row count is O(components + component adjacency) —
-    independent of pixel count and of tile-border length (the previous
-    sieve collected the raw label frame, whose 'e' strips are one row
-    per border pixel: a driver OOM at continental rasters)."""
+            deduplicated in Spark)."""
     lab = _label_frames_df(tiles, connectivity, with_adjacency=True)
     edges = lab.filter(F.col("kind") == "e")
     all_seam = _seam_pairs_df(
@@ -427,7 +426,7 @@ def _component_graph(
         )
         .groupBy("root", "value")
         .agg(F.sum("n").alias("n"), F.min("pix").alias("pix"))
-    ).toPandas()
+    )
 
     adj_raw = (
         lab.filter(F.col("kind") == "a")
@@ -449,12 +448,39 @@ def _component_graph(
             F.greatest("ca", "cb").alias("rb"),
         )
         .distinct()
-    ).toPandas()
+    )
     return comp, adj
 
 
+def _component_graph(
+    tiles: DataFrame, connectivity: int = 4
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Collected component graph for the driver-side merge loop.
+
+    Driver row count is O(components + component adjacency) —
+    independent of pixel count and of tile-border length (the previous
+    sieve collected the raw label frame, whose 'e' strips are one row
+    per border pixel: a driver OOM at continental rasters). For
+    component counts where even THAT is too much (a continental 100 m
+    categorical raster has tens of millions of components), use
+    sieve_merge(distributed=True), which never collects the graph."""
+    comp, adj = _component_graph_df(tiles, connectivity)
+    return comp.toPandas(), adj.toPandas()
+
+
+# Above this many components the driver-side merge loop (dict/set
+# over the collected component graph) stops being a sane default — a
+# continental 100 m categorical raster has tens of millions — and
+# sieve_merge auto-routes to the distributed fixpoint instead.
+_SIEVE_DRIVER_MAX = 2_000_000
+
+
 def sieve_merge(
-    tiles: DataFrame, min_size: int, connectivity: int = 4
+    tiles: DataFrame,
+    min_size: int,
+    connectivity: int = 4,
+    distributed: bool | None = None,
+    max_rounds: int = 256,
 ) -> pd.DataFrame:
     """GDAL-style sieve (reference raster.sieve, raster.py:2426-2557):
     components smaller than min_size are merged into their LARGEST
@@ -468,12 +494,39 @@ def sieve_merge(
     8 — pass connectivity=8 for that behavior (the driver query pins
     connectivity=4).
 
-    The smallest-first merge order is inherently sequential, so the
-    merge loop runs on the driver — but over the COMPONENT-granularity
-    graph from _component_graph (labeling, seam joins, root resolution
-    and adjacency dedup all happen in Spark): the driver never sees a
-    row per pixel or per tile-border pixel."""
-    comp, adj = _component_graph(tiles, connectivity)
+    Two executions of the SAME merge contract (pytest-pinned
+    bit-identical on adversarial graphs, tests/test_components.py):
+
+    distributed=False — collect the COMPONENT-granularity graph
+      (labeling, seam joins, root resolution and adjacency dedup all
+      happen in Spark; the driver never sees a row per pixel) and run
+      the sequential smallest-first loop on the driver. O(components)
+      driver memory.
+    distributed=True — never collect: each round, merge in parallel
+      every pending component that is ORDER-MINIMAL among pending
+      components within graph distance 2 (see
+      _sieve_merge_distributed for why that is exactly the sequential
+      semantics). O(per-value totals) driver memory.
+    distributed=None (default) — count components and pick:
+      driver loop up to _SIEVE_DRIVER_MAX, distributed beyond."""
+    comp_df, adj_df = _component_graph_df(tiles, connectivity)
+    if distributed is None:
+        distributed = comp_df.count() > _SIEVE_DRIVER_MAX
+    if distributed:
+        return _sieve_merge_distributed(
+            comp_df, adj_df, min_size, max_rounds=max_rounds
+        )
+    return _sieve_merge_driver(
+        comp_df.toPandas(), adj_df.toPandas(), min_size
+    )
+
+
+def _sieve_merge_driver(
+    comp: pd.DataFrame, adj: pd.DataFrame, min_size: int
+) -> pd.DataFrame:
+    """The sequential smallest-first merge loop over a collected
+    component graph — the semantic reference the distributed fixpoint
+    is pytest-pinned against."""
     size = {int(r.root): int(r.n) for r in comp.itertuples()}
     value = {int(r.root): float(r.value) for r in comp.itertuples()}
     # canonical component id: min (gy<<32|gx) pixel — the tie-break
@@ -521,6 +574,286 @@ def sieve_merge(
             sorted(out.items()), columns=["value", "n_pixels"]
         ).reset_index(drop=True)
     )
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Round-boundary materialization for the iterative fixpoint.
+
+    localCheckpoint truncates LINEAGE but copies the origin plan's
+    ESTIMATED sizeInBytes into the new leaf. Join-size estimation
+    multiplies child sizes, and the fixpoint reuses the carried frame
+    several times per round, so those estimates compound geometrically
+    round over round — after ~15 rounds Catalyst spends hours
+    multiplying million-digit BigIntegers just PLANNING the next
+    checkpoint (measured: one driver thread pegged in
+    BigInteger.multiplyToomCook3). Persisting the checkpointed frame
+    and materializing the cache makes downstream plans substitute an
+    InMemoryRelation whose stats are the MEASURED cache size, so plan
+    products restart from real small numbers at every round boundary.
+    Callers unpersist the previous round's frame once its replacement
+    is materialized."""
+    out = df.localCheckpoint().persist()
+    out.count()
+    return out
+
+
+def _sieve_merge_distributed(
+    comp0: DataFrame, adj0: DataFrame, min_size: int, max_rounds: int = 256
+) -> pd.DataFrame:
+    """Distributed execution of sieve_merge's sequential contract.
+
+    The sequential pass visits components once, ordered by the INITIAL
+    (size, pix) key, skips any that have grown to >= min_size by their
+    turn, and merges the rest into their largest CURRENT neighbor
+    (ties -> smallest pix). Sizes only ever grow and a merge of r only
+    touches r's distance-1 neighborhood (its target's size; rewired
+    edges land between r's neighbors and the target). Each round
+    processes, in parallel, three provably order-exchangeable sets:
+
+    DONE set — pending components currently >= min_size, or with no
+      neighbors. Nothing can merge INTO a component except via an
+      adjacent pending one, and >= min_size is monotone, so their
+      sequential turn is a no-op whenever it happens: mark done.
+
+    ORDER-FREE set (the hub fast path) — pending components that are
+      `pinned`: every neighbor settled (non-pending — so the
+      component can never grow, and its neighbor set can never
+      change: rewires only add settled-settled edges) AND the largest
+      neighbor leads the second-largest by MORE than the total
+      remaining pending mass W (no other neighbor can overtake it
+      even absorbing every pending pixel: skip test and target are
+      decided forever, immune to every other merge whenever the
+      sequential turn comes). A pinned merger's own effect — growing
+      its settled target x — is harmless to every pinned pending
+      (immune, same argument) and to later-ordered pendings
+      (sequential shows them the grown x anyway); the only hazard is
+      an EARLIER-ordered non-pinned pending adjacent to x whose
+      argmax could flip toward the prematurely-grown x. So release a
+      pinned merger iff its order key precedes every non-pinned
+      pending adjacent to its target. This releases the dominant
+      real-world shape — thousands of specks on one large
+      background — in one round (a pure distance-2 rule degenerates
+      to one merge per round there: every speck is distance 2 from
+      every other through the background), and a chain touching the
+      background only holds back the specks ordered after it.
+
+    DISTANCE-2 set (the progress guarantee) — pending components
+      whose (n0, pix) key is minimal among pending components within
+      graph distance 2. Such components are pairwise >= 3 apart (two
+      within distance 2 see each other, so only one is locally
+      minimal), no earlier-ordered pending can affect their
+      distance-1 reads, and their effects cannot reach each other —
+      the generic exchange argument that also covers pending-into-
+      pending chain merges the order-free rule excludes.
+
+    Bit-identical to the driver loop by these exchange arguments and
+    by pytest on adversarial graphs (hub specks, order-increasing
+    chains, shared-neighbor stars, two-hub straddlers, 1e5+
+    components). Everything is component-granularity Spark joins; the
+    global minimum pending component is always handled, so pending
+    strictly shrinks. Rounds ~ O(longest chain of mutually-touching
+    small components) after the hub round. Raises (actionable) if
+    max_rounds is exhausted."""
+    comp = _materialize(
+        comp0.select(
+            "root", "value", "n", F.col("n").alias("n0"), "pix",
+            (F.col("n") < F.lit(min_size)).alias("pending"),
+        )
+    )
+    adj = _materialize(
+        adj0.select(F.col("ra").alias("a"), F.col("rb").alias("b"))
+        .unionByName(
+            adj0.select(F.col("rb").alias("a"), F.col("ra").alias("b"))
+        )
+    )
+    for _ in range(max_rounds):
+        pend = comp.filter("pending")
+        stats = pend.agg(
+            F.count("*").alias("c"), F.sum("n").alias("w")
+        ).collect()[0]
+        if stats["c"] == 0:
+            break
+        w_total = int(stats["w"])
+
+        # --- per-pending neighbor aggregates (one pass over adj) ----
+        nbq = (
+            adj.withColumnRenamed("a", "src")
+            .join(
+                pend.select(
+                    F.col("root").alias("src"), F.col("n").alias("sn")
+                ),
+                "src",
+            )
+            .join(
+                comp.select(
+                    F.col("root").alias("b"),
+                    F.col("n").alias("tn"),
+                    F.col("pix").alias("tpix"),
+                    F.col("pending").alias("tpend"),
+                ),
+                "b",
+            )
+            .localCheckpoint()
+        )
+        per_src = nbq.groupBy("src").agg(
+            F.min("sn").alias("sn"),
+            F.max(
+                F.struct(
+                    F.col("tn"), (-F.col("tpix")).alias("neg_pix"),
+                    F.col("b"), F.col("tpend"),
+                )
+            ).alias("t1"),
+            F.max(F.col("tpend").cast("int")).alias("any_pend_nbr"),
+        )
+        n2 = (
+            nbq.join(
+                per_src.select("src", F.col("t1.b").alias("tb")), "src"
+            )
+            .filter(F.col("b") != F.col("tb"))
+            .groupBy("src")
+            .agg(F.max("tn").alias("n2"))
+        )
+        pin = (
+            per_src.join(n2, "src", "left")
+            .withColumn(
+                "pinned",
+                (F.col("sn") >= F.lit(min_size))  # never merges
+                | (
+                    (F.col("any_pend_nbr") == 0)
+                    & (
+                        F.col("t1.tn")
+                        > F.coalesce(F.col("n2"), F.lit(-1))
+                        + F.lit(w_total)
+                    )
+                ),
+            )
+            .localCheckpoint()
+        )
+        # per hub: smallest order key among NON-pinned adjacent
+        # pendings — pinned mergers ordered before it are safe to
+        # release into the hub (NULL = every adjacent pending pinned)
+        okey = pend.select(
+            F.col("root").alias("src"), F.struct("n0", "pix").alias("okey")
+        )
+        kbad = (
+            nbq.select(F.col("b").alias("hub"), "src")
+            .join(pin.select("src", "pinned"), "src")
+            .filter(~F.col("pinned"))
+            .join(okey, "src")
+            .groupBy("hub")
+            .agg(F.min("okey").alias("kbad"))
+        )
+        s_of = (
+            pin.filter(
+                F.col("pinned")
+                & (F.col("sn") < F.lit(min_size))
+                & (~F.col("t1.tpend"))
+            )
+            .join(okey, "src")
+            .join(kbad, F.col("t1.b") == F.col("hub"), "left")
+            .filter(F.col("kbad").isNull() | (F.col("okey") < F.col("kbad")))
+            .select("src")
+        )
+
+        # --- distance-2 order-minimal set (progress guarantee) ------
+        pkeys = pend.select("root", F.struct("n0", "pix").alias("key"))
+        pmin1 = (
+            adj.join(pkeys.withColumnRenamed("root", "b"), "b")
+            .groupBy("a").agg(F.min("key").alias("k"))
+        )
+        pmin2 = (
+            adj.join(pmin1.withColumnRenamed("a", "b"), "b")
+            .groupBy("a").agg(F.min("k").alias("k"))
+        )
+        kmin = (
+            pmin1.unionByName(pmin2)
+            .groupBy("a").agg(F.min("k").alias("kmin"))
+            .withColumnRenamed("a", "root")
+        )
+        s_d2 = (
+            pkeys.join(kmin, "root", "left")
+            .filter(F.col("kmin").isNull() | (F.col("key") <= F.col("kmin")))
+            .join(
+                per_src.withColumnRenamed("src", "root")
+                .select("root", "sn"),
+                "root",
+            )
+            .filter(F.col("sn") < F.lit(min_size))
+            .select(F.col("root").alias("src"))
+        )
+
+        mergers = s_of.unionByName(s_d2).distinct().localCheckpoint()
+        targets = (
+            per_src.join(mergers, "src")
+            .select("src", F.col("t1.b").alias("dst"))
+            .localCheckpoint()
+        )
+
+        # done in place: grown past min_size, or isolated (no adj row)
+        grown = pend.filter(F.col("n") >= F.lit(min_size)).select("root")
+        isolated = pend.select("root").join(
+            adj.select(F.col("a").alias("root")).distinct(), "root",
+            "left_anti",
+        )
+        done = grown.unionByName(isolated).distinct()
+
+        moved = (
+            targets.join(
+                comp.select(F.col("root").alias("src"), F.col("n").alias("mn")),
+                "src",
+            )
+            .groupBy("dst").agg(F.sum("mn").alias("mn"))
+            .withColumnRenamed("dst", "root")
+        )
+        prev_comp, prev_adj = comp, adj
+        comp = _materialize(
+            comp.join(
+                targets.select(F.col("src").alias("root"))
+                .withColumn("gone", F.lit(True)),
+                "root", "left",
+            )
+            .filter(F.col("gone").isNull()).drop("gone")
+            .join(moved, "root", "left")
+            .withColumn("n", F.col("n") + F.coalesce("mn", F.lit(0)))
+            .drop("mn")
+            .join(done.withColumn("fin", F.lit(True)), "root", "left")
+            .withColumn(
+                "pending",
+                F.when(F.col("fin"), F.lit(False)).otherwise(F.col("pending")),
+            )
+            .drop("fin")
+        )
+        ma = targets.select(F.col("src").alias("a"), F.col("dst").alias("na"))
+        mb = targets.select(F.col("src").alias("b"), F.col("dst").alias("nb"))
+        adj = _materialize(
+            prev_adj.join(ma, "a", "left")
+            .select(F.coalesce("na", "a").alias("a"), "b")
+            .join(mb, "b", "left")
+            .select("a", F.coalesce("nb", "b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        prev_comp.unpersist()
+        prev_adj.unpersist()
+    else:
+        comp.unpersist()
+        adj.unpersist()
+        raise RuntimeError(
+            f"sieve_merge(distributed=True) did not drain its pending set "
+            f"in {max_rounds} rounds — the raster has an unusually long "
+            f"chain of mutually-touching small components. Raise "
+            f"max_rounds, or run sieve_merge(distributed=False) (driver "
+            f"loop, O(components) driver memory)."
+        )
+    out = (
+        comp.groupBy("value")
+        .agg(F.sum("n").alias("n_pixels"))
+        .orderBy("value")
+        .toPandas()
+    )
+    comp.unpersist()
+    adj.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

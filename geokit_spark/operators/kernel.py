@@ -117,7 +117,11 @@ def aspect_octant_case(ns: str = "ns", ew: str = "ew") -> str:
     parenthesized (a bare '-{ns}' would mis-negate 'a - b')."""
     ns, ew = f"({ns})", f"({ew})"
     return (
-        f"CASE WHEN {ns} = 0 AND {ew} = 0 THEN -1"
+        # NULL inputs must not fall through every comparison into the
+        # ELSE 7 (NW) arm — a null gradient propagates as NULL octant
+        # (same text on both engines, so parity is preserved).
+        f"CASE WHEN {ns} IS NULL OR {ew} IS NULL THEN NULL"
+        f" WHEN {ns} = 0 AND {ew} = 0 THEN -1"
         f" WHEN {ew} >= 0 AND {ns} > 0 AND {ns} >= {ew} THEN 0"
         f" WHEN {ew} > 0 AND {ns} > 0 THEN 1"
         f" WHEN {ew} > 0 AND {ns} <= 0 AND {ew} >= -{ns} THEN 2"

@@ -658,6 +658,7 @@ def ann_topk_bucketed(
     n_tables: int = N_TABLES,
     n_partitions: int | None = None,
     binary_dtype: str | None = None,
+    quantize: str | None = None,
 ) -> DataFrame:
     """ANN top-k BEYOND the broadcast cap: no driver-side matrix, no
     sidecar file, no embedding-array joins — the shape that holds at
@@ -690,7 +691,30 @@ def ann_topk_bucketed(
     Sims use numpy gemm (pairwise summation) like ann_topk_arrow:
     neighbor-SET equality with the fold path is pytest-verified;
     probe_bits is not offered here (probe rows would ship embeddings
-    again — use ann_topk_arrow under the cap when probing matters)."""
+    again — use ann_topk_arrow under the cap when probing matters).
+
+    quantize='int16' | 'int8' — scalar-quantize the SHIPPED embedding
+    cells (buckets still come from the float input, so candidate sets
+    are identical to the float path): per-vector max-abs scale (exact,
+    order-independent), components rint-snapped to the signed grid.
+    The per-bucket gemm then runs on EXACT integers (int8 dots <=
+    127^2*64 < 2^24 fit f32; int16 dots < 2^53 fit f64), so bucket
+    sims are BIT-REPRODUCIBLE at any parallelism / bucket shape — the
+    quantized path has NO cross-table ULP caveat at all. Cell bytes:
+    256 (f32) -> 128 (int16) -> 64 (int8) — int8 quarters the one
+    big exchange. Fidelity is data-dependent, measured on the
+    sf0.001 embeddings table (64-dim, near-random, top-5 boundary
+    gaps ~3e-3): through the operator, int16 sets match the float
+    path on 500/500 vecs (pytest-pinned) and int8 diverges on
+    22/500 boundary picks (brute-force: 1/500 and 86/500) — int16
+    is the recommended grade at this sim-gap profile; int8 fits
+    clustered
+    real-corpus embeddings and higher dims, where boundary gaps
+    dwarf the ~4e-3 sim resolution. A per-pair float re-score join
+    was REJECTED by byte math at 64 dims: survivors x (16+256) B
+    per pair costs more than the quantization saves (it pays at
+    >= 768-dim where a cell is 3 KB and pairs are cheap
+    relatively)."""
     spark = emb.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -713,37 +737,48 @@ def ann_topk_bucketed(
         elem_f32 = binary_dtype == "float32"
     else:
         elem_f32 = isinstance(in_dt.elementType, T.FloatType)
-    ship_dtype = "<f4" if elem_f32 else "<f8"
+    src_dtype = "<f4" if elem_f32 else "<f8"
     np_store = np.float32 if elem_f32 else np.float64
-    stride = EMB_DIM * (4 if elem_f32 else 8)
+    if quantize is None:
+        qmax, qtype, ship_dtype = 0, None, src_dtype
+    elif quantize == "int16":
+        # int16 dots < 2^53: EXACT in the f64 gemm
+        qmax, qtype, ship_dtype = 32767, np.int16, "<i2"
+    elif quantize == "int8":
+        # int8 dots <= 127^2 * 64 < 2^24: EXACT in the f32 gemm
+        qmax, qtype, ship_dtype = 127, np.int8, "<i1"
+    else:
+        raise ValueError("quantize must be None, 'int16' or 'int8'")
+    stride = EMB_DIM * np.dtype(ship_dtype).itemsize
 
     def _pack_binary(mat_rows: np.ndarray):
         import pyarrow as pa
 
-        rows = mat_rows.shape[0]
+        rows, st = mat_rows.shape[0], mat_rows.shape[1] * mat_rows.itemsize
         offs = pa.py_buffer(
-            np.arange(0, (rows + 1) * stride, stride, dtype=np.int32)
-            .tobytes()
+            np.arange(0, (rows + 1) * st, st, dtype=np.int32).tobytes()
         )
         return pa.Array.from_buffers(
             pa.binary(), rows, [None, offs, pa.py_buffer(mat_rows.tobytes())]
         )
 
-    def _unpack_binary(arr):
+    def _unpack_binary(arr, dt=ship_dtype):
         """Zero-copy view of a fixed-stride binary array as an
         (n, EMB_DIM) matrix at STORED precision — big float64
         inflations here measured as 32-worker allocator thrash (the
         round-2 'large per-batch temporaries' pitfall); callers upcast
-        per small group."""
+        per small group. dt is the element layout of THIS array: the
+        shipped cells by default; pass src_dtype for source cells
+        (they differ when quantize re-grids the shipped bytes)."""
         b = arr
         offs = np.frombuffer(b.buffers()[1], np.int32)[
             b.offset : b.offset + len(b) + 1
         ]
         data = np.frombuffer(b.buffers()[2], np.uint8)[offs[0] : offs[-1]]
         try:
-            return data.view(ship_dtype).reshape(len(b), EMB_DIM)
+            return data.view(dt).reshape(len(b), EMB_DIM)
         except ValueError:  # unaligned slice: fall back to one copy
-            return np.frombuffer(data.tobytes(), dtype=ship_dtype).reshape(
+            return np.frombuffer(data.tobytes(), dtype=dt).reshape(
                 len(b), EMB_DIM
             )
 
@@ -756,7 +791,7 @@ def ann_topk_bucketed(
                 continue
             earr = batch.column(1)
             if binary_in:
-                flat = _unpack_binary(earr).astype(np.float64)
+                flat = _unpack_binary(earr, src_dtype).astype(np.float64)
             else:
                 flat = np.asarray(
                     earr.flatten().to_numpy(zero_copy_only=False),
@@ -773,7 +808,18 @@ def ann_topk_bucketed(
             )
             tb = tb + (np.arange(n_tables, dtype=np.int64) << n_planes)[None, :]
             rep = np.repeat(np.arange(nb, dtype=np.int64), n_tables)
-            if binary_in:
+            if qmax:
+                # per-vector max-abs scale: exact and order-independent
+                # (cosine is scale-invariant, so the scale itself never
+                # needs to ship); rint snaps to the signed integer grid
+                sc = np.abs(flat).max(axis=1)
+                sc[sc == 0.0] = 1.0
+                qm = np.clip(
+                    np.rint(flat * (float(qmax) / sc)[:, None]),
+                    -qmax, qmax,
+                ).astype(qtype)
+                packed = _pack_binary(np.ascontiguousarray(qm[rep]))
+            elif binary_in:
                 packed = earr.take(pa.array(rep))  # raw bytes pass through
             else:
                 packed = _pack_binary(
@@ -826,11 +872,24 @@ def ann_topk_bucketed(
             g = e - s
             if g < 2:
                 continue
-            # stored precision -> float64 math; norms from the same
-            # gathered matrix (num/den consistent)
-            Mg = M[o[s:e]].astype(np.float64)
-            nrm = np.sqrt(np.einsum("ij,ij->i", Mg, Mg))
-            S = (Mg @ Mg.T) / np.outer(nrm, nrm)
+            if qmax:
+                # integer cells: the gemm is EXACT (int8 dots fit f32
+                # mantissas, int16 dots fit f64), diag(D) = |q|^2 gives
+                # the norms for free, and the resulting sims are
+                # bit-identical across tables / bucket shapes — no ULP
+                # dedup caveat on this path
+                Qg = M[o[s:e]].astype(
+                    np.float32 if qmax == 127 else np.float64
+                )
+                D = (Qg @ Qg.T).astype(np.float64)
+                nd = np.sqrt(np.diagonal(D))
+                S = D / np.outer(nd, nd)
+            else:
+                # stored precision -> float64 math; norms from the same
+                # gathered matrix (num/den consistent)
+                Mg = M[o[s:e]].astype(np.float64)
+                nrm = np.sqrt(np.einsum("ij,ij->i", Mg, Mg))
+                S = (Mg @ Mg.T) / np.outer(nrm, nrm)
             np.fill_diagonal(S, -np.inf)
             kk = min(k, g - 1)
             if g > kk + PAD:
@@ -873,7 +932,15 @@ def ann_topk_bucketed(
             for v, nb, sm in zip(out_v, out_n, out_s)
         ]
         kk_widths = [p.shape[1] for p in pairs_by_row]
-        if len(set(kk_widths)) == 1:
+        # pa.binary() offsets are int32: a partition whose packed
+        # payload reaches 2 GiB (larger k/n_tables or fewer
+        # partitions than the 2M/128/k=5 config) would silently wrap
+        # the np.arange arithmetic into corrupt cells — route such
+        # partitions through the per-row builder instead.
+        if (
+            len(set(kk_widths)) == 1
+            and (len(vcat) + 1) * kk_widths[0] * 8 < 2**31
+        ):
             flat = np.ascontiguousarray(np.concatenate(pairs_by_row))
             width = kk_widths[0] * 8
             offs = pa.py_buffer(

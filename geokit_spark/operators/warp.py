@@ -139,6 +139,65 @@ def _lanczos_w(x: np.ndarray) -> np.ndarray:
     return np.where(ax < 3.0, w, 0.0)
 
 
+def lanczos_tables(
+    ox: float = XMIN,
+    oy: float = YMAX,
+    dxt: float = WARP_DXT,
+    dyt: float = WARP_DYT,
+    w: int = WARP_W,
+    h: int = WARP_H,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-side exact lanczos weight tables per target pixel index.
+
+    sin is libm — it can never be evaluated engine-side in an
+    oracle-compared query (JVM/numpy/DuckDB differ by ULPs). But for a
+    FIXED target grid the fractional stencil offset is a pure function
+    of the pixel index (the same IEEE +,-,*,/ /floor/clamp tree both
+    engines evaluate), so the weights form a finite per-index table.
+    This computes that table ONCE with python math.sin and both
+    engines consume the identical float64 values — the Spark kernel by
+    array lookup (warp_to_grid(..., lanczos_exact=True)), the DuckDB
+    oracle as CAST('<repr>' AS DOUBLE) literals (the table IS the
+    parity contract; cf. the same driver-side-constants rule used by
+    latlon_to_m_factors). Returns (wx[w,6], sx[w], wy[h,6], sy[h])
+    with sx/sy the left-assoc weight sums used for normalization."""
+    import math
+
+    def axis(n, grid, src_n):
+        wt = np.empty((n, 6), dtype=np.float64)
+        st = np.empty(n, dtype=np.float64)
+        for j in range(n):
+            g = grid(j)  # same IEEE expression tree as the kernel
+            ib = min(max(math.floor(g), 2), src_n - 4)
+            f = g - float(ib)
+            for k in range(6):
+                x = f - float(k - 2)
+                if abs(x) < 1e-12:
+                    wt[j, k] = 1.0
+                elif abs(x) < 3.0:
+                    px = math.pi * x
+                    wt[j, k] = (
+                        3.0 * math.sin(px) * math.sin(px / 3.0) / (px * px)
+                    )
+                else:
+                    wt[j, k] = 0.0
+            st[j] = sum(wt[j, k] for k in range(6))
+        return wt, st
+
+    oxl, oyl, dxl, dyl = float(ox), float(oy), float(dxt), float(dyt)
+    wx, sx = axis(
+        w,
+        lambda j: ((oxl + (float(j) + 0.5) * dxl) - XMIN) / PIX_DX - 0.5,
+        RASTER_W,
+    )
+    wy, sy = axis(
+        h,
+        lambda j: (YMAX - (oyl - (float(j) + 0.5) * dyl)) / PIX_DY - 0.5,
+        RASTER_H,
+    )
+    return wx, sx, wy, sy
+
+
 def warp_to_grid(
     tiles: DataFrame,
     ox: float = XMIN,
@@ -148,6 +207,7 @@ def warp_to_grid(
     w: int = WARP_W,
     h: int = WARP_H,
     alg: str = "near",
+    lanczos_exact: bool = False,
 ) -> DataFrame:
     """Resample the source tile table onto the target grid
     (origin (ox, oy-at-top), pixel size (dxt, dyt), w x h pixels).
@@ -215,6 +275,13 @@ def warp_to_grid(
     joined = keys.join(tiles, ["tile_x", "tile_y"], "inner")
 
     oxl, oyl, dxl, dyl = float(ox), float(oy), float(dxt), float(dyt)
+    # oracle-grade lanczos: weights from the driver-computed per-index
+    # table (shared verbatim with the SQL oracle) instead of np.sin
+    lz = (
+        lanczos_tables(ox, oy, dxt, dyt, w, h)
+        if (alg == "lanczos" and lanczos_exact)
+        else None
+    )
 
     def per_target(pdf: pd.DataFrame) -> pd.DataFrame:
         ttx = int(pdf["ttx"].iloc[0])
@@ -283,6 +350,10 @@ def warp_to_grid(
             elif alg == "cubicspline":
                 wxs = [_bspline_w(fx - (k - half)) for k in range(ntaps)]
                 wys = [_bspline_w(fy - (k - half)) for k in range(ntaps)]
+            elif lz is not None:
+                wxt, sxt, wyt, syt = lz
+                wxs = [wxt[gjx, k] for k in range(ntaps)]
+                wys = [wyt[gjy, k] for k in range(ntaps)]
             else:
                 wxs = [_lanczos_w(fx - (k - half)) for k in range(ntaps)]
                 wys = [_lanczos_w(fy - (k - half)) for k in range(ntaps)]

@@ -432,14 +432,86 @@ def extract_text(
     )
 
 
-def extraction_report(pages: DataFrame) -> DataFrame:
+def extract_text_sql(
+    pages: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """All-JVM variant of extract_text: the same main-content
+    contract expressed as whole-stage-codegen string expressions
+    (locate/substring for the <body> slice, one lazy regex for the
+    <p> blocks, per-block regexp_replace + entity-replace chain) —
+    zero Python crossings, so it scales like the engine's other JVM
+    stages instead of paying the Arrow-worker concurrency inflation
+    the byte kernel measures (BENCH/BASELINE.md html_extract row).
+
+    Contract vs the byte kernel: byte-identical on every page corpus
+    this module generates and on any WELL-FORMED html (every ``<p``
+    opener completed by '>', no dangling '<' inside block content —
+    entity-escaped text is fine since entities decode after tag
+    strip); pinned by tests/test_pages.py on all five generators +
+    handcrafted entity/br/no-body/no-p cases. On malformed html the
+    two paths may diverge (the byte kernel is the total,
+    never-raises general path; this one is the throughput path for
+    crawls you trust) — divergences are auditable corpus-wide via
+    extraction_report on both engines.
+
+    Mirrored find semantics, token for token:
+      lo = find('<body'); start = after its '>' (lo+5 if none);
+      hi = find('</body>', start) else EOF          -> _start/_region
+      blocks: find('<p') with next char in {'>', ' '}, content to
+      first '</p>' else region end                  -> lazy regex
+      inline: <br>/<br/>/<br /> (any case, outer ws) -> newline,
+      other complete tags dropped, dangling '<' literal
+      entities LAST, '&amp;' last of all."""
+    df = pages.select(
+        "url", F.decode(F.col("html"), "UTF-8").alias("_h"), *passthrough
+    )
+    df = (
+        df.withColumn("_lo", F.expr("locate('<body', _h)"))
+        .withColumn("_gt", F.expr("if(_lo = 0, 0, locate('>', _h, _lo))"))
+        .withColumn(
+            "_start", F.expr("if(_lo = 0, 1, if(_gt = 0, _lo + 5, _gt + 1))")
+        )
+        .withColumn("_hi", F.expr("locate('</body>', _h, _start)"))
+        .withColumn(
+            "_region",
+            F.expr(
+                "substring(_h, _start,"
+                " if(_hi = 0, length(_h) + 1, _hi) - _start)"
+            ),
+        )
+    )
+    blocks = F.regexp_extract_all(
+        F.col("_region"),
+        # opener '<p' + next char '>' or ' ' (then to the tag's first
+        # '>'), content lazy to the first '</p>' or region end — the
+        # exact bytes.find order of extract_main_text
+        F.lit(r"(?s)<p(?:>| [^>]*>)(.*?)(?:</p>|\z)"),
+        F.lit(1),
+    )
+
+    def _clean(b):
+        b = F.regexp_replace(b, F.lit(r"(?i)<\s*br( ?/)?\s*>"), F.lit("\n"))
+        b = F.regexp_replace(b, F.lit("<[^>]*>"), F.lit(""))
+        for ent, ch in _ENTITIES:
+            b = F.replace(b, F.lit(ent.decode()), F.lit(ch.decode()))
+        return b
+
+    txt = F.array_join(F.transform(blocks, _clean), "\n")
+    return df.select(
+        "url", F.encode(txt, "UTF-8").alias("text_extracted"), *passthrough
+    )
+
+
+def extraction_report(pages: DataFrame, engine: str = "arrow") -> DataFrame:
     """Per-source audit of the byte-identity invariant: n_pages,
     n_byte_exact (extracted == text, BYTE compare), total html bytes,
     and the warc_ts epoch range. The join back to the page row is on
     url within the same narrow pipeline (extract_text preserves
     partitioning, so AQE plans a single exchange for the join + one
-    for the final agg)."""
-    ext = extract_text(pages)
+    for the final agg). engine='arrow' audits the byte kernel,
+    engine='sql' the all-JVM variant — running both corpus-wide is
+    the cross-implementation divergence check."""
+    ext = (extract_text_sql if engine == "sql" else extract_text)(pages)
     src = F.element_at(
         F.split(F.element_at(F.split(F.col("url"), "/"), 3), "\\."), 1
     ).alias("source")

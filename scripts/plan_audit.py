@@ -134,6 +134,24 @@ def main():
         "- `noindex_filter` is a pure codegen predicate fused into the",
         "  page build (0 python stages); `domain_cap` is one",
         "  domain-keyed exchange + in-partition rank.",
+        "- `sieve` auto-routes on component count: <= 2M components",
+        "  collects the COMPONENT-granularity graph (never pixels) for",
+        "  the sequential driver loop; beyond that, the distributed",
+        "  fixpoint (sieve_merge(distributed=True)) never collects —",
+        "  each round merges, in parallel Spark joins, every pending",
+        "  component that is provably order-exchangeable (settled-hub",
+        "  fast path + distance-2 order minima), pytest-pinned",
+        "  bit-identical to the loop incl. a >=1e5-component raster.",
+        "- `ann_topk_bucketed(quantize='int8'|'int16')` keeps the same",
+        "  2-exchange plan with integer shipped cells (256 -> 64/128 B):",
+        "  the per-bucket gemm is EXACT integer math, so the quantized",
+        "  path is bit-reproducible at any parallelism (no cross-table",
+        "  ULP dedup caveat); fidelity grades pinned by pytest.",
+        "- `pages_extract_sql` / bench `html_extract_sql`: the all-JVM",
+        "  extractor variant (locate/substring + one lazy regex + a",
+        "  replace chain, 0 python stages) — byte-identical to the",
+        "  Arrow byte kernel on well-formed html, pytest + oracle",
+        "  pinned; the throughput path for crawls you trust.",
         "- `host_graph`: ONE dst_id-keyed join (AQE picks the side to",
         "  broadcast at this sf; at cluster scale both sides",
         "  co-partition on the id key) + the final rollup.",

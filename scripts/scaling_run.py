@@ -32,8 +32,16 @@ def run_bench(cpus: int, n_docs: int) -> dict:
         # retries can add minutes to a contaminated 100M local[8] leg
         timeout=1800,
     )
+    # the stdout line is the driver-facing COMPACT record (round 7:
+    # bench.py keeps it under the driver's ~2000-char stdout tail);
+    # the per-stage docs/s + byte counters this script needs live in
+    # the full record bench.py writes alongside it
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    compact = json.loads(line)
+    with open(os.path.join(REPO, "BENCH", "driver_run_latest.json")) as f:
+        full = json.load(f)
+    assert full["value"] == compact["value"], "full record is stale"
+    return full
 
 
 def _burn(_):
@@ -114,10 +122,17 @@ def _merge_best(runs: list[dict]) -> dict:
     out["docs_per_sec"] = dict(runs[0]["docs_per_sec"])
     out["mb_moved_per_sec"] = dict(runs[0].get("mb_moved_per_sec", {}))
     out["bytes_per_run"] = dict(runs[0].get("bytes_per_run", {}))
+    # retry provenance: which stage needed load-gated re-reps in the
+    # run that supplied its published best time (0 = first-intent)
+    out["stage_retries"] = {
+        k: runs[0].get("stage_retries", {}).get(k, 0)
+        for k in out["queries"]
+    }
     for r in runs[1:]:
         for k, v in r["queries"].items():
             if v < out["queries"].get(k, float("inf")):
                 out["queries"][k] = v
+                out["stage_retries"][k] = r.get("stage_retries", {}).get(k, 0)
                 if k in r.get("mb_moved_per_sec", {}):
                     out["mb_moved_per_sec"][k] = r["mb_moved_per_sec"][k]
                 if k in r.get("bytes_per_run", {}):
@@ -187,11 +202,16 @@ def main():
         "round-6 packed partial cells (one 16k-byte binary cell per "
         "(vec_id, bucket) row crosses the merge exchange instead of "
         "k rows — measured 102 -> 27 JVM-cpu-seconds of shuffle row "
-        "framing at 32 cores, throughput +70%). The `ann_topk` row "
-        "is the small-corpus broadcast path (sidecar mmap re-score).",
+        "framing at 32 cores, throughput +70%). The small-corpus "
+        "broadcast path (`ann_topk`, sidecar mmap re-score) is a "
+        "fenced LATENCY BASELINE as of round 7 — driver-side matrix "
+        "build + sidecar write dominate at any parallelism (0.96x at "
+        "8->32), so it is measured for regression cover "
+        "(`latency_baselines` in the full bench record) but excluded "
+        "from this table and the headline wall-time sum.",
         "",
-        "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency | normalized | MB/s moved @32 | % of stream bw |",
-        "|---|---|---|---|---|---|---|---|",
+        "| stage | local[8] docs/s | local[32] docs/s | speedup | efficiency | normalized | MB/s moved @32 | % of stream bw | retries 8/32 |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     effs = []
     for s in stages:
@@ -207,15 +227,21 @@ def main():
             pct_col = f"{100 * mbs * 2**20 / bw32:.1f}%"
         else:
             mb_col = pct_col = "n/a"
+        # retry provenance: load-gated re-reps behind each side's
+        # published best time (0/0 = both first-intent measurements)
+        ret = (
+            f"{r8.get('stage_retries', {}).get(s, 0)}"
+            f"/{r32.get('stage_retries', {}).get(s, 0)}"
+        )
         lines.append(
             f"| {s} | {d8:,} | {d32:,} | {sp:.2f}x | {eff:.2f} "
-            f"| {min(eff / ceil, 1.25):.2f} | {mb_col} | {pct_col} |"
+            f"| {min(eff / ceil, 1.25):.2f} | {mb_col} | {pct_col} | {ret} |"
         )
     t8 = sum(r8["queries"].values())
     t32 = sum(r32["queries"].values())
     sp = t8 / t32
     lines += [
-        f"| **suite wall time** | {t8:.1f}s | {t32:.1f}s | {sp:.2f}x | {sp / 4:.2f} | {min(sp / 4 / ceil, 1.25):.2f} | | |",
+        f"| **suite wall time** | {t8:.1f}s | {t32:.1f}s | {sp:.2f}x | {sp / 4:.2f} | {min(sp / 4 / ceil, 1.25):.2f} | | | |",
         "",
         f"Calibration raw: `{json.dumps({str(k): v for k, v in cal.items()})}`",
         "",

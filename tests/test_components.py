@@ -250,3 +250,126 @@ def test_sieve_component_graph_is_component_granularity(spark):
     # and the sieve itself still works on top of it
     out = sieve_merge(tiles, min_size=5)
     assert out["n_pixels"].sum() == n * n * t * t
+
+
+# ---------------------------------------------------------------------------
+# distributed sieve merge: bit-identical to the sequential driver loop
+
+
+def _graph_to_dfs(spark, comp, adj):
+    comp_df = spark.createDataFrame(
+        comp, "root long, value double, n long, pix long"
+    )
+    adj_df = spark.createDataFrame(adj, "ra long, rb long")
+    return comp_df, adj_df
+
+
+def _adversarial_graph(rng, n_specks=60):
+    """Component graph with every shape the round rules must handle:
+    two big hubs, specks on hubs, straddlers on both, order-increasing
+    chains hanging off a hub, a star of small components, and random
+    speck-speck edges (pending-pending adjacency)."""
+    import pandas as pd
+
+    comp_rows = []
+    adj_rows = []
+    nid = [0]
+
+    def node(n, value, pix=None):
+        r = nid[0]
+        nid[0] += 1
+        comp_rows.append(
+            (r, float(value), int(n),
+             int(pix) if pix is not None else 10_000 + r)
+        )
+        return r
+
+    h1 = node(5000, 1.0, pix=1)
+    h2 = node(4000, 2.0, pix=2)
+    specks = []
+    for i in range(n_specks):
+        s = node(int(rng.integers(1, 5)), float(rng.integers(10, 14)))
+        specks.append(s)
+        adj_rows.append((min(s, h1), max(s, h1)))
+        if rng.random() < 0.3:  # straddler on both hubs
+            adj_rows.append((min(s, h2), max(s, h2)))
+    # random speck-speck edges
+    for _ in range(n_specks // 3):
+        a, b = rng.choice(specks, 2, replace=False)
+        if a != b:
+            adj_rows.append((min(a, b), max(a, b)))
+    # order-increasing chain off h2 (pix increases along the chain)
+    prev = h2
+    for i in range(6):
+        c = node(1, 20.0 + i, pix=50_000 + i)
+        adj_rows.append((min(prev, c), max(prev, c)))
+        prev = c
+    # star: small center with 5 small leaves
+    center = node(2, 30.0)
+    for i in range(5):
+        leaf = node(1, 31.0)
+        adj_rows.append((min(center, leaf), max(center, leaf)))
+    adj_rows.append((min(center, h1), max(center, h1)))
+    comp = pd.DataFrame(comp_rows, columns=["root", "value", "n", "pix"])
+    adj = pd.DataFrame(sorted(set(adj_rows)), columns=["ra", "rb"])
+    return comp, adj
+
+
+def test_sieve_distributed_matches_driver_adversarial(spark):
+    from geokit_spark.operators.components import (
+        _sieve_merge_distributed, _sieve_merge_driver,
+    )
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        comp, adj = _adversarial_graph(rng)
+        exp = _sieve_merge_driver(comp, adj, min_size=5)
+        comp_df, adj_df = _graph_to_dfs(spark, comp, adj)
+        got = _sieve_merge_distributed(comp_df, adj_df, min_size=5)
+        assert got["value"].tolist() == exp["value"].tolist(), seed
+        assert got["n_pixels"].tolist() == exp["n_pixels"].tolist(), seed
+
+
+def test_sieve_distributed_raster_1e5_components(spark):
+    """>=1e5-component raster through the DISTRIBUTED path (never
+    collects the component graph), bit-identical to the driver loop:
+    speck fields on one background (the hub fast path must release
+    them in O(1) rounds — a pure distance-2 rule would need 1e5
+    rounds here) plus alternating-value strips (chains that serialize
+    through the distance-2 rule and hold back later-ordered specks
+    via the hub's kbad gate)."""
+    import pandas as pd
+
+    from geokit_spark.constants import TILE_SIZE
+    from geokit_spark.operators.components import sieve_merge
+
+    t = TILE_SIZE
+    nx, ny = 11, 10
+    rows = []
+    for tx in range(nx):
+        for ty in range(ny):
+            m = np.full((t, t), 5.0)
+            # isolated specks at even interior positions: 31*31 per tile
+            yy, xx = np.mgrid[2:t - 1:2, 2:t - 1:2]
+            m[yy, xx] = 10.0 + (tx * ny + ty) % 4
+            if ty == ny - 1 and tx < 3:
+                # alternating-value strip: a chain of singleton
+                # components each touching the background hub
+                m[t // 2, 20:26] = np.where(
+                    np.arange(6) % 2 == 0, 20.0, 21.0
+                )
+            rows.append(
+                {"tile_x": tx, "tile_y": ty, "data": m.ravel(),
+                 "nodata": -9999.0}
+            )
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    exp = sieve_merge(tiles, min_size=3, distributed=False)
+    # sanity: the fixture really has >= 1e5 components
+    from geokit_spark.operators.components import component_table
+
+    n_comp = component_table(tiles).count()
+    assert n_comp >= 100_000
+    got = sieve_merge(tiles, min_size=3, distributed=True, max_rounds=64)
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["n_pixels"].tolist() == exp["n_pixels"].tolist()
+    assert int(got["n_pixels"].sum()) == nx * ny * t * t

@@ -84,3 +84,55 @@ def test_aspect_octant_case_boundaries():
         f"SELECT {aspect_octant_case()} FROM (VALUES {rows}) t(ns, ew)"
     ).fetchall()
     assert [g[0] for g in got] == [o for _, _, o in cases]
+    # NULL gradient components -> NULL octant, never the ELSE (NW) arm
+    got = duckdb.sql(
+        f"SELECT {aspect_octant_case()} FROM (VALUES"
+        " (NULL, 1.0), (1.0, NULL), (CAST(NULL AS DOUBLE), NULL)"
+        ") t(ns, ew)"
+    ).fetchall()
+    assert [g[0] for g in got] == [None, None, None]
+
+
+def test_bench_compact_line_fits_driver_window():
+    """The driver tails ~2000 chars of bench stdout; round 6's full
+    record (~4.6 KB) outgrew it and came back `parsed: null`. Pin
+    that the compact final line stays under budget on a payload
+    sized like the real suite (20 stages, retries, calibration)."""
+    import json
+
+    import bench
+
+    stages = [f"stage_{i:02d}_some_longish_name" for i in range(20)]
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": 12345.678,
+        "unit": "sec",
+        "queries": {s: 123.456 for s in stages},
+        "sf": 0.1,
+        "bench_docs": 20000000,
+        "cpus": 32,
+        "calibration": 36.94,
+        "stage_retries": {s: 3 for s in stages[:5]},
+        "tiles_per_sec": 1234567,
+        # full-record-only fields must NOT leak into the line
+        "bytes_per_run": {s: {"shuffle_write": 10**9} for s in stages},
+        "mb_moved_per_sec": {s: 999.9 for s in stages},
+        "stage_calibration": {s: 36.9 for s in stages},
+        "docs_per_sec": {s: 10**7 for s in stages},
+    }
+    line = json.dumps(bench.compact_line(out))
+    assert len(line) <= bench._LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["value"] == 12345.678
+    assert len(parsed["queries"]) == 20
+    assert "bytes_per_run" not in parsed
+    assert "mb_moved_per_sec" not in parsed
+    # degradation path: an absurdly wide payload still yields a
+    # parseable line with the headline intact
+    out["queries"] = {f"q{i}": 1.0 for i in range(400)}
+    line2 = json.dumps(bench.compact_line(out))
+    assert len(line2) <= bench._LINE_BUDGET
+    parsed2 = json.loads(line2)
+    assert parsed2["metric"] == "headline_suite_wall_sec"
+    assert parsed2["value"] == 12345.678
+    assert parsed2.get("queries_truncated") is True

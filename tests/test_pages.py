@@ -158,3 +158,76 @@ def test_mirror_clusters_domains_vs_revisits(spark):
     assert out["https://a-mirror.org/p/1"].n_domains == 2
     assert out["https://b.example/p/2"].n_domains == 1
     assert all(r.n_copies == 2 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# all-JVM extractor variant: byte-identical to the byte kernel on
+# well-formed html (the extract_text_sql contract)
+
+
+# handcrafted WELL-FORMED cases covering every branch the SQL variant
+# mirrors: body slicing, missing body, <p> attrs, inline tags, all
+# three br spellings (any case / outer whitespace), single-level
+# entity decode with &amp; last, no-p docs, multi-block joining
+_WELLFORMED = [
+    b"<html><body><p>hello world</p></body></html>",
+    b"<p>no body tags at all</p>",
+    b"<html><body><h1>x</h1>no p blocks</body></html>",
+    b"<html><body><p>a</p><p>b</p><p>c</p></body></html>",
+    b"<body><p class='x' id=\"y\">attrs <b>bold</b> ok</p></body>",
+    b"<body><p>l1<br>l2<br/>l3<br />l4<BR>l5< br >l6</p></body>",
+    b"<body><p>&amp;lt; stays, &lt;real&gt; &quot;q&quot; &#39;s&#39;</p></body>",
+    b"<body><p>tail without closer",
+    b"<body><p>first</p><p>unterminated</body>trail</html>",
+    b"<body attr='v'><p>body with attrs</p></body>",
+    b"<html><body><pre>not a p</pre><p>yes</p><param x></body></html>",
+    b"<body><p >space opener</p></body>",
+    b"<body><p>a&amp;b and &gt;&gt; twice &lt;&lt;</p></body>",
+    b"",
+]
+
+
+def test_extract_sql_matches_kernel_handcrafted(spark):
+    rows = [
+        (f"https://t.example/p/{i}", h)
+        for i, h in enumerate(_WELLFORMED)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        r.url: r.text_extracted
+        for r in P.extract_text_sql(pages).collect()
+    }
+    for i, h in enumerate(_WELLFORMED):
+        url = f"https://t.example/p/{i}"
+        assert got[url] == P.extract_main_text(h), (i, h)
+
+
+def test_extract_sql_matches_kernel_all_generators(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    corpora = [
+        P.pages_from_docs(docs),
+        P.pages_multicrawl(docs),
+        P.pages_with_meta(docs),
+        P.pages_with_links(docs, 500),
+        P.pages_mirrored(docs),
+    ]
+    for pg in corpora:
+        a = P.extract_text(pg).withColumnRenamed("text_extracted", "ta")
+        b = P.extract_text_sql(pg).withColumnRenamed("text_extracted", "tb")
+        j = a.join(b, "url")
+        assert j.filter(F.col("ta") != F.col("tb")).count() == 0
+        assert j.filter(F.col("ta").isNull()).count() == 0
+
+
+def test_extract_sql_is_all_jvm(spark):
+    """The throughput variant must stay a pure codegen plan: no
+    Arrow/python evals anywhere (the whole point vs the byte
+    kernel), no exchange."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = P.extract_text_sql(
+        P.pages_from_docs(docs)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "mapInArrow" not in plan and "Exchange" not in plan
