@@ -21,9 +21,12 @@ native dependency:
 * ``sterea``  — oblique "double" stereographic (EPSG:28992 RD New).
 * ``merc``    — ellipsoidal Mercator, variants A+B (EPSG:3395,
   NEIEZ) — distinct from the spherical web-mercator path.
+* ``omerca``/``omercb`` — Hotine oblique Mercator, variants A
+  (EPSG method 9812: Michigan 3078) and B (9815: Borneo RSO 29873,
+  Malaysia BRSO 3376).
 
-Non-conformal exotics (oblique Mercator, Albers, Mollweide) raise
-with the supported set listed.
+Non-conformal exotics (Albers, Mollweide) raise with the supported
+set listed.
 
 Forward/inverse formulas follow the published EPSG Guidance Note 7-2
 oblique-aspect equations; the GN7-2 worked example (50N 5E ->
@@ -59,6 +62,9 @@ ELLIPSOIDS = {
     "bessel": (6377397.155, 299.1528128),
     "clrk66": (6378206.4, 294.978698214),  # Clarke 1866 (NAD27)
     "krass": (6378245.0, 298.3),  # Krassowsky 1940
+    # Everest 1830 (1967 Definition) — the Borneo RSO ellipsoid
+    # (EPSG 7016; PROJ name evrstSS "Everest Sabah & Sarawak")
+    "evrstSS": (6377298.556, 300.8017),
 }
 
 
@@ -118,7 +124,7 @@ class Ellipsoid:
 class SRS:
     """Lightweight SRS descriptor (stands in for osr.SpatialReference)."""
 
-    kind: str  # latlon|webmerc|laea|tmerc|lcc|stere|sterea|merc
+    kind: str  # latlon|webmerc|laea|tmerc|lcc|stere|sterea|merc|omerca|omercb
     lat0: float = 0.0
     lon0: float = 0.0
     false_e: float = 0.0
@@ -126,7 +132,9 @@ class SRS:
     name: str = ""
     k0: float = 1.0  # central scale (tmerc: UTM 0.9996; stere variant A)
     lat1: float = 0.0  # standard parallels (lcc 2SP; stere variant B
-    lat2: float = 0.0  # uses lat1 as the standard parallel lat_ts)
+    lat2: float = 0.0  # uses lat1 as the standard parallel lat_ts;
+    # omerc reuses lat1 = azimuth alpha_c and lat2 = rectified-grid
+    # angle gamma_c, both degrees at the projection centre)
     ellps: str = "GRS80"
     # 7-parameter Helmert to WGS84 (EPSG position-vector 9606):
     # (tx, ty, tz [m], rx, ry, rz [arc-sec], ds [ppm]); empty = the
@@ -204,8 +212,9 @@ def load_srs(source) -> SRS:
             "ETRS89-UTM 25828-25838, LCC 2154/3034, 27700, 2193, 2180, "
             "NAD83-UTM 26901-26923, RGF93-CC 3942-3950, 4258, 4269, "
             "polar stereographic 3413/3031/3976/3032/5041/5042, "
-            "ellipsoidal Mercator 3395/3002, RD New 28992 — or construct "
-            "any tmerc/lcc/laea/stere/sterea/merc grid with "
+            "ellipsoidal Mercator 3395/3002, RD New 28992, oblique "
+            "Mercator 29873/3376/3078 — or construct any tmerc/lcc/"
+            "laea/stere/sterea/merc/omerc grid with "
             "kernels.srs.from_params(...)"
         )
     if isinstance(source, str):
@@ -244,9 +253,10 @@ def from_params(
     on any registered ellipsoid, with an optional 7-parameter Helmert
     to WGS84 for non-WGS84-equivalent datums. This covers the bulk of
     national EPSG grids without a PROJ dependency — plus polar
-    stereographic (9810/9829), oblique "double" stereographic (9809)
-    and ellipsoidal Mercator (9804/9805); unknown projection METHODS
-    (oblique Mercator, Albers, Mollweide, ...) still raise."""
+    stereographic (9810/9829), oblique "double" stereographic (9809),
+    ellipsoidal Mercator (9804/9805) and Hotine oblique Mercator
+    (9812/9815); unknown projection METHODS (Albers, Mollweide, ...)
+    still raise."""
     proj = proj.strip().lower()
     if proj in ("tmerc", "transverse_mercator"):
         kind = "tmerc"
@@ -299,11 +309,40 @@ def from_params(
                 "|lat1| < 90 (the derived pole scale degenerates "
                 "at the pole itself; use k0 / variant A there)"
             )
+    elif proj in (
+        "omerc", "omercb", "hotine_oblique_mercator_variant_b",
+        "omerca", "hotine_oblique_mercator_variant_a",
+    ):
+        # Hotine oblique Mercator (EPSG 9812 variant A / 9815 variant
+        # B). Parameter packing: lat0 = phi_c, lon0 = lambda_c,
+        # lat1 = azimuth alpha_c of the initial line, lat2 = rectified
+        # -to-skew grid angle gamma_c (defaults to alpha_c, the value
+        # every registered grid uses), k0 = scale on the initial line;
+        # fe/fn are at the natural origin (A) or projection centre (B).
+        kind = (
+            "omerca"
+            if proj in ("omerca", "hotine_oblique_mercator_variant_a")
+            else "omercb"
+        )
+        if not 0.0 < abs(lat0) < 90.0:
+            raise ValueError(
+                "omerc projection-centre latitude must satisfy "
+                "0 < |lat0| < 90 (the equatorial and polar aspects "
+                "degenerate the Hotine constants)"
+            )
+        if lat2 == 0.0:
+            lat2 = lat1
+        if math.cos(math.radians(lat1)) <= 0.0:
+            raise ValueError(
+                "omerc initial-line azimuth alpha_c (lat1) must lie "
+                "in (-90, 90) mod 360 (cos(alpha_c) > 0); the "
+                "westward-initial-line convention is not implemented"
+            )
     else:
         raise ValueError(
             f"unsupported projection method {proj!r}; supported: "
             "tmerc, lcc (2SP), laea, stere (polar), sterea (oblique), "
-            "merc (ellipsoidal)"
+            "merc (ellipsoidal), omerc/omerca (Hotine oblique)"
         )
     Ellipsoid(ellps)  # validate early
     if towgs84 and len(towgs84) not in (3, 7):
@@ -414,6 +453,36 @@ def _epsg_param(code: int) -> SRS | None:
             "merc", 0.0, 110.0, 3900000.0, 900000.0, k0=0.997,
             ellps="bessel", towgs84=(-587.8, 519.75, 145.76),
             name="EPSG:3002",
+        )
+    # Hotine oblique Mercator grids (methods 9812 variant A / 9815
+    # variant B) — the GN7-2 worked-example Borneo RSO family plus
+    # the Michigan variant-A grid
+    if code == 29873:  # Timbalai 1948 / RSO Borneo (m), variant B
+        return from_params(
+            "omerc", 4.0, 115.0, 590476.87, 442857.65,
+            k0=0.99984,
+            lat1=53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,  # alpha_c
+            lat2=53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,  # gamma_c
+            ellps="evrstSS",
+            # published EPSG Timbalai 1948 -> WGS84 geocentric
+            # translations (~10 m grade, fine for analytics)
+            towgs84=(-679.0, 669.0, -48.0),
+            name="EPSG:29873",
+        )
+    if code == 3376:  # GDM2000 / East Malaysia BRSO, variant B, GRS80
+        return from_params(
+            "omerc", 4.0, 115.0, 0.0, 0.0, k0=0.99984,
+            lat1=53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+            lat2=53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+            name="EPSG:3376",
+        )
+    if code == 3078:  # NAD83 / Michigan Oblique Mercator, variant A
+        return from_params(
+            "omerca", 45.0 + 18.0 / 60.0 + 33.0 / 3600.0, -86.0,
+            2546731.496, -4354009.816, k0=0.9996,
+            lat1=337.0 + 15.0 / 60.0 + 20.0 / 3600.0,
+            lat2=337.0 + 15.0 / 60.0 + 20.0 / 3600.0,
+            name="EPSG:3078",
         )
     return None
 
@@ -914,6 +983,124 @@ def merc1sp_inverse(x, y, srs: SRS):
 
 
 # ---------------------------------------------------------------------------
+# Hotine oblique Mercator (EPSG method 9812 variant A / 9815 variant
+# B): conformal projection about an initial line through the
+# projection centre (phi_c, lambda_c) at azimuth alpha_c — the Borneo
+# RSO / Malaysia BRSO / Michigan grids. GN7-2 §1.3.6 equations.
+# Reference loadSRS accepts these through OSR (srs.py:22-76); here
+# they are the same closed forms the rest of the module uses.
+
+
+@lru_cache(maxsize=None)
+def _omerc_consts(ellps: str, lat0: float, lon0: float, alphac: float,
+                  gammac: float, k0: float):
+    """(ell, B, A, H, gamma0, lam0, uc, singc, cosgc). uc is the
+    variant-B centre offset along the u axis; by construction it
+    EQUALS the variant-A u at the projection centre (derivation: at
+    (phi_c, lambda_c) the forward's S = G, V = G tan(gamma0), so the
+    atan2 numerator collapses to G / cos(gamma0) and uc =
+    (A/B) atan2(sign(phi_c) sqrt(D^2-1), |cos(alpha_c)|) — identical
+    to GN7-2's published uc for the supported cos(alpha_c) > 0
+    range), so variant B maps the projection centre EXACTLY onto
+    (Ec, Nc); pinned in tests/test_srs.py."""
+    ell = Ellipsoid(ellps)
+    e, e2 = ell.e1, ell.e2
+    phic = math.radians(lat0)
+    alc = math.radians(alphac)
+    gc = math.radians(gammac)
+    sphi = math.sin(phic)
+    cphi = math.cos(phic)
+    big_b = math.sqrt(1.0 + e2 * cphi**4 / (1.0 - e2))
+    big_a = ell.a * big_b * k0 * math.sqrt(1.0 - e2) / (
+        1.0 - e2 * sphi * sphi
+    )
+    esin = e * sphi
+    t0 = math.tan(math.pi / 4.0 - phic / 2.0) * (
+        (1.0 + esin) / (1.0 - esin)
+    ) ** (e / 2.0)
+    big_d = big_b * math.sqrt(1.0 - e2) / (
+        cphi * math.sqrt(1.0 - e2 * sphi * sphi)
+    )
+    d2 = max(big_d * big_d, 1.0)  # GN7-2: D < 1 near the equator
+    sign = 1.0 if lat0 >= 0.0 else -1.0
+    big_f = big_d + math.sqrt(d2 - 1.0) * sign
+    big_h = big_f * t0**big_b
+    big_g = (big_f - 1.0 / big_f) / 2.0
+    gamma0 = math.asin(math.sin(alc) / big_d)
+    lam0 = math.radians(lon0) - math.asin(
+        big_g * math.tan(gamma0)
+    ) / big_b
+    uc = (big_a / big_b) * math.atan2(
+        sign * math.sqrt(d2 - 1.0), abs(math.cos(alc))
+    )
+    return (ell, big_b, big_a, big_h, gamma0, lam0, uc,
+            math.sin(gc), math.cos(gc))
+
+
+def omerc_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. Vectorized.
+    Variant A (kind omerca) adds FE/FN at the natural origin; variant
+    B (omercb) subtracts the centre offset uc so FE/FN sit at the
+    projection centre."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ell, big_b, big_a, big_h, gamma0, lam0, uc, sg, cg = _omerc_consts(
+        srs.ellps, srs.lat0, srs.lon0, srs.lat1, srs.lat2, srs.k0
+    )
+    e = ell.e1
+    phi = np.radians(lat)
+    esin = e * np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * (
+        (1.0 + esin) / (1.0 - esin)
+    ) ** (e / 2.0)
+    big_q = big_h / t**big_b
+    big_s = (big_q - 1.0 / big_q) / 2.0
+    big_t = (big_q + 1.0 / big_q) / 2.0
+    dlam = big_b * (np.radians(lon) - lam0)
+    big_v = np.sin(dlam)
+    big_u = (-big_v * math.cos(gamma0) + big_s * math.sin(gamma0)) / big_t
+    v = big_a * np.log((1.0 - big_u) / (1.0 + big_u)) / (2.0 * big_b)
+    u = big_a * np.arctan2(
+        big_s * math.cos(gamma0) + big_v * math.sin(gamma0),
+        np.cos(dlam),
+    ) / big_b
+    if srs.kind == "omercb":
+        u = u - uc
+    east = v * cg + u * sg + srs.false_e
+    north = u * cg - v * sg + srs.false_n
+    return east, north
+
+
+def omerc_inverse(x, y, srs: SRS):
+    """(easting, northing) meters -> (lon, lat) degrees; latitude via
+    the shared isometric-latitude fixpoint on the recovered t'."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ell, big_b, big_a, big_h, gamma0, lam0, uc, sg, cg = _omerc_consts(
+        srs.ellps, srs.lat0, srs.lon0, srs.lat1, srs.lat2, srs.k0
+    )
+    e = ell.e1
+    dx = x - srs.false_e
+    dy = y - srs.false_n
+    v = dx * cg - dy * sg
+    u = dy * cg + dx * sg
+    if srs.kind == "omercb":
+        u = u + uc
+    big_q = np.exp(-big_b * v / big_a)
+    big_s = (big_q - 1.0 / big_q) / 2.0
+    big_t = (big_q + 1.0 / big_q) / 2.0
+    bua = big_b * u / big_a
+    big_v = np.sin(bua)
+    big_u = (big_v * math.cos(gamma0) + big_s * math.sin(gamma0)) / big_t
+    t = (big_h / np.sqrt((1.0 + big_u) / (1.0 - big_u))) ** (1.0 / big_b)
+    lam = lam0 - np.arctan2(
+        big_s * math.cos(gamma0) - big_v * math.sin(gamma0),
+        np.cos(bua),
+    ) / big_b
+    return np.degrees(lam), np.degrees(_phi_from_t(t, e))
+
+
+# ---------------------------------------------------------------------------
 # datum bridge: 7-parameter Helmert via geocentric coordinates (EPSG
 # position-vector convention, method 9606); applied when an SRS
 # declares towgs84 (non-WGS84-equivalent datum, e.g. OSGB36)
@@ -1004,6 +1191,8 @@ def _to_latlon(x, y, srs: SRS):
         return merc1sp_inverse(x, y, srs)
     if srs.kind == "sterea":
         return sterea_inverse(x, y, srs)
+    if srs.kind in ("omerca", "omercb"):
+        return omerc_inverse(x, y, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 
@@ -1024,6 +1213,8 @@ def _from_latlon(lon, lat, srs: SRS):
         return merc1sp_forward(lon, lat, srs)
     if srs.kind == "sterea":
         return sterea_forward(lon, lat, srs)
+    if srs.kind in ("omerca", "omercb"):
+        return omerc_forward(lon, lat, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 

@@ -325,11 +325,13 @@ def test_parameterized_registry_roundtrips():
     assert (cc45.lat0, cc45.lat1, cc45.lat2) == (45.0, 44.25, 45.75)
     assert cc45.false_n == 1200000.0 + 3 * 1000000.0
     # from_params validation
-    # sterea became a supported method in round 6; oblique Mercator
-    # stays outside the set
+    # sterea became a supported method in round 6 and omerc (Hotine
+    # oblique Mercator) in round 7; equal-area conics (Albers) stay
+    # outside the closed-form set
     assert from_params("sterea", 52.0, 5.0, ellps="bessel").kind == "sterea"
+    assert from_params("omerc", 4.0, 115.0, lat1=53.0).kind == "omercb"
     with pytest.raises(ValueError, match="projection method"):
-        from_params("omerc")
+        from_params("aea")
     with pytest.raises(ValueError, match="ellipsoid"):
         from_params("tmerc", ellps="nope")
     with pytest.raises(ValueError, match="towgs84"):
@@ -566,3 +568,150 @@ def test_sterea_from_params_validation():
 
     with _pytest.raises(ValueError, match="polar"):
         S.from_params("sterea", 90.0, 0.0, ellps="WGS84")
+
+
+# ---------------------------------------------------------------------------
+# Hotine oblique Mercator (EPSG methods 9812 variant A / 9815 variant B)
+
+
+def test_omerc_gn72_worked_example():
+    """EPSG GN7-2 §1.3.6 Hotine oblique Mercator (variant B) worked
+    example: Timbalai 1948 / RSO Borneo (m), EPSG:29873, Everest
+    1830 (1967 Definition). 5°23'14.1129"N 115°48'19.8196"E ->
+    E 679245.73, N 596562.78."""
+    from geokit_spark.kernels import srs as S
+
+    s = S.load_srs(29873)
+    assert (s.kind, s.ellps) == ("omercb", "evrstSS")
+    lat = 5.0 + 23.0 / 60.0 + 14.1129 / 3600.0
+    lon = 115.0 + 48.0 / 60.0 + 19.8196 / 3600.0
+    e, n = S.omerc_forward([lon], [lat], s)
+    assert abs(e[0] - 679245.73) < 0.005
+    assert abs(n[0] - 596562.78) < 0.005
+    lo, la = S.omerc_inverse(e, n, s)
+    assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
+
+
+def test_omerc_variant_b_centre_maps_to_false_origin():
+    """Variant B's uc equals the variant-A u at the projection centre
+    (the derivation in _omerc_consts), so (phi_c, lambda_c) must land
+    EXACTLY on (Ec, Nc) — the strongest internal-consistency pin of
+    the gamma0/lambda0/uc wiring, independent of the worked example."""
+    from geokit_spark.kernels import srs as S
+
+    for code in (29873, 3376):
+        s = S.load_srs(code)
+        e, n = S.omerc_forward([s.lon0], [s.lat0], s)
+        assert abs(e[0] - s.false_e) < 1e-6
+        assert abs(n[0] - s.false_n) < 1e-6
+
+
+def test_omerc_variant_a_equals_b_with_derived_offsets():
+    """E_B = E_A + (Ec - uc sin(gamma_c)), N_B = N_A + (Nc -
+    uc cos(gamma_c)): running the variant-A code path with those
+    derived false offsets must reproduce the variant-B grid
+    bit-for-bit (same constants, one extra subtraction)."""
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    b = S.load_srs(29873)
+    _, _, _, _, _, _, uc, sg, cg = S._omerc_consts(
+        b.ellps, b.lat0, b.lon0, b.lat1, b.lat2, b.k0
+    )
+    a = S.from_params(
+        "omerca", b.lat0, b.lon0,
+        b.false_e - uc * sg, b.false_n - uc * cg,
+        k0=b.k0, lat1=b.lat1, lat2=b.lat2, ellps=b.ellps,
+    )
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(109.0, 119.0, 200)
+    lats = rng.uniform(0.5, 7.5, 200)
+    eb, nb = S.omerc_forward(lons, lats, b)
+    ea, na = S.omerc_forward(lons, lats, a)
+    assert np.abs(eb - ea).max() < 1e-7
+    assert np.abs(nb - na).max() < 1e-7
+
+
+def test_omerc_michigan_variant_a():
+    """EPSG:3078 (NAD83 / Michigan Oblique Mercator, method 9812,
+    GRS80, westward-rotated azimuth 337°15'20"). No GN7-2 worked
+    example exists for this grid, so it is pinned by projection
+    INVARIANTS: exact roundtrip closure across the state, and the
+    local scale at the projection centre equal to k0 = 0.9996 in
+    every direction (conformality + defining scale of the initial
+    line), measured by finite differences against the ellipsoidal
+    meridian/parallel arc lengths."""
+    import math
+
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    s = S.load_srs(3078)
+    assert s.kind == "omerca"
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-90.5, -82.0, 300)
+    lats = rng.uniform(41.5, 48.5, 300)
+    x, y = S.omerc_forward(lons, lats, s)
+    lo, la = S.omerc_inverse(x, y, s)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+
+    ell = S.Ellipsoid("GRS80")
+    phi = math.radians(s.lat0)
+    d = 1e-6  # degrees
+    # along the meridian
+    e0, n0 = S.omerc_forward([s.lon0], [s.lat0 - d / 2.0], s)
+    e1, n1 = S.omerc_forward([s.lon0], [s.lat0 + d / 2.0], s)
+    m = ell.a * (1 - ell.e2) / (1 - ell.e2 * math.sin(phi) ** 2) ** 1.5
+    k_mer = math.hypot(e1[0] - e0[0], n1[0] - n0[0]) / (
+        math.radians(d) * m
+    )
+    # along the parallel
+    e2_, n2_ = S.omerc_forward([s.lon0 - d / 2.0], [s.lat0], s)
+    e3_, n3_ = S.omerc_forward([s.lon0 + d / 2.0], [s.lat0], s)
+    nu = ell.a / math.sqrt(1 - ell.e2 * math.sin(phi) ** 2)
+    k_par = math.hypot(e3_[0] - e2_[0], n3_[0] - n2_[0]) / (
+        math.radians(d) * nu * math.cos(phi)
+    )
+    assert abs(k_mer - 0.9996) < 1e-6
+    assert abs(k_par - 0.9996) < 1e-6
+
+
+def test_omerc_in_generic_transform_with_datum_bridge():
+    """29873 (Timbalai 1948) engages the published 3-parameter
+    Helmert inside xy_transform; 3376 (GDM2000, GRS80) must NOT —
+    and the two grids, which share every projection parameter except
+    datum and false origin, must disagree by roughly the Borneo
+    datum shift, not by zero and not by kilometers."""
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    lon, lat = np.array([115.5]), np.array([5.0])
+    x_t, y_t = S.xy_transform(lon, lat, 4326, 29873)
+    x_g, y_g = S.xy_transform(lon, lat, 4326, 3376)
+    lon2, lat2 = S.xy_transform(x_t, y_t, 29873, 4326)
+    # 1e-7 deg ~ 1 cm: the ECEF<->geodetic Helmert bridge iteration
+    # tolerance, not the projection's (which closes at 1e-9 above)
+    assert abs(lon2[0] - 115.5) < 1e-7 and abs(lat2[0] - 5.0) < 1e-7
+    shift = np.hypot(
+        (x_t[0] - S.load_srs(29873).false_e) - x_g[0],
+        (y_t[0] - S.load_srs(29873).false_n) - y_g[0],
+    )
+    assert 100.0 < shift < 1500.0
+
+
+def test_omerc_from_params_validation():
+    import pytest as _pytest
+
+    from geokit_spark.kernels import srs as S
+
+    # gamma_c defaults to alpha_c
+    s = S.from_params("omerc", 4.0, 115.0, lat1=53.0, ellps="WGS84")
+    assert s.lat2 == 53.0
+    with _pytest.raises(ValueError, match="0 < |lat0| < 90"):
+        S.from_params("omerc", 0.0, 115.0, lat1=53.0)
+    with _pytest.raises(ValueError, match="cos"):
+        S.from_params("omerc", 4.0, 115.0, lat1=115.0)
