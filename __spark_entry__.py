@@ -499,6 +499,53 @@ def q_srs_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_srs_transform_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotine oblique Mercator coverage (EPSG methods 9812/9815,
+    round 7 — the family reference loadSRS reaches through OSR,
+    srs.py:22-76): zone centroids through BOTH variants of the
+    vectorized kernel on ad-hoc GRS80 strips centered over the zones
+    (a 35-degree variant-B strip and a -25-degree variant-A strip;
+    the registered national grids 29873/3376/3078 sit on the same
+    code paths, pinned by the GN7-2 worked example in
+    tests/test_srs.py), floor-quantized to 0.1 mm. Oracle: an
+    independently written scalar Hotine
+    (oracle.geooracle.omerc_forward_fresh — math.*, no shared
+    code)."""
+    from geokit_spark.functions.geo import transform_cols
+    from geokit_spark.kernels.srs import from_params
+    from geokit_spark.operators.mutate import zones_feature_df
+    from geokit_spark.oracle.geooracle import (
+        OMERC_A_PARAMS,
+        OMERC_B_PARAMS,
+    )
+
+    latc, lonc, al, ga, k0, fe, fn = OMERC_B_PARAMS
+    grid_b = from_params("omerc", latc, lonc, fe, fn, k0=k0,
+                         lat1=al, lat2=ga)
+    latc, lonc, al, ga, k0, fe, fn = OMERC_A_PARAMS
+    grid_a = from_params("omerca", latc, lonc, fe, fn, k0=k0,
+                         lat1=al, lat2=ga)
+    z = zones_feature_df(spark).select(
+        "zone_id",
+        ((F.col("xs")[0] + F.col("xs")[1] + F.col("xs")[2] + F.col("xs")[3])
+         / F.lit(4.0)).alias("cx"),
+        ((F.col("ys")[0] + F.col("ys")[1] + F.col("ys")[2] + F.col("ys")[3])
+         / F.lit(4.0)).alias("cy"),
+    )
+    z = transform_cols(z, 4326, grid_b, x="cx", y="cy",
+                       out_x="eb", out_y="nb")
+    z = transform_cols(z, 4326, grid_a, x="cx", y="cy",
+                       out_x="ea", out_y="na")
+    q = F.lit(10000.0)
+    return z.select(
+        "zone_id",
+        F.floor(F.col("eb") * q).alias("eb_q"),
+        F.floor(F.col("nb") * q).alias("nb_q"),
+        F.floor(F.col("ea") * q).alias("ea_q"),
+        F.floor(F.col("na") * q).alias("na_q"),
+    )
+
+
 def q_wkb_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB binary geometry column -> shoelace areas (SURVEY §1.7 data
     model: BinaryType WKB + Arrow-batched parse; geom.py WKT/WKB
@@ -2332,6 +2379,7 @@ _DRIVER_FRONT = [
     # new / changed in round 7
     "warp_lanczos",
     "pages_extract_sql",
+    "srs_transform_omerc",
     "gradient_octants",
     "sieve",
     "connected_components",
@@ -2381,7 +2429,6 @@ _DRIVER_FRONT = [
     "blocklist",
     "training_mix",
     "audio_meta",
-    "image_meta",
 ]
 
 
@@ -2390,6 +2437,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 7 -------------------------------------------------
         "warp_lanczos": q_warp_lanczos,
         "pages_extract_sql": q_pages_extract_sql,
+        "srs_transform_omerc": q_srs_transform_omerc,
         # --- new in round 6 -------------------------------------------------
         "substring_dedup": q_substring_dedup,
         "bpe_tokens": q_bpe_tokens,
@@ -4953,6 +5001,9 @@ def oracle_sql() -> dict[str, str]:
         "line_crossings": _o_line_crossings(),
         "region_mask_area_holes": _o_region_mask_area_holes(),
         "srs_transform_lcc": geooracle.srs_transform_lcc_sql(
+            fixtures.ZONES
+        ),
+        "srs_transform_omerc": geooracle.srs_transform_omerc_sql(
             fixtures.ZONES
         ),
         "union_geom": geooracle.union_geom_sql(

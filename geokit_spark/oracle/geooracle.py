@@ -405,6 +405,119 @@ FROM golden
 """
 
 
+def omerc_forward_fresh(
+    lon: float, lat: float,
+    latc: float, lonc: float, alphac: float, gammac: float,
+    k0: float, fe: float, fn: float, variant_b: bool,
+):
+    """Independently written scalar Hotine oblique Mercator (EPSG
+    methods 9812/9815, GRS80) — math.* only, no shared code with
+    kernels.srs.omerc_forward (that path is numpy-vectorized with
+    cached constants; this one recomputes everything inline from the
+    GN7-2 published equations)."""
+    a = 6378137.0
+    rf = 298.257222101
+    f = 1.0 / rf
+    e2 = 2.0 * f - f * f
+    ec = math.sqrt(e2)
+
+    def t_of(phi):
+        es = ec * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) * (
+            (1.0 + es) / (1.0 - es)
+        ) ** (ec / 2.0)
+
+    pc = math.radians(latc)
+    al = math.radians(alphac)
+    ga = math.radians(gammac)
+    bb = math.sqrt(1.0 + e2 * math.cos(pc) ** 4 / (1.0 - e2))
+    aa = a * bb * k0 * math.sqrt(1.0 - e2) / (
+        1.0 - e2 * math.sin(pc) ** 2
+    )
+    dd = bb * math.sqrt(1.0 - e2) / (
+        math.cos(pc) * math.sqrt(1.0 - e2 * math.sin(pc) ** 2)
+    )
+    d2 = dd * dd if dd > 1.0 else 1.0
+    sgn = 1.0 if latc >= 0.0 else -1.0
+    ff = dd + math.sqrt(d2 - 1.0) * sgn
+    hh = ff * t_of(pc) ** bb
+    gg = (ff - 1.0 / ff) / 2.0
+    g0 = math.asin(math.sin(al) / dd)
+    l0 = math.radians(lonc) - math.asin(gg * math.tan(g0)) / bb
+    tt = t_of(math.radians(lat))
+    qq = hh / tt**bb
+    ss = (qq - 1.0 / qq) / 2.0
+    big_t = (qq + 1.0 / qq) / 2.0
+    dl = bb * (math.radians(lon) - l0)
+    vv = math.sin(dl)
+    uu = (-vv * math.cos(g0) + ss * math.sin(g0)) / big_t
+    v = aa * math.log((1.0 - uu) / (1.0 + uu)) / (2.0 * bb)
+    u = aa * math.atan2(
+        ss * math.cos(g0) + vv * math.sin(g0), math.cos(dl)
+    ) / bb
+    if variant_b:
+        u -= (aa / bb) * math.atan2(
+            sgn * math.sqrt(d2 - 1.0), abs(math.cos(al))
+        )
+    return (
+        fe + v * math.cos(ga) + u * math.sin(ga),
+        fn + u * math.cos(ga) - v * math.sin(ga),
+    )
+
+
+# ad-hoc Hotine grids centered over the zones fixture (50.7N 6.2E):
+# a variant-B strip at azimuth 35 and a variant-A strip at azimuth
+# -25 — the two code paths under the driver gate on data-local points
+OMERC_B_PARAMS = (50.7, 6.2, 35.0, 35.0, 0.9996, 100000.0, 50000.0)
+OMERC_A_PARAMS = (50.7, 6.2, -25.0, -25.0, 1.0, 0.0, 0.0)
+
+
+def srs_transform_omerc_rows(zones) -> list[tuple]:
+    """Golden rows (zone_id, eb_q, nb_q, ea_q, na_q): zone centroids
+    through both ad-hoc Hotine grids, floor-quantized to 0.1 mm
+    (x1e4) like the other srs_transform goldens."""
+    out = []
+    for z in zones:
+        xs = [float(v[0]) for v in z["verts"]]
+        ys = [float(v[1]) for v in z["verts"]]
+        cx = (((xs[0] + xs[1]) + xs[2]) + xs[3]) / 4.0
+        cy = (((ys[0] + ys[1]) + ys[2]) + ys[3]) / 4.0
+        latc, lonc, al, ga, k0, fe, fn = OMERC_B_PARAMS
+        eb, nb = omerc_forward_fresh(
+            cx, cy, latc, lonc, al, ga, k0, fe, fn, variant_b=True
+        )
+        latc, lonc, al, ga, k0, fe, fn = OMERC_A_PARAMS
+        ea, na = omerc_forward_fresh(
+            cx, cy, latc, lonc, al, ga, k0, fe, fn, variant_b=False
+        )
+        out.append(
+            (
+                z["zone_id"],
+                math.floor(eb * 10000.0),
+                math.floor(nb * 10000.0),
+                math.floor(ea * 10000.0),
+                math.floor(na * 10000.0),
+            )
+        )
+    return out
+
+
+def srs_transform_omerc_sql(zones) -> str:
+    rows = ",".join(
+        f"({zid},{eb},{nb},{ea},{na})"
+        for zid, eb, nb, ea, na in srs_transform_omerc_rows(zones)
+    )
+    return f"""
+WITH golden(zone_id, eb_q, nb_q, ea_q, na_q) AS (VALUES {rows})
+SELECT CAST(zone_id AS INT) AS zone_id,
+       CAST(eb_q AS BIGINT) AS eb_q,
+       CAST(nb_q AS BIGINT) AS nb_q,
+       CAST(ea_q AS BIGINT) AS ea_q,
+       CAST(na_q AS BIGINT) AS na_q
+FROM golden
+"""
+
+
 def srs_transform_sql(zones) -> str:
     rows = ",".join(
         f"({zid},{e},{n},{x},{y})"
