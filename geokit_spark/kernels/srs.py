@@ -24,8 +24,14 @@ native dependency:
 * ``omerca``/``omercb`` — Hotine oblique Mercator, variants A
   (EPSG method 9812: Michigan 3078) and B (9815: Borneo RSO 29873,
   Malaysia BRSO 3376).
+* ``aea``     — Albers equal-area conic (EPSG method 9822:
+  EPSG:5070 NAD83 Conus Albers).
+* ``moll``    — Mollweide pseudocylindrical equal-area on the
+  authalic-free spherical convention PROJ uses (radius = a):
+  ESRI:54009 World Mollweide.
 
-Non-conformal exotics (Albers, Mollweide) raise with the supported
+Projection methods without closed forms here (Robinson, the various
+interrupted/compromise world projections) raise with the supported
 set listed.
 
 Forward/inverse formulas follow the published EPSG Guidance Note 7-2
@@ -213,8 +219,9 @@ def load_srs(source) -> SRS:
             "NAD83-UTM 26901-26923, RGF93-CC 3942-3950, 4258, 4269, "
             "polar stereographic 3413/3031/3976/3032/5041/5042, "
             "ellipsoidal Mercator 3395/3002, RD New 28992, oblique "
-            "Mercator 29873/3376/3078 — or construct any tmerc/lcc/"
-            "laea/stere/sterea/merc/omerc grid with "
+            "Mercator 29873/3376/3078, Albers 5070/3577, Mollweide "
+            "54009 — or construct any tmerc/lcc/laea/stere/sterea/"
+            "merc/omerc/aea/moll grid with "
             "kernels.srs.from_params(...)"
         )
     if isinstance(source, str):
@@ -254,9 +261,9 @@ def from_params(
     to WGS84 for non-WGS84-equivalent datums. This covers the bulk of
     national EPSG grids without a PROJ dependency — plus polar
     stereographic (9810/9829), oblique "double" stereographic (9809),
-    ellipsoidal Mercator (9804/9805) and Hotine oblique Mercator
-    (9812/9815); unknown projection METHODS (Albers, Mollweide, ...)
-    still raise."""
+    ellipsoidal Mercator (9804/9805), Hotine oblique Mercator
+    (9812/9815), Albers equal-area conic (9822) and Mollweide;
+    unknown projection METHODS (Robinson, ...) still raise."""
     proj = proj.strip().lower()
     if proj in ("tmerc", "transverse_mercator"):
         kind = "tmerc"
@@ -338,11 +345,35 @@ def from_params(
                 "in (-90, 90) mod 360 (cos(alpha_c) > 0); the "
                 "westward-initial-line convention is not implemented"
             )
+    elif proj in ("aea", "albers_conic_equal_area"):
+        # Albers equal-area conic (EPSG method 9822): lat1/lat2 are
+        # the standard parallels, lat0/lon0 the false origin
+        kind = "aea"
+        if lat1 == 0.0 and lat2 == 0.0:
+            raise ValueError(
+                "aea needs at least one standard parallel (lat1/lat2)"
+            )
+        if lat2 == 0.0:
+            lat2 = lat1
+        if math.sin(math.radians(lat1)) + math.sin(math.radians(lat2)) == 0.0:
+            raise ValueError(
+                "aea standard parallels must not be symmetric about "
+                "the equator (the cone constant n degenerates to 0 — "
+                "that limit is the cylindrical equal-area projection)"
+            )
+    elif proj in ("moll", "mollweide"):
+        kind = "moll"
+        if lat0 != 0.0:
+            raise ValueError(
+                "Mollweide's natural-origin latitude is the equator "
+                "(lat0 = 0); only lon0/fe/fn are free parameters"
+            )
     else:
         raise ValueError(
             f"unsupported projection method {proj!r}; supported: "
             "tmerc, lcc (2SP), laea, stere (polar), sterea (oblique), "
-            "merc (ellipsoidal), omerc/omerca (Hotine oblique)"
+            "merc (ellipsoidal), omerc/omerca (Hotine oblique), "
+            "aea (Albers), moll (Mollweide)"
         )
     Ellipsoid(ellps)  # validate early
     if towgs84 and len(towgs84) not in (3, 7):
@@ -484,6 +515,24 @@ def _epsg_param(code: int) -> SRS | None:
             lat2=337.0 + 15.0 / 60.0 + 20.0 / 3600.0,
             name="EPSG:3078",
         )
+    # Albers equal-area conic (method 9822) — the Conus Albers grid
+    # every US national categorical raster ships in
+    if code == 5070:  # NAD83 / Conus Albers
+        return from_params(
+            "aea", 23.0, -96.0, lat1=29.5, lat2=45.5,
+            name="EPSG:5070",
+        )
+    if code == 3577:  # GDA94 / Australian Albers
+        return from_params(
+            "aea", 0.0, 132.0, lat1=-18.0, lat2=-36.0,
+            name="EPSG:3577",
+        )
+    # World Mollweide (ESRI:54009, commonly requested by the numeric
+    # code) — pseudocylindrical equal-area on the PROJ spherical
+    # convention (radius = a)
+    if code == 54009:
+        return from_params("moll", 0.0, 0.0, ellps="WGS84",
+                           name="ESRI:54009")
     return None
 
 
@@ -1101,6 +1150,155 @@ def omerc_inverse(x, y, srs: SRS):
 
 
 # ---------------------------------------------------------------------------
+# Albers equal-area conic (EPSG method 9822): the standard
+# equal-area conic of US national rasters (EPSG:5070 Conus Albers).
+# Snyder 1987 §14 ellipsoidal equations; q is the same authalic
+# quantity the LAEA path uses (kernels.srs._q), shared here.
+
+
+@lru_cache(maxsize=None)
+def _aea_consts(ellps: str, lat0: float, lat1: float, lat2: float):
+    """(ell, n, C, rho0). Cone constant n from the two standard
+    parallels (or the 1SP limit n = sin(lat1) when they coincide)."""
+    ell = Ellipsoid(ellps)
+    e, e2 = ell.e1, ell.e2
+
+    def q_of(lat):
+        s = math.sin(math.radians(lat))
+        es = e * s
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * math.log((1.0 - es) / (1.0 + es))
+        )
+
+    def m_of(lat):
+        phi = math.radians(lat)
+        return math.cos(phi) / math.sqrt(
+            1.0 - e2 * math.sin(phi) ** 2
+        )
+
+    m1, q1 = m_of(lat1), q_of(lat1)
+    if lat1 == lat2:
+        n = math.sin(math.radians(lat1))
+    else:
+        n = (m1 * m1 - m_of(lat2) ** 2) / (q_of(lat2) - q1)
+    big_c = m1 * m1 + n * q1
+    rho0 = ell.a * math.sqrt(big_c - n * q_of(lat0)) / n
+    return ell, n, big_c, rho0
+
+
+def aea_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ell, n, big_c, rho0 = _aea_consts(
+        srs.ellps, srs.lat0, srs.lat1, srs.lat2
+    )
+    e, e2 = ell.e1, ell.e2
+    s = np.sin(np.radians(lat))
+    es = e * s
+    q = (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+    )
+    rho = ell.a * np.sqrt(big_c - n * q) / n
+    theta = n * np.radians(lon - srs.lon0)
+    return (
+        srs.false_e + rho * np.sin(theta),
+        srs.false_n + rho0 - rho * np.cos(theta),
+    )
+
+
+def aea_inverse(x, y, srs: SRS):
+    """(easting, northing) meters -> (lon, lat) degrees; latitude by
+    the Snyder §14 Newton iteration on the authalic quantity q
+    (quadratic convergence; 12 rounds reaches float64 roundoff)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ell, n, big_c, rho0 = _aea_consts(
+        srs.ellps, srs.lat0, srs.lat1, srs.lat2
+    )
+    e, e2 = ell.e1, ell.e2
+    dx = x - srs.false_e
+    dy = rho0 - (y - srs.false_n)
+    rho = np.hypot(dx, dy)
+    # theta quadrant follows the sign of the cone constant (south-
+    # pointing cones flip both axes)
+    theta = (
+        np.arctan2(dx, dy) if n >= 0.0 else np.arctan2(-dx, -dy)
+    )
+    q = (big_c - (rho * n / ell.a) ** 2) / n
+    # start from the spherical-limit latitude; q_polar bounds |q|
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(12):
+        s = np.sin(phi)
+        es = e * s
+        one = 1.0 - e2 * s * s
+        phi = phi + one * one / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - s / one
+            + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+        )
+    return (
+        srs.lon0 + np.degrees(theta / n),
+        np.degrees(phi),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mollweide pseudocylindrical equal-area (ESRI:54009 World
+# Mollweide). Inherently spherical; the PROJ convention for
+# ellipsoidal datums uses the semimajor axis as the sphere radius,
+# which this follows so 54009 grids line up.
+
+
+def moll_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. theta from
+    the defining transcendental 2*theta + sin(2*theta) = pi*sin(phi)
+    by Newton (quadratic; poles special-cased where the derivative
+    vanishes). Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    a = _ell(srs).a
+    phi = np.radians(lat)
+    pol = np.abs(np.abs(phi) - np.pi / 2.0) < 1e-12
+    rhs = np.pi * np.sin(phi)
+    th = np.where(pol, phi, phi.copy())
+    for _ in range(20):
+        d = 2.0 + 2.0 * np.cos(2.0 * th)
+        step = np.where(
+            pol | (d < 1e-14), 0.0,
+            (2.0 * th + np.sin(2.0 * th) - rhs) / np.maximum(d, 1e-14),
+        )
+        th = th - step
+    sq2 = math.sqrt(2.0)
+    x = (2.0 * sq2 / np.pi) * a * np.radians(lon - srs.lon0) * np.cos(th)
+    y = sq2 * a * np.sin(th)
+    return srs.false_e + x, srs.false_n + y
+
+
+def moll_inverse(x, y, srs: SRS):
+    """(easting, northing) meters -> (lon, lat) degrees. Closed form:
+    theta = asin(y / (sqrt(2) a)), phi = asin((2 theta +
+    sin 2 theta)/pi); the poles (cos theta = 0) take lon = lon0."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    a = _ell(srs).a
+    sq2 = math.sqrt(2.0)
+    th = np.arcsin(np.clip((y - srs.false_n) / (sq2 * a), -1.0, 1.0))
+    phi = np.arcsin(
+        np.clip((2.0 * th + np.sin(2.0 * th)) / np.pi, -1.0, 1.0)
+    )
+    ct = np.cos(th)
+    lam = np.where(
+        ct < 1e-14,
+        0.0,
+        (x - srs.false_e) * np.pi / (2.0 * sq2 * a * np.maximum(ct, 1e-14)),
+    )
+    return srs.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # datum bridge: 7-parameter Helmert via geocentric coordinates (EPSG
 # position-vector convention, method 9606); applied when an SRS
 # declares towgs84 (non-WGS84-equivalent datum, e.g. OSGB36)
@@ -1193,6 +1391,10 @@ def _to_latlon(x, y, srs: SRS):
         return sterea_inverse(x, y, srs)
     if srs.kind in ("omerca", "omercb"):
         return omerc_inverse(x, y, srs)
+    if srs.kind == "aea":
+        return aea_inverse(x, y, srs)
+    if srs.kind == "moll":
+        return moll_inverse(x, y, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 
@@ -1215,6 +1417,10 @@ def _from_latlon(lon, lat, srs: SRS):
         return sterea_forward(lon, lat, srs)
     if srs.kind in ("omerca", "omercb"):
         return omerc_forward(lon, lat, srs)
+    if srs.kind == "aea":
+        return aea_forward(lon, lat, srs)
+    if srs.kind == "moll":
+        return moll_forward(lon, lat, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 

@@ -211,13 +211,14 @@ def test_load_srs_unknown_code_lists_supported_set():
 
     from geokit_spark.kernels.srs import load_srs
 
-    # 28992 (Dutch RD New, oblique stereographic) resolves since
-    # round 6; 54009 (World Mollweide — pseudocylindrical,
-    # non-conformal) remains a projection METHOD outside the
-    # closed-form set and must raise with the supported list
+    # 28992 (Dutch RD New) resolves since round 6 and 54009 (World
+    # Mollweide) since round 7; 54030 (Robinson — a tabulated
+    # compromise projection with no closed form) remains outside the
+    # set and must raise with the supported list
     assert load_srs(28992).kind == "sterea"
+    assert load_srs(54009).kind == "moll"
     with pytest.raises(ValueError, match="from_params"):
-        load_srs(54009)
+        load_srs(54030)
 
 
 def test_lcc_2sp_lambert93_and_etrs89():
@@ -325,13 +326,14 @@ def test_parameterized_registry_roundtrips():
     assert (cc45.lat0, cc45.lat1, cc45.lat2) == (45.0, 44.25, 45.75)
     assert cc45.false_n == 1200000.0 + 3 * 1000000.0
     # from_params validation
-    # sterea became a supported method in round 6 and omerc (Hotine
-    # oblique Mercator) in round 7; equal-area conics (Albers) stay
+    # sterea became a supported method in round 6; omerc, aea and
+    # moll in round 7; compromise world projections (Robinson) stay
     # outside the closed-form set
     assert from_params("sterea", 52.0, 5.0, ellps="bessel").kind == "sterea"
     assert from_params("omerc", 4.0, 115.0, lat1=53.0).kind == "omercb"
+    assert from_params("aea", 23.0, -96.0, lat1=29.5, lat2=45.5).kind == "aea"
     with pytest.raises(ValueError, match="projection method"):
-        from_params("aea")
+        from_params("robin")
     with pytest.raises(ValueError, match="ellipsoid"):
         from_params("tmerc", ellps="nope")
     with pytest.raises(ValueError, match="towgs84"):
@@ -715,3 +717,124 @@ def test_omerc_from_params_validation():
         S.from_params("omerc", 0.0, 115.0, lat1=53.0)
     with _pytest.raises(ValueError, match="cos"):
         S.from_params("omerc", 4.0, 115.0, lat1=115.0)
+
+
+# ---------------------------------------------------------------------------
+# Albers equal-area conic (EPSG method 9822) + Mollweide
+
+
+def test_albers_equal_area_invariant_and_parallels():
+    """EPSG:5070 (NAD83 / Conus Albers) pinned by the projection's
+    DEFINING invariants rather than a remembered worked example:
+    (1) the finite-difference Jacobian determinant equals the
+    ellipsoidal area element M(phi) N(phi) cos(phi) everywhere
+    (equal-area, relative 1e-6 at h=1e-7 deg); (2) the scale along
+    both STANDARD PARALLELS is exactly 1 (projected arc ==
+    N(phi_i) cos(phi_i) dlambda); (3) roundtrips close at float
+    precision across CONUS; (4) the false origin sits at
+    (lat0, lon0)."""
+    import math
+
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    s = S.load_srs(5070)
+    assert s.kind == "aea"
+    ell = S.Ellipsoid("GRS80")
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(-124.0, -67.0, 300)
+    lats = rng.uniform(25.0, 49.0, 300)
+    x, y = S.aea_forward(lons, lats, s)
+    lo, la = S.aea_inverse(x, y, s)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+
+    h = 1e-7
+    exf, nyf = S.aea_forward(lons + h / 2, lats, s)
+    exb, nyb = S.aea_forward(lons - h / 2, lats, s)
+    eyf, nyf2 = S.aea_forward(lons, lats + h / 2, s)
+    eyb, nyb2 = S.aea_forward(lons, lats - h / 2, s)
+    dlam = math.radians(h)
+    j11 = (exf - exb) / dlam
+    j21 = (nyf - nyb) / dlam
+    j12 = (eyf - eyb) / dlam
+    j22 = (nyf2 - nyb2) / dlam
+    det = np.abs(j11 * j22 - j12 * j21)
+    phi = np.radians(lats)
+    sin2 = np.sin(phi) ** 2
+    big_m = ell.a * (1 - ell.e2) / (1 - ell.e2 * sin2) ** 1.5
+    big_n = ell.a / np.sqrt(1 - ell.e2 * sin2)
+    area_elem = big_m * big_n * np.cos(phi)
+    assert np.abs(det / area_elem - 1.0).max() < 1e-5
+
+    # wider step here: at h=1e-7 deg the ~1 cm projected arc is
+    # swamped by float cancellation against the ~1e6 m eastings
+    hp = 1e-4
+    for sp in (29.5, 45.5):
+        e0, n0 = S.aea_forward([-96.0 - hp / 2], [sp], s)
+        e1, n1 = S.aea_forward([-96.0 + hp / 2], [sp], s)
+        nu = ell.a / math.sqrt(1 - ell.e2 * math.sin(math.radians(sp)) ** 2)
+        k = math.hypot(e1[0] - e0[0], n1[0] - n0[0]) / (
+            math.radians(hp) * nu * math.cos(math.radians(sp))
+        )
+        assert abs(k - 1.0) < 1e-8, sp
+
+    e, n = S.aea_forward([s.lon0], [s.lat0], s)
+    assert abs(e[0] - s.false_e) < 1e-6 and abs(n[0] - s.false_n) < 1e-6
+    # southern-hemisphere cone (GDA94 Australian Albers) round-trips
+    au = S.load_srs(3577)
+    x, y = S.aea_forward([133.0, 116.0], [-25.0, -32.0], au)
+    lo, la = S.aea_inverse(x, y, au)
+    assert np.abs(lo - np.array([133.0, 116.0])).max() < 1e-9
+    assert np.abs(la - np.array([-25.0, -32.0])).max() < 1e-9
+
+
+def test_mollweide_54009():
+    """World Mollweide pinned by its closed-form frame: the equator-
+    origin maps to (0,0); the poles to (0, +-sqrt(2) a); the map is
+    2 sqrt(2) a wide at the equator and exactly twice as wide as
+    tall; the SPHERICAL area element a^2 cos(phi) is reproduced by
+    the finite-difference Jacobian (the defining equal-area property
+    on the PROJ radius-a convention); roundtrips close."""
+    import math
+
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    s = S.load_srs(54009)
+    a = S.Ellipsoid("WGS84").a
+    sq2 = math.sqrt(2.0)
+    x, y = S.moll_forward([0.0, 180.0, 0.0, 0.0], [0.0, 0.0, 90.0, -90.0], s)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    assert abs(x[1] - 2.0 * sq2 * a / np.pi * np.pi) < 1e-6  # 2*sqrt(2)*a
+    assert abs(y[2] - sq2 * a) < 1e-6
+    assert abs(y[3] + sq2 * a) < 1e-6
+    assert abs(x[2]) < 1e-6 and abs(x[3]) < 1e-6
+
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-179.0, 179.0, 400)
+    lats = rng.uniform(-88.0, 88.0, 400)
+    x, y = S.moll_forward(lons, lats, s)
+    lo, la = S.moll_inverse(x, y, s)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+
+    h = 1e-6
+    dlam = math.radians(h)
+    exf, _n1 = S.moll_forward(lons + h / 2, lats, s)
+    exb, _n2 = S.moll_forward(lons - h / 2, lats, s)
+    eyf, nyf = S.moll_forward(lons, lats + h / 2, s)
+    eyb, nyb = S.moll_forward(lons, lats - h / 2, s)
+    det = np.abs(
+        ((exf - exb) / dlam) * ((nyf - nyb) / dlam)
+        - ((eyf - eyb) / dlam) * ((_n1 - _n2) / dlam)
+    )
+    area_elem = a * a * np.cos(np.radians(lats))
+    assert np.abs(det / area_elem - 1.0).max() < 1e-4
+
+    # generic-transform wiring
+    x, y = S.xy_transform([10.0], [50.0], 4326, 54009)
+    lo, la = S.xy_transform(x, y, 54009, 4326)
+    assert abs(lo[0] - 10.0) < 1e-9 and abs(la[0] - 50.0) < 1e-9
