@@ -747,7 +747,13 @@ def compact_line(out: dict) -> dict:
         keep = sorted(
             compact["queries"], key=compact["queries"].get, reverse=True
         )[: max(1, len(compact["queries"]) // 2)]
-        compact["queries"] = {k: compact["queries"][k] for k in keep}
+        if len(keep) == len(compact["queries"]):
+            # single surviving entry still over budget (pathological
+            # stage name / base-field growth): drop it rather than
+            # spin — the headline value is the one field that matters
+            compact["queries"] = {}
+        else:
+            compact["queries"] = {k: compact["queries"][k] for k in keep}
         compact["queries_truncated"] = True
     return compact
 

@@ -1152,8 +1152,9 @@ def omerc_inverse(x, y, srs: SRS):
 # ---------------------------------------------------------------------------
 # Albers equal-area conic (EPSG method 9822): the standard
 # equal-area conic of US national rasters (EPSG:5070 Conus Albers).
-# Snyder 1987 §14 ellipsoidal equations; q is the same authalic
-# quantity the LAEA path uses (kernels.srs._q), shared here.
+# Snyder 1987 §14 ellipsoidal equations on the authalic quantity
+# q(phi) (computed inline per ellipsoid here — the module-level _q
+# is hardwired to the GRS80 constants and serves the LAEA path).
 
 
 @lru_cache(maxsize=None)
@@ -1212,7 +1213,10 @@ def aea_forward(lon, lat, srs: SRS):
 def aea_inverse(x, y, srs: SRS):
     """(easting, northing) meters -> (lon, lat) degrees; latitude by
     the Snyder §14 Newton iteration on the authalic quantity q
-    (quadratic convergence; 12 rounds reaches float64 roundoff)."""
+    (quadratic convergence at mid-latitudes; the iteration's
+    1/cos(phi) factor stalls AT the poles, so |q| >= q_polar takes
+    the Snyder special case phi = +-90 directly — without it the
+    12-round result is ~1e-3 deg (~100 m) off at |lat| >= 89.998)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     ell, n, big_c, rho0 = _aea_consts(
@@ -1228,17 +1232,37 @@ def aea_inverse(x, y, srs: SRS):
         np.arctan2(dx, dy) if n >= 0.0 else np.arctan2(-dx, -dy)
     )
     q = (big_c - (rho * n / ell.a) ** 2) / n
-    # start from the spherical-limit latitude; q_polar bounds |q|
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    # q at the pole: q(90) = (1-e2) [1/(1-e2) - ln((1-e)/(1+e))/(2e)]
+    q_polar = (1.0 - e2) * (
+        1.0 / (1.0 - e2)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - e) / (1.0 + e))
+    )
+    at_pole = q_polar - np.abs(q) < 1e-14  # within float noise of 90
+    # start from the authalic-latitude series (Snyder 3-3): beta =
+    # asin(q/q_polar), phi = beta + c2 sin(2 beta) + c4 sin(4 beta) +
+    # c6 sin(6 beta) — ~1e-10 rad everywhere incl. the near-pole band
+    # where the naive spherical start asin(q/2) leaves Newton stalled
+    # (measured 8e-4 deg at 89.9999 before this)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    beta = np.arcsin(np.clip(q / q_polar, -1.0, 1.0))
+    phi = (
+        beta
+        + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0)
+        * np.sin(2.0 * beta)
+        + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
+        + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta)
+    )
     for _ in range(12):
         s = np.sin(phi)
         es = e * s
         one = 1.0 - e2 * s * s
-        phi = phi + one * one / (2.0 * np.cos(phi)) * (
+        step = one * one / (2.0 * np.maximum(np.cos(phi), 1e-300)) * (
             q / (1.0 - e2)
             - s / one
             + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
         )
+        phi = phi + np.where(at_pole, 0.0, step)
+    phi = np.where(at_pole, np.sign(q) * np.pi / 2.0, phi)
     return (
         srs.lon0 + np.degrees(theta / n),
         np.degrees(phi),

@@ -749,7 +749,6 @@ def ann_topk_bucketed(
         qmax, qtype, ship_dtype = 127, np.int8, "<i1"
     else:
         raise ValueError("quantize must be None, 'int16' or 'int8'")
-    stride = EMB_DIM * np.dtype(ship_dtype).itemsize
 
     def _pack_binary(mat_rows: np.ndarray):
         import pyarrow as pa

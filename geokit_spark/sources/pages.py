@@ -511,6 +511,10 @@ def extraction_report(pages: DataFrame, engine: str = "arrow") -> DataFrame:
     for the final agg). engine='arrow' audits the byte kernel,
     engine='sql' the all-JVM variant — running both corpus-wide is
     the cross-implementation divergence check."""
+    if engine not in ("arrow", "sql"):
+        # a typo here would silently audit the byte kernel against
+        # itself and report trivial byte-identity
+        raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
     ext = (extract_text_sql if engine == "sql" else extract_text)(pages)
     src = F.element_at(
         F.split(F.element_at(F.split(F.col("url"), "/"), 3), "\\."), 1

@@ -838,3 +838,24 @@ def test_mollweide_54009():
     x, y = S.xy_transform([10.0], [50.0], 4326, 54009)
     lo, la = S.xy_transform(x, y, 54009, 4326)
     assert abs(lo[0] - 10.0) < 1e-9 and abs(la[0] - 50.0) < 1e-9
+
+
+def test_albers_inverse_near_pole():
+    """Regression (round-7 review): the Snyder Newton iteration
+    stalls near the poles from the naive spherical start — 8e-4 deg
+    off at 89.9999 — and diverges AT the pole. Fixed by the authalic-
+    latitude series start + the |q| >= q_polar special case; the
+    whole band must now close to 1e-8 deg (the last ~10 cm around
+    the exact pole snaps to it by design)."""
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    s = S.load_srs(5070)
+    lats = np.array([90.0, 89.99999, 89.9999, 89.999, 89.99,
+                     -90.0, -89.9999, -89.999])
+    x, y = S.aea_forward(np.full_like(lats, -96.0), lats, s)
+    _, la = S.aea_inverse(x, y, s)
+    # 5e-8 deg ~ 5 mm: the asin(q/q_polar) float conditioning floor
+    # in the last arcsecond before the pole
+    assert np.abs(la - lats).max() < 5e-8
