@@ -29,6 +29,10 @@ native dependency:
 * ``moll``    — Mollweide pseudocylindrical equal-area on the
   authalic-free spherical convention PROJ uses (radius = a):
   ESRI:54009 World Mollweide.
+* ``eqc``     — ellipsoidal equidistant cylindrical / plate carrée
+  (EPSG method 1028: EPSG:4087 World Equidistant Cylindrical — the
+  grid climate/earth-observation rasters commonly ship in); y is
+  the true meridian arc via the same Krüger series tmerc uses.
 
 Projection methods without closed forms here (Robinson, the various
 interrupted/compromise world projections) raise with the supported
@@ -220,9 +224,9 @@ def load_srs(source) -> SRS:
             "polar stereographic 3413/3031/3976/3032/5041/5042, "
             "ellipsoidal Mercator 3395/3002, RD New 28992, oblique "
             "Mercator 29873/3376/3078, Albers 5070/3577, Mollweide "
-            "54009 — or construct any tmerc/lcc/laea/stere/sterea/"
-            "merc/omerc/aea/moll grid with "
-            "kernels.srs.from_params(...)"
+            "54009, equidistant cylindrical 4087/32662 — or construct "
+            "any tmerc/lcc/laea/stere/sterea/merc/omerc/aea/moll/eqc "
+            "grid with kernels.srs.from_params(...)"
         )
     if isinstance(source, str):
         key = source.strip().lower().replace(" ", "")
@@ -368,12 +372,26 @@ def from_params(
                 "Mollweide's natural-origin latitude is the equator "
                 "(lat0 = 0); only lon0/fe/fn are free parameters"
             )
+    elif proj in ("eqc", "equidistant_cylindrical"):
+        # EPSG method 1028: lat1 is the standard parallel (0 = plate
+        # carrée); lat0 must be the equator (EPSG pins it there)
+        kind = "eqc"
+        if abs(lat1) >= 90.0:
+            raise ValueError(
+                "eqc standard parallel lat1 must satisfy |lat1| < 90"
+            )
+        if lat0 != 0.0:
+            raise ValueError(
+                "eqc's latitude of natural origin is the equator "
+                "(lat0 = 0, EPSG method 1028); the standard parallel "
+                "goes in lat1"
+            )
     else:
         raise ValueError(
             f"unsupported projection method {proj!r}; supported: "
             "tmerc, lcc (2SP), laea, stere (polar), sterea (oblique), "
             "merc (ellipsoidal), omerc/omerca (Hotine oblique), "
-            "aea (Albers), moll (Mollweide)"
+            "aea (Albers), moll (Mollweide), eqc (plate carrée)"
         )
     Ellipsoid(ellps)  # validate early
     if towgs84 and len(towgs84) not in (3, 7):
@@ -533,6 +551,12 @@ def _epsg_param(code: int) -> SRS | None:
     if code == 54009:
         return from_params("moll", 0.0, 0.0, ellps="WGS84",
                            name="ESRI:54009")
+    # equidistant cylindrical (method 1028) — the climate/EO raster
+    # grid; 4087 is the current code, 32662 its deprecated plate-
+    # carrée predecessor with identical parameters
+    if code in (4087, 32662):
+        return from_params("eqc", 0.0, 0.0, ellps="WGS84",
+                           name=f"EPSG:{code}")
     return None
 
 
@@ -1150,6 +1174,53 @@ def omerc_inverse(x, y, srs: SRS):
 
 
 # ---------------------------------------------------------------------------
+# equidistant cylindrical / plate carrée (EPSG method 1028): x is
+# linear in longitude scaled by the standard-parallel circle radius
+# nu(lat1) cos(lat1); y is the TRUE MERIDIAN ARC M(phi), computed by
+# the same Krüger rectifying series the tmerc path uses (at eta = 0
+# the series degenerates to the meridian distance), so the two
+# families share one battle-tested latitude <-> arc machinery.
+
+
+def _eqc_nu1_cos(srs: SRS, ell: Ellipsoid) -> float:
+    phi1 = math.radians(srs.lat1)
+    return (
+        ell.a
+        * math.cos(phi1)
+        / math.sqrt(1.0 - ell.e2 * math.sin(phi1) ** 2)
+    )
+
+
+def eqc_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ell = _ell(srs)
+    xi, _ = _tm_xi_eta(
+        np.full_like(lat, srs.lon0), lat, srs, ell
+    )
+    x = srs.false_e + _eqc_nu1_cos(srs, ell) * np.radians(lon - srs.lon0)
+    y = srs.false_n + ell.tm_a * xi
+    return x, y
+
+
+def eqc_inverse(x, y, srs: SRS):
+    """(easting, northing) meters -> (lon, lat) degrees; latitude by
+    the shared tmerc inverse machinery on the central meridian
+    (eta = 0), longitude by the linear unscaling."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ell = _ell(srs)
+    tm = SRS("tmerc", 0.0, srs.lon0, srs.false_e, srs.false_n,
+             ellps=srs.ellps)
+    _, lat = tmerc_inverse(np.full_like(y, srs.false_e), y, tm)
+    lon = srs.lon0 + np.degrees(
+        (x - srs.false_e) / _eqc_nu1_cos(srs, ell)
+    )
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
 # Albers equal-area conic (EPSG method 9822): the standard
 # equal-area conic of US national rasters (EPSG:5070 Conus Albers).
 # Snyder 1987 §14 ellipsoidal equations on the authalic quantity
@@ -1419,6 +1490,8 @@ def _to_latlon(x, y, srs: SRS):
         return aea_inverse(x, y, srs)
     if srs.kind == "moll":
         return moll_inverse(x, y, srs)
+    if srs.kind == "eqc":
+        return eqc_inverse(x, y, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 
@@ -1445,6 +1518,8 @@ def _from_latlon(lon, lat, srs: SRS):
         return aea_forward(lon, lat, srs)
     if srs.kind == "moll":
         return moll_forward(lon, lat, srs)
+    if srs.kind == "eqc":
+        return eqc_forward(lon, lat, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 

@@ -859,3 +859,63 @@ def test_albers_inverse_near_pole():
     # 5e-8 deg ~ 5 mm: the asin(q/q_polar) float conditioning floor
     # in the last arcsecond before the pole
     assert np.abs(la - lats).max() < 5e-8
+
+
+def test_equidistant_cylindrical_4087():
+    """EPSG:4087 (World Equidistant Cylindrical, method 1028) pinned
+    by closed-form/independent invariants: x at the antimeridian is
+    EXACTLY a*pi (the shared half-circumference constant); y equals
+    the true meridian arc (independent 2M-point numeric integral of
+    M(phi), < 1e-8 m); roundtrips close at machine precision; a
+    standard-parallel variant has unit scale along that parallel and
+    unit scale along EVERY meridian (the defining equidistance)."""
+    import math
+
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    s = S.load_srs(4087)
+    assert s.kind == "eqc"
+    x, y = S.eqc_forward([180.0, 0.0], [0.0, 0.0], s)
+    assert x[0] == 6378137.0 * math.pi
+    assert y[1] == 0.0
+
+    _, y52 = S.eqc_forward([0.0], [52.0], s)
+    ell = S.Ellipsoid("WGS84")
+    phi = np.linspace(0.0, np.radians(52.0), 2_000_001)
+    m = ell.a * (1 - ell.e2) / (1 - ell.e2 * np.sin(phi) ** 2) ** 1.5
+    trap = getattr(np, "trapezoid", getattr(np, "trapz", None))
+    assert abs(y52[0] - float(trap(m, phi))) < 1e-7
+
+    rng = np.random.default_rng(9)
+    lons = rng.uniform(-179.0, 179.0, 500)
+    lats = rng.uniform(-89.0, 89.0, 500)
+    x, y = S.eqc_forward(lons, lats, s)
+    lo, la = S.eqc_inverse(x, y, s)
+    assert np.abs(lo - lons).max() < 1e-11
+    assert np.abs(la - lats).max() < 1e-11
+
+    # standard-parallel variant: unit scale on the parallel and on
+    # every meridian (equidistance) by finite differences
+    sp = S.from_params("eqc", 0.0, 10.0, lat1=60.0, ellps="WGS84")
+    h = 1e-4
+    phi1 = math.radians(60.0)
+    nu1c = ell.a * math.cos(phi1) / math.sqrt(
+        1 - ell.e2 * math.sin(phi1) ** 2
+    )
+    x0, _ = S.eqc_forward([20.0 - h / 2], [60.0], sp)
+    x1, _ = S.eqc_forward([20.0 + h / 2], [60.0], sp)
+    assert abs((x1[0] - x0[0]) / (math.radians(h) * nu1c) - 1.0) < 1e-9
+    for lat in (-45.0, 0.0, 33.0, 75.0):
+        _, ya = S.eqc_forward([20.0], [lat - h / 2], sp)
+        _, yb = S.eqc_forward([20.0], [lat + h / 2], sp)
+        mm = ell.a * (1 - ell.e2) / (
+            1 - ell.e2 * math.sin(math.radians(lat)) ** 2
+        ) ** 1.5
+        assert abs((yb[0] - ya[0]) / (math.radians(h) * mm) - 1.0) < 1e-7
+    # generic-transform wiring + deprecated alias
+    x, y = S.xy_transform([10.0], [50.0], 4326, 4087)
+    lo, la = S.xy_transform(x, y, 4087, 4326)
+    assert abs(lo[0] - 10.0) < 1e-9 and abs(la[0] - 50.0) < 1e-9
+    assert S.load_srs(32662).kind == "eqc"
