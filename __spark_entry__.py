@@ -546,6 +546,43 @@ def q_srs_transform_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_srs_transform_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """World-grid family coverage (round 7): zone centroids through
+    EPSG:4087 (equidistant cylindrical, method 1028 — the climate/EO
+    raster grid), EPSG:5070 (Conus Albers, method 9822) and
+    ESRI:54009 (World Mollweide) in one Arrow-batched pass each,
+    floor-quantized to 0.1 mm. Oracle: independently written scalar
+    forwards (oracle.geooracle.eqc/aea/moll_forward_fresh), the same
+    golden pattern as srs_transform / srs_transform_lcc /
+    srs_transform_omerc."""
+    from geokit_spark.functions.geo import transform_cols
+    from geokit_spark.operators.mutate import zones_feature_df
+
+    z = zones_feature_df(spark).select(
+        "zone_id",
+        ((F.col("xs")[0] + F.col("xs")[1] + F.col("xs")[2] + F.col("xs")[3])
+         / F.lit(4.0)).alias("cx"),
+        ((F.col("ys")[0] + F.col("ys")[1] + F.col("ys")[2] + F.col("ys")[3])
+         / F.lit(4.0)).alias("cy"),
+    )
+    z = transform_cols(z, 4326, 4087, x="cx", y="cy",
+                       out_x="eqx", out_y="eqy")
+    z = transform_cols(z, 4326, 5070, x="cx", y="cy",
+                       out_x="abx", out_y="aby")
+    z = transform_cols(z, 4326, 54009, x="cx", y="cy",
+                       out_x="mox", out_y="moy")
+    q = F.lit(10000.0)
+    return z.select(
+        "zone_id",
+        F.floor(F.col("eqx") * q).alias("eqx_q"),
+        F.floor(F.col("eqy") * q).alias("eqy_q"),
+        F.floor(F.col("abx") * q).alias("abx_q"),
+        F.floor(F.col("aby") * q).alias("aby_q"),
+        F.floor(F.col("mox") * q).alias("mox_q"),
+        F.floor(F.col("moy") * q).alias("moy_q"),
+    )
+
+
 def q_wkb_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB binary geometry column -> shoelace areas (SURVEY §1.7 data
     model: BinaryType WKB + Arrow-batched parse; geom.py WKT/WKB
@@ -2380,6 +2417,7 @@ _DRIVER_FRONT = [
     "warp_lanczos",
     "pages_extract_sql",
     "srs_transform_omerc",
+    "srs_transform_world",
     "gradient_octants",
     "sieve",
     "connected_components",
@@ -2428,7 +2466,6 @@ _DRIVER_FRONT = [
     "distinct_sketch",
     "blocklist",
     "training_mix",
-    "audio_meta",
 ]
 
 
@@ -2438,6 +2475,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_lanczos": q_warp_lanczos,
         "pages_extract_sql": q_pages_extract_sql,
         "srs_transform_omerc": q_srs_transform_omerc,
+        "srs_transform_world": q_srs_transform_world,
         # --- new in round 6 -------------------------------------------------
         "substring_dedup": q_substring_dedup,
         "bpe_tokens": q_bpe_tokens,
@@ -5004,6 +5042,9 @@ def oracle_sql() -> dict[str, str]:
             fixtures.ZONES
         ),
         "srs_transform_omerc": geooracle.srs_transform_omerc_sql(
+            fixtures.ZONES
+        ),
+        "srs_transform_world": geooracle.srs_transform_world_sql(
             fixtures.ZONES
         ),
         "union_geom": geooracle.union_geom_sql(

@@ -518,6 +518,144 @@ FROM golden
 """
 
 
+def eqc_forward_fresh(lon: float, lat: float):
+    """Independently written scalar equidistant cylindrical
+    (EPSG:4087, WGS84, standard parallel 0) — math.* only, expression
+    trees mirrored against kernels.srs.eqc_forward (same Krüger
+    rectifying-series formulation typed fresh; this box's numpy
+    float64 trig resolves to the same libm, and the 0.1 mm floor
+    quantization absorbs residual ULPs like the LAEA/LCC goldens)."""
+    a = 6378137.0
+    rf = 298.257223563
+    f = 1.0 / rf
+    n3 = f / (2.0 - f)
+    tm_a = a / (1.0 + n3) * (
+        1.0 + n3**2 / 4.0 + n3**4 / 64.0 + n3**6 / 256.0
+    )
+    alpha = [
+        n3 / 2.0 - 2.0 * n3**2 / 3.0 + 5.0 * n3**3 / 16.0
+        + 41.0 * n3**4 / 180.0 - 127.0 * n3**5 / 288.0
+        + 7891.0 * n3**6 / 37800.0,
+        13.0 * n3**2 / 48.0 - 3.0 * n3**3 / 5.0 + 557.0 * n3**4 / 1440.0
+        + 281.0 * n3**5 / 630.0 - 1983433.0 * n3**6 / 1935360.0,
+        61.0 * n3**3 / 240.0 - 103.0 * n3**4 / 140.0
+        + 15061.0 * n3**5 / 26880.0 + 167603.0 * n3**6 / 181440.0,
+        49561.0 * n3**4 / 161280.0 - 179.0 * n3**5 / 168.0
+        + 6601661.0 * n3**6 / 7257600.0,
+        34729.0 * n3**5 / 80640.0 - 3418889.0 * n3**6 / 1995840.0,
+        212378941.0 * n3**6 / 319334400.0,
+    ]
+    phi = math.radians(lat)
+    sphi = math.sin(phi)
+    cn = 2.0 * math.sqrt(n3) / (1.0 + n3)
+    t = math.sinh(math.atanh(sphi) - cn * math.atanh(cn * sphi))
+    xi_p = math.atan2(t, math.cos(0.0))
+    xi = xi_p
+    for j, aj in enumerate(alpha, start=1):
+        xi = xi + aj * math.sin(2.0 * j * xi_p) * math.cosh(0.0)
+    return a * math.radians(lon), tm_a * xi
+
+
+def aea_forward_fresh(lon: float, lat: float):
+    """Independently written scalar Albers (EPSG:5070 Conus Albers,
+    GRS80) — math.* only, no shared code with kernels.srs."""
+    a = 6378137.0
+    rf = 298.257222101
+    f = 1.0 / rf
+    e2 = 2.0 * f - f * f
+    ec = math.sqrt(e2)
+
+    def q_of(latd):
+        s = math.sin(math.radians(latd))
+        es = ec * s
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * ec)) * math.log((1.0 - es) / (1.0 + es))
+        )
+
+    def m_of(latd):
+        p = math.radians(latd)
+        return math.cos(p) / math.sqrt(1.0 - e2 * math.sin(p) ** 2)
+
+    lat1, lat2, lat0, lon0 = 29.5, 45.5, 23.0, -96.0
+    m1, q1 = m_of(lat1), q_of(lat1)
+    n = (m1 * m1 - m_of(lat2) ** 2) / (q_of(lat2) - q1)
+    big_c = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(big_c - n * q_of(lat0)) / n
+    rho = a * math.sqrt(big_c - n * q_of(lat)) / n
+    theta = n * math.radians(lon - lon0)
+    return rho * math.sin(theta), rho0 - rho * math.cos(theta)
+
+
+def moll_forward_fresh(lon: float, lat: float):
+    """Independently written scalar Mollweide (ESRI:54009, radius-a
+    convention) — the theta Newton mirrors kernels.srs.moll_forward's
+    fixed 20 guarded rounds tree-for-tree so the fixpoint lands on
+    the identical float64."""
+    a = 6378137.0
+    phi = math.radians(lat)
+    pol = abs(abs(phi) - math.pi / 2.0) < 1e-12
+    rhs = math.pi * math.sin(phi)
+    th = phi
+    for _ in range(20):
+        d = 2.0 + 2.0 * math.cos(2.0 * th)
+        if pol or d < 1e-14:
+            step = 0.0
+        else:
+            step = (2.0 * th + math.sin(2.0 * th) - rhs) / max(d, 1e-14)
+        th = th - step
+    sq2 = math.sqrt(2.0)
+    x = (2.0 * sq2 / math.pi) * a * math.radians(lon) * math.cos(th)
+    return x, sq2 * a * math.sin(th)
+
+
+def srs_transform_world_rows(zones) -> list[tuple]:
+    """Golden rows (zone_id, eqx_q, eqy_q, abx_q, aby_q, mox_q,
+    moy_q): zone centroids through EPSG:4087 (equidistant
+    cylindrical), EPSG:5070 (Conus Albers) and ESRI:54009
+    (Mollweide), floor-quantized to 0.1 mm (x1e4)."""
+    out = []
+    for z in zones:
+        xs = [float(v[0]) for v in z["verts"]]
+        ys = [float(v[1]) for v in z["verts"]]
+        cx = (((xs[0] + xs[1]) + xs[2]) + xs[3]) / 4.0
+        cy = (((ys[0] + ys[1]) + ys[2]) + ys[3]) / 4.0
+        ex, ey = eqc_forward_fresh(cx, cy)
+        ax, ay = aea_forward_fresh(cx, cy)
+        mx, my = moll_forward_fresh(cx, cy)
+        out.append(
+            (
+                z["zone_id"],
+                math.floor(ex * 10000.0),
+                math.floor(ey * 10000.0),
+                math.floor(ax * 10000.0),
+                math.floor(ay * 10000.0),
+                math.floor(mx * 10000.0),
+                math.floor(my * 10000.0),
+            )
+        )
+    return out
+
+
+def srs_transform_world_sql(zones) -> str:
+    rows = ",".join(
+        f"({zid},{ex},{ey},{ax},{ay},{mx},{my})"
+        for zid, ex, ey, ax, ay, mx, my in srs_transform_world_rows(zones)
+    )
+    return f"""
+WITH golden(zone_id, eqx_q, eqy_q, abx_q, aby_q, mox_q, moy_q)
+  AS (VALUES {rows})
+SELECT CAST(zone_id AS INT) AS zone_id,
+       CAST(eqx_q AS BIGINT) AS eqx_q,
+       CAST(eqy_q AS BIGINT) AS eqy_q,
+       CAST(abx_q AS BIGINT) AS abx_q,
+       CAST(aby_q AS BIGINT) AS aby_q,
+       CAST(mox_q AS BIGINT) AS mox_q,
+       CAST(moy_q AS BIGINT) AS moy_q
+FROM golden
+"""
+
+
 def srs_transform_sql(zones) -> str:
     rows = ",".join(
         f"({zid},{e},{n},{x},{y})"
