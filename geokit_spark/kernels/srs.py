@@ -33,6 +33,10 @@ native dependency:
   (EPSG method 1028: EPSG:4087 World Equidistant Cylindrical — the
   grid climate/earth-observation rasters commonly ship in); y is
   the true meridian arc via the same Krüger series tmerc uses.
+* ``sinu``    — sinusoidal (Sanson-Flamsteed) pseudocylindrical
+  equal-area: ESRI:54008 World Sinusoidal (radius = a) and the
+  MODIS land grid (authalic sphere R = 6371007.181,
+  ``load_srs("modis_sinu")``).
 
 Projection methods without closed forms here (Robinson, the various
 interrupted/compromise world projections) raise with the supported
@@ -72,6 +76,10 @@ ELLIPSOIDS = {
     "bessel": (6377397.155, 299.1528128),
     "clrk66": (6378206.4, 294.978698214),  # Clarke 1866 (NAD27)
     "krass": (6378245.0, 298.3),  # Krassowsky 1940
+    # authalic sphere of WGS84 — the MODIS sinusoidal grid radius
+    # (rf = inf -> f = e = 0: every series degrades to its spherical
+    # limit, which is exactly what a sphere is)
+    "sphere_modis": (6371007.181, math.inf),
     # Everest 1830 (1967 Definition) — the Borneo RSO ellipsoid
     # (EPSG 7016; PROJ name evrstSS "Everest Sabah & Sarawak")
     "evrstSS": (6377298.556, 300.8017),
@@ -166,8 +174,13 @@ EPSG3857 = SRS("webmerc", name="EPSG:3857")
 # ETRS89-extended / LAEA Europe: center 52N 10E, FE 4321000, FN 3210000
 EPSG3035 = SRS("laea", 52.0, 10.0, 4321000.0, 3210000.0, "EPSG:3035")
 
+# MODIS land grid: sinusoidal on the WGS84 authalic sphere
+MODIS_SINU = SRS("sinu", 0.0, 0.0, 0.0, 0.0, "modis_sinu",
+                 ellps="sphere_modis")
+
 _COMMON = {
     "latlon": EPSG4326,
+    "modis_sinu": MODIS_SINU,
     "europe_m": EPSG3035,  # reference srs.SRSCOMMON.europe_m
     "epsg4326": EPSG4326,
     "epsg3857": EPSG3857,
@@ -224,9 +237,10 @@ def load_srs(source) -> SRS:
             "polar stereographic 3413/3031/3976/3032/5041/5042, "
             "ellipsoidal Mercator 3395/3002, RD New 28992, oblique "
             "Mercator 29873/3376/3078, Albers 5070/3577, Mollweide "
-            "54009, equidistant cylindrical 4087/32662 — or construct "
-            "any tmerc/lcc/laea/stere/sterea/merc/omerc/aea/moll/eqc "
-            "grid with kernels.srs.from_params(...)"
+            "54009, equidistant cylindrical 4087/32662, sinusoidal "
+            "54008 + 'modis_sinu' — or construct any tmerc/lcc/laea/"
+            "stere/sterea/merc/omerc/aea/moll/eqc/sinu grid with "
+            "kernels.srs.from_params(...)"
         )
     if isinstance(source, str):
         key = source.strip().lower().replace(" ", "")
@@ -371,6 +385,14 @@ def from_params(
             raise ValueError(
                 "Mollweide's natural-origin latitude is the equator "
                 "(lat0 = 0); only lon0/fe/fn are free parameters"
+            )
+    elif proj in ("sinu", "sinusoidal"):
+        kind = "sinu"
+        if lat0 != 0.0 or lat1 != 0.0:
+            raise ValueError(
+                "sinusoidal has no origin latitude or standard "
+                "parallel (lat0 = lat1 = 0); only lon0/fe/fn and the "
+                "ellipsoid radius are free parameters"
             )
     elif proj in ("eqc", "equidistant_cylindrical"):
         # EPSG method 1028: lat1 is the standard parallel (0 = plate
@@ -557,6 +579,12 @@ def _epsg_param(code: int) -> SRS | None:
     if code in (4087, 32662):
         return from_params("eqc", 0.0, 0.0, ellps="WGS84",
                            name=f"EPSG:{code}")
+    # World Sinusoidal (ESRI:54008, radius = a per the PROJ spherical
+    # convention); the MODIS variant resolves by the "modis_sinu"
+    # common name (authalic sphere radius)
+    if code == 54008:
+        return from_params("sinu", 0.0, 0.0, ellps="WGS84",
+                           name="ESRI:54008")
     return None
 
 
@@ -1221,6 +1249,40 @@ def eqc_inverse(x, y, srs: SRS):
 
 
 # ---------------------------------------------------------------------------
+# sinusoidal (Sanson-Flamsteed): the MODIS land-product grid.
+# Spherical closed form on radius = a (PROJ convention for 54008;
+# the MODIS deployment passes the WGS84 authalic sphere
+# R = 6371007.181 via ellps='sphere_modis'): x = R lam cos(phi),
+# y = R phi — equal-area and exactly invertible.
+
+
+def sinu_forward(lon, lat, srs: SRS):
+    """(lon, lat) degrees -> (easting, northing) meters. Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    r = _ell(srs).a
+    phi = np.radians(lat)
+    x = r * np.radians(lon - srs.lon0) * np.cos(phi)
+    return srs.false_e + x, srs.false_n + r * phi
+
+
+def sinu_inverse(x, y, srs: SRS):
+    """(easting, northing) meters -> (lon, lat) degrees; the poles
+    (cos phi = 0) take lon = lon0."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    r = _ell(srs).a
+    phi = (y - srs.false_n) / r
+    cp = np.cos(phi)
+    lam = np.where(
+        np.abs(cp) < 1e-14,
+        0.0,
+        (x - srs.false_e) / (r * np.where(np.abs(cp) < 1e-14, 1.0, cp)),
+    )
+    return srs.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Albers equal-area conic (EPSG method 9822): the standard
 # equal-area conic of US national rasters (EPSG:5070 Conus Albers).
 # Snyder 1987 §14 ellipsoidal equations on the authalic quantity
@@ -1492,6 +1554,8 @@ def _to_latlon(x, y, srs: SRS):
         return moll_inverse(x, y, srs)
     if srs.kind == "eqc":
         return eqc_inverse(x, y, srs)
+    if srs.kind == "sinu":
+        return sinu_inverse(x, y, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 
@@ -1520,6 +1584,8 @@ def _from_latlon(lon, lat, srs: SRS):
         return moll_forward(lon, lat, srs)
     if srs.kind == "eqc":
         return eqc_forward(lon, lat, srs)
+    if srs.kind == "sinu":
+        return sinu_forward(lon, lat, srs)
     raise ValueError(f"unsupported srs kind {srs.kind}")
 
 

@@ -919,3 +919,56 @@ def test_equidistant_cylindrical_4087():
     lo, la = S.xy_transform(x, y, 4087, 4326)
     assert abs(lo[0] - 10.0) < 1e-9 and abs(la[0] - 50.0) < 1e-9
     assert S.load_srs(32662).kind == "eqc"
+
+
+def test_sinusoidal_54008_and_modis():
+    """Sinusoidal (Sanson-Flamsteed): ESRI:54008 (radius = a) and the
+    MODIS land grid ('modis_sinu', authalic sphere R = 6371007.181).
+    Pinned by the grid's closed-form frame: x(+-180, 0) = +-pi R (the
+    published MODIS grid half-width 20015109.356 m), y strictly
+    linear in latitude (R per radian), the finite-difference Jacobian
+    equal to the spherical area element R^2 cos(phi) everywhere
+    (equal-area), and machine-precision roundtrips."""
+    import math
+
+    import numpy as np
+
+    from geokit_spark.kernels import srs as S
+
+    m = S.load_srs("modis_sinu")
+    assert (m.kind, m.ellps) == ("sinu", "sphere_modis")
+    big_r = S.Ellipsoid("sphere_modis").a
+    assert big_r == 6371007.181
+    x, y = S.sinu_forward([-180.0, 180.0, 0.0], [0.0, 0.0, 50.0], m)
+    assert x[0] == -math.pi * big_r and x[1] == math.pi * big_r
+    assert abs(x[0] + 20015109.3558) < 1e-3  # published grid half-width
+    assert y[2] == big_r * math.radians(50.0)
+
+    rng = np.random.default_rng(13)
+    lons = rng.uniform(-179.0, 179.0, 300)
+    lats = rng.uniform(-85.0, 85.0, 300)
+    h = 1e-6
+    dlam = math.radians(h)
+    x1, y1 = S.sinu_forward(lons + h / 2, lats, m)
+    x0, y0 = S.sinu_forward(lons - h / 2, lats, m)
+    x3, y3 = S.sinu_forward(lons, lats + h / 2, m)
+    x2, y2 = S.sinu_forward(lons, lats - h / 2, m)
+    det = np.abs(
+        ((x1 - x0) / dlam) * ((y3 - y2) / dlam)
+        - ((x3 - x2) / dlam) * ((y1 - y0) / dlam)
+    )
+    elem = big_r * big_r * np.cos(np.radians(lats))
+    assert np.abs(det / elem - 1.0).max() < 1e-6
+
+    lo, la = S.sinu_inverse(*S.sinu_forward(lons, lats, m), m)
+    assert np.abs(lo - lons).max() < 1e-11
+    assert np.abs(la - lats).max() < 1e-11
+
+    # ESRI:54008 (radius = a) + generic-transform wiring
+    s8 = S.load_srs(54008)
+    assert s8.kind == "sinu" and S.Ellipsoid(s8.ellps).a == 6378137.0
+    xx, yy = S.xy_transform([10.0], [50.0], 4326, 54008)
+    lo, la = S.xy_transform(xx, yy, 54008, 4326)
+    assert abs(lo[0] - 10.0) < 1e-9 and abs(la[0] - 50.0) < 1e-9
+    # spherical ellipsoid degrades every shared series gracefully
+    assert S.Ellipsoid("sphere_modis").e2 == 0.0
