@@ -571,6 +571,8 @@ def q_srs_transform_world(spark: SparkSession, sf_dir: str) -> DataFrame:
                        out_x="abx", out_y="aby")
     z = transform_cols(z, 4326, 54009, x="cx", y="cy",
                        out_x="mox", out_y="moy")
+    z = transform_cols(z, 4326, "modis_sinu", x="cx", y="cy",
+                       out_x="six", out_y="siy")
     q = F.lit(10000.0)
     return z.select(
         "zone_id",
@@ -580,6 +582,8 @@ def q_srs_transform_world(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("aby") * q).alias("aby_q"),
         F.floor(F.col("mox") * q).alias("mox_q"),
         F.floor(F.col("moy") * q).alias("moy_q"),
+        F.floor(F.col("six") * q).alias("six_q"),
+        F.floor(F.col("siy") * q).alias("siy_q"),
     )
 
 

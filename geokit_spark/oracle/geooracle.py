@@ -609,11 +609,23 @@ def moll_forward_fresh(lon: float, lat: float):
     return x, sq2 * a * math.sin(th)
 
 
+def sinu_forward_fresh(lon: float, lat: float):
+    """Independently written scalar MODIS sinusoidal (authalic sphere
+    R = 6371007.181) — math.* only."""
+    big_r = 6371007.181
+    phi = math.radians(lat)
+    return (
+        big_r * math.radians(lon) * math.cos(phi),
+        big_r * phi,
+    )
+
+
 def srs_transform_world_rows(zones) -> list[tuple]:
     """Golden rows (zone_id, eqx_q, eqy_q, abx_q, aby_q, mox_q,
-    moy_q): zone centroids through EPSG:4087 (equidistant
-    cylindrical), EPSG:5070 (Conus Albers) and ESRI:54009
-    (Mollweide), floor-quantized to 0.1 mm (x1e4)."""
+    moy_q, six_q, siy_q): zone centroids through EPSG:4087
+    (equidistant cylindrical), EPSG:5070 (Conus Albers), ESRI:54009
+    (Mollweide) and the MODIS sinusoidal grid, floor-quantized to
+    0.1 mm (x1e4)."""
     out = []
     for z in zones:
         xs = [float(v[0]) for v in z["verts"]]
@@ -623,6 +635,7 @@ def srs_transform_world_rows(zones) -> list[tuple]:
         ex, ey = eqc_forward_fresh(cx, cy)
         ax, ay = aea_forward_fresh(cx, cy)
         mx, my = moll_forward_fresh(cx, cy)
+        sx, sy = sinu_forward_fresh(cx, cy)
         out.append(
             (
                 z["zone_id"],
@@ -632,6 +645,8 @@ def srs_transform_world_rows(zones) -> list[tuple]:
                 math.floor(ay * 10000.0),
                 math.floor(mx * 10000.0),
                 math.floor(my * 10000.0),
+                math.floor(sx * 10000.0),
+                math.floor(sy * 10000.0),
             )
         )
     return out
@@ -639,11 +654,12 @@ def srs_transform_world_rows(zones) -> list[tuple]:
 
 def srs_transform_world_sql(zones) -> str:
     rows = ",".join(
-        f"({zid},{ex},{ey},{ax},{ay},{mx},{my})"
-        for zid, ex, ey, ax, ay, mx, my in srs_transform_world_rows(zones)
+        "(" + ",".join(str(v) for v in r) + ")"
+        for r in srs_transform_world_rows(zones)
     )
     return f"""
-WITH golden(zone_id, eqx_q, eqy_q, abx_q, aby_q, mox_q, moy_q)
+WITH golden(zone_id, eqx_q, eqy_q, abx_q, aby_q, mox_q, moy_q,
+            six_q, siy_q)
   AS (VALUES {rows})
 SELECT CAST(zone_id AS INT) AS zone_id,
        CAST(eqx_q AS BIGINT) AS eqx_q,
@@ -651,7 +667,9 @@ SELECT CAST(zone_id AS INT) AS zone_id,
        CAST(abx_q AS BIGINT) AS abx_q,
        CAST(aby_q AS BIGINT) AS aby_q,
        CAST(mox_q AS BIGINT) AS mox_q,
-       CAST(moy_q AS BIGINT) AS moy_q
+       CAST(moy_q AS BIGINT) AS moy_q,
+       CAST(six_q AS BIGINT) AS six_q,
+       CAST(siy_q AS BIGINT) AS siy_q
 FROM golden
 """
 
