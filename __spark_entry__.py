@@ -587,6 +587,21 @@ def q_srs_transform_world(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (round 7): per-document quantized BM25
+    against three committed query term sets — the retrieval-grade
+    ranking/weighting stage of a web-corpus pipeline. One narrow tf
+    pass + ONE integer stats aggregation + a 1-row broadcast; the
+    per-query term sum is a fixed-order scalar expression, so there
+    is no order-dependent float aggregation anywhere. Oracle: the
+    SAME scoring-expression text (operators.retrieval
+    .score_select_exprs) over DuckDB-computed integer tf/df
+    columns."""
+    from geokit_spark.operators.retrieval import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir))
+
+
 def q_wkb_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB binary geometry column -> shoelace areas (SURVEY §1.7 data
     model: BinaryType WKB + Arrow-batched parse; geom.py WKT/WKB
@@ -2422,6 +2437,7 @@ _DRIVER_FRONT = [
     "pages_extract_sql",
     "srs_transform_omerc",
     "srs_transform_world",
+    "bm25_scores",
     "gradient_octants",
     "sieve",
     "connected_components",
@@ -2469,7 +2485,6 @@ _DRIVER_FRONT = [
     "skew_report",
     "distinct_sketch",
     "blocklist",
-    "training_mix",
 ]
 
 
@@ -2480,6 +2495,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract_sql": q_pages_extract_sql,
         "srs_transform_omerc": q_srs_transform_omerc,
         "srs_transform_world": q_srs_transform_world,
+        "bm25_scores": q_bm25_scores,
         # --- new in round 6 -------------------------------------------------
         "substring_dedup": q_substring_dedup,
         "bpe_tokens": q_bpe_tokens,
@@ -5051,6 +5067,9 @@ def oracle_sql() -> dict[str, str]:
         "srs_transform_world": geooracle.srs_transform_world_sql(
             fixtures.ZONES
         ),
+        "bm25_scores": __import__(
+            "geokit_spark.operators.retrieval", fromlist=["x"]
+        ).bm25_oracle_sql(),
         "union_geom": geooracle.union_geom_sql(
             [z["verts"] for z in fixtures.ZONES]
         ),
