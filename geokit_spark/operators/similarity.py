@@ -26,6 +26,16 @@ EMB_DIM = 64
 N_PLANES = 4  # bits per table (16 buckets/table)
 N_TABLES = 8  # independent hash tables; candidates = union over tables
 
+# elements budget of one size-batched sim tensor in bucket scoring
+# (B*g*g <= this): bounds each worker's transient to ~8 MB float64.
+# Measured at 2M vecs / 32 workers: 1<<20 beats 1<<17 (per-chunk
+# overhead) and 1<<23 (concurrent-worker allocator thrash, the
+# round-2 'large per-batch temporaries' pitfall); env-tunable for
+# other worker/core geometries.
+_ANN_CHUNK_ELEMS = int(
+    __import__("os").environ.get("GEOKIT_ANN_CHUNK_ELEMS", str(1 << 20))
+)
+
 
 def suggest_n_planes(n_rows: int, target_bucket: int = 64) -> int:
     """Sizing rule for the random-hyperplane LSH bucket width: enough
@@ -754,6 +764,15 @@ def ann_topk_bucketed(
         import pyarrow as pa
 
         rows, st = mat_rows.shape[0], mat_rows.shape[1] * mat_rows.itemsize
+        if (rows + 1) * st >= 2**31:
+            # pa.binary() offsets are int32: a partition whose packed
+            # payload reaches 2 GiB would silently wrap the arange
+            # into corrupt cells — fail loud with the remedies instead
+            raise ValueError(
+                f"packed cell payload {rows}x{st} B exceeds the 2 GiB "
+                "int32 Arrow offset range; raise n_partitions or lower "
+                "spark.sql.execution.arrow.maxRecordsPerBatch"
+            )
         offs = pa.py_buffer(
             np.arange(0, (rows + 1) * st, st, dtype=np.int32).tobytes()
         )
@@ -866,52 +885,94 @@ def ann_topk_bucketed(
         vid = vid[o]
         starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
         ends = np.r_[starts[1:], len(bk)]
+        sizes = ends - starts
         out_v, out_n, out_s = [], [], []
-        for s, e in zip(starts, ends):
-            g = e - s
+        # SIZE-BATCHED scoring: buckets of equal size g are stacked
+        # into one (B, g, d) tensor and scored with batched gemm /
+        # argpartition — bitwise-identical per slice to the former
+        # per-bucket loop (numpy batches 3-D matmul as one dgemm per
+        # slice; einsum 'bij,bij->bi' accumulates j linearly exactly
+        # like 'ij,ij->i'; argpartition/lexsort act row-wise either
+        # way — equality asserted in tests) but ~50x fewer numpy
+        # calls: the former loop spent ~200us of call overhead per
+        # ~64-row bucket (49k argpartition calls per run = 9.6 of the
+        # score stage's 35 python-cpu-seconds; batching removes it).
+        # Chunked so the (B, g, g) sim tensor stays under ~64 MB —
+        # chunking only slices the batch dimension, never changes a
+        # slice's math.
+        for g in np.unique(sizes):
             if g < 2:
                 continue
-            if qmax:
-                # integer cells: the gemm is EXACT (int8 dots fit f32
-                # mantissas, int16 dots fit f64), diag(D) = |q|^2 gives
-                # the norms for free, and the resulting sims are
-                # bit-identical across tables / bucket shapes — no ULP
-                # dedup caveat on this path
-                Qg = M[o[s:e]].astype(
-                    np.float32 if qmax == 127 else np.float64
+            sel = np.flatnonzero(sizes == g)
+            max_b = max(1, _ANN_CHUNK_ELEMS // (int(g) * int(g)))
+            for c0 in range(0, len(sel), max_b):
+                chunk = sel[c0 : c0 + max_b]
+                B = len(chunk)
+                # sorted positions of the chunk's buckets; ix maps them
+                # back to rows of the UNsorted matrix M (vid/bk were
+                # reordered in place above, M deliberately was not)
+                pos = starts[chunk][:, None] + np.arange(g)[None, :]
+                ix = o[pos]
+                if qmax:
+                    # integer cells: the gemm is EXACT (int8 dots fit
+                    # f32 mantissas, int16 dots fit f64), diag(D) =
+                    # |q|^2 gives the norms for free, and the
+                    # resulting sims are bit-identical across tables /
+                    # bucket shapes — no ULP dedup caveat on this path
+                    Qg = M[ix].astype(
+                        np.float32 if qmax == 127 else np.float64
+                    )
+                    D = np.matmul(Qg, Qg.transpose(0, 2, 1)).astype(
+                        np.float64
+                    )
+                    nd = np.sqrt(np.diagonal(D, axis1=1, axis2=2))
+                    S = D / (nd[:, :, None] * nd[:, None, :])
+                else:
+                    # stored precision -> float64 math; norms from the
+                    # same gathered tensor (num/den consistent)
+                    Mg = M[ix].astype(np.float64)
+                    nrm = np.sqrt(np.einsum("bij,bij->bi", Mg, Mg))
+                    S = np.matmul(Mg, Mg.transpose(0, 2, 1)) / (
+                        nrm[:, :, None] * nrm[:, None, :]
+                    )
+                ar = np.arange(g)
+                S[:, ar, ar] = -np.inf
+                kk = min(k, int(g) - 1)
+                S2 = S.reshape(B * g, g)
+                if g > kk + PAD:
+                    # argpartition prefilter (full per-row argsort
+                    # measured 10x the gemm cost at bucket~256): keep
+                    # kk+PAD candidates unordered, then exact
+                    # (sim DESC, neighbor ASC) ordering among them. A
+                    # boundary tie deeper than PAD identical sims
+                    # (> PAD exactly-equal embeddings in one bucket)
+                    # could differ from the fold path's pick — beyond
+                    # any real corpus's exact-duplicate multiplicity.
+                    part = np.argpartition(-S2, kk + PAD - 1, axis=1)[
+                        :, : kk + PAD
+                    ]
+                    sub = np.take_along_axis(-S2, part, axis=1)
+                    # per-row lexsort (primary: -sim ascending = sim
+                    # DESC, secondary: neighbor position ascending)
+                    # restores the fold path's exact tie-break among
+                    # the kept candidates
+                    oo = np.lexsort((part, sub), axis=1)[:, :kk]
+                    idx = np.take_along_axis(part, oo, axis=1)
+                else:
+                    idx = np.argsort(-S2, axis=1, kind="stable")[:, :kk]
+                gi = vid[pos]  # (B, g) member ids, vec_id-ascending
+                idx3 = idx.reshape(B, g, kk)
+                out_v.append(gi.ravel())
+                out_n.append(
+                    gi[np.arange(B)[:, None, None], idx3].reshape(
+                        B * g, kk
+                    )
                 )
-                D = (Qg @ Qg.T).astype(np.float64)
-                nd = np.sqrt(np.diagonal(D))
-                S = D / np.outer(nd, nd)
-            else:
-                # stored precision -> float64 math; norms from the same
-                # gathered matrix (num/den consistent)
-                Mg = M[o[s:e]].astype(np.float64)
-                nrm = np.sqrt(np.einsum("ij,ij->i", Mg, Mg))
-                S = (Mg @ Mg.T) / np.outer(nrm, nrm)
-            np.fill_diagonal(S, -np.inf)
-            kk = min(k, g - 1)
-            if g > kk + PAD:
-                # argpartition prefilter (full per-row argsort measured
-                # 10x the gemm cost at bucket~256): keep kk+PAD
-                # candidates unordered, then exact (sim DESC, neighbor
-                # ASC) ordering among them. A boundary tie deeper than
-                # PAD identical sims (> PAD exactly-equal embeddings in
-                # one bucket) could differ from the fold path's pick —
-                # beyond any real corpus's exact-duplicate multiplicity.
-                part = np.argpartition(-S, kk + PAD - 1, axis=1)[:, : kk + PAD]
-                sub = np.take_along_axis(-S, part, axis=1)
-                # per-row lexsort (primary: -sim ascending = sim DESC,
-                # secondary: neighbor position ascending) restores the
-                # fold path's exact tie-break among the kept candidates
-                oo = np.lexsort((part, sub), axis=1)[:, :kk]
-                idx = np.take_along_axis(part, oo, axis=1)
-            else:
-                idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
-            gi = vid[s:e]
-            out_v.append(gi)
-            out_n.append(gi[idx])
-            out_s.append(np.take_along_axis(S, idx, axis=1))
+                out_s.append(
+                    np.take_along_axis(S, idx3, axis=2).reshape(
+                        B * g, kk
+                    )
+                )
         if not out_v:
             return
         # pack each member's k partial pairs into ONE 16*k-byte binary
@@ -994,23 +1055,49 @@ def ann_topk_bucketed(
         sim = np.concatenate(sims)
         # dedup multi-table duplicates keeping the MAX sim (an ULP can
         # separate the same pair's gemm across bucket shapes; max is
-        # order-independent, so the result is deterministic)
-        o1 = np.lexsort((-sim, vb, va))
+        # order-independent, so the result is deterministic). One
+        # 2-key lexsort groups (va, vb); maximum.reduceat folds each
+        # group to its max — output-equivalent to the former 3-key
+        # (-sim, vb, va) sort + keep-first (sim itself never leaves
+        # this function, and final ranking breaks sim ties on vb, so
+        # even a +-0.0 bit choice cannot change a row).
+        o1 = np.lexsort((vb, va))
         va, vb, sim = va[o1], vb[o1], sim[o1]
-        keep = np.r_[True, (va[1:] != va[:-1]) | (vb[1:] != vb[:-1])]
-        va, vb, sim = va[keep], vb[keep], sim[keep]
-        o2 = np.lexsort((vb, -sim, va))
-        va, vb, sim = va[o2], vb[o2], sim[o2]
+        newg = np.r_[True, (va[1:] != va[:-1]) | (vb[1:] != vb[:-1])]
+        gstart = np.flatnonzero(newg)
+        va, vb = va[gstart], vb[gstart]
+        sim = np.maximum.reduceat(sim, gstart)
+        # top-k per vec WITHOUT another full-width lexsort: after the
+        # dedup sort rows are already grouped by va (vb ascending) and
+        # a group holds at most n_tables*k rows, so rank inside small
+        # PADDED (n_groups, w) tables instead of a 3-key sort over
+        # every surviving pair (the two wide lexsorts were ~19 of the
+        # merge stage's 20 python-cpu-seconds). A filler flag is the
+        # primary sort key so pad cells order strictly last (a NaN
+        # sim would outsort a +inf pad sim in plain lexsort);
+        # within real cells the (-sim, vb) order of the former
+        # lexsort((vb, -sim, va)) is reproduced key for key.
         starts = np.flatnonzero(np.r_[True, va[1:] != va[:-1]])
         sizes = np.diff(np.r_[starts, len(va)])
-        rank = np.arange(len(va), dtype=np.int64) - np.repeat(starts, sizes)
-        sel = rank < k
+        G, w = len(starts), int(sizes.max())
+        pos = np.arange(len(va), dtype=np.int64) - np.repeat(starts, sizes)
+        gidx = np.repeat(np.arange(G, dtype=np.int64), sizes)
+        negsim = np.full((G, w), np.inf)
+        vbpad = np.zeros((G, w), dtype=np.int64)
+        filler = np.ones((G, w), dtype=np.int8)
+        negsim[gidx, pos] = -sim
+        vbpad[gidx, pos] = vb
+        filler[gidx, pos] = 0
+        oo = np.lexsort((vbpad, negsim, filler), axis=1)[:, :k]
+        take = np.minimum(sizes, k)
+        colmask = np.arange(oo.shape[1])[None, :] < take[:, None]
+        neigh = np.take_along_axis(vbpad, oo, axis=1)[colmask]
+        ranks = np.broadcast_to(
+            np.arange(1, oo.shape[1] + 1, dtype=np.int32), oo.shape
+        )[colmask]
+        va_out = np.repeat(va[starts], take)
         yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(va[sel]),
-                pa.array((rank[sel] + 1).astype(np.int32)),
-                pa.array(vb[sel]),
-            ],
+            [pa.array(va_out), pa.array(ranks), pa.array(neigh)],
             ["vec_id", "rank", "neighbor_id"],
         )
 

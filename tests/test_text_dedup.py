@@ -624,6 +624,41 @@ def test_ann_topk_bucketed_quantized_bit_reproducible(spark):
         assert (a == c).all().all(), q
 
 
+def test_ann_topk_bucketed_size_batched_score_invariant(spark, monkeypatch):
+    """Round-8 optimization: bucket scoring stacks equal-size buckets
+    into one (B, g, d) batched gemm/argpartition and the merge ranks
+    inside padded per-vec tables instead of full-width lexsorts. Both
+    must be exactly invariant to the chunk budget — _ANN_CHUNK_ELEMS=1
+    degenerates to the former one-bucket-at-a-time loop, so equality
+    (ranks included) pins the batched path to the r7 semantics."""
+    from pyspark.sql import functions as F
+
+    emb32 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb64 = spark.range(0, 2500, 1, 8).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "cast(pmod(hash(id * 64 + d), 1000) as float) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    key = ["vec_id", "rank", "neighbor_id"]
+
+    def norm(df):
+        return df.sort_values(key).reset_index(drop=True)[key]
+
+    for emb in (emb32, emb64):
+        for q in (None, "int8", "int16"):
+            batched = norm(
+                similarity.ann_topk_bucketed(emb, k=5, quantize=q).toPandas()
+            )
+            monkeypatch.setattr(similarity, "_ANN_CHUNK_ELEMS", 1)
+            single = norm(
+                similarity.ann_topk_bucketed(emb, k=5, quantize=q).toPandas()
+            )
+            monkeypatch.undo()
+            assert (batched == single).all().all(), q
+
+
 def test_ann_topk_bucketed_quantized_binary_input(spark):
     """quantize composes with a BinaryType embedding column: the ship
     stage unpacks SOURCE-layout cells, re-grids to int cells, and the
