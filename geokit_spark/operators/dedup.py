@@ -692,9 +692,11 @@ def mirror_clusters(pages) -> "DataFrame":
     (`/root/reference/geokit/core/vector.py:365-434` uniqueness
     handling)."""
     from ..functions.url import registrable_domain
-    from ..sources.pages import extract_text
+    from ..sources.pages import extract_text_sql
 
-    per = extract_text(pages).select(
+    # r8: all-JVM extractor (byte-identical, pytest-pinned) — the md5
+    # grouping below sees the same bytes with zero Python crossings
+    per = extract_text_sql(pages).select(
         F.md5(F.col("text_extracted")).alias("text_md5"),
         "url",
         registrable_domain(F.col("url")).alias("domain"),

@@ -40,6 +40,16 @@ def corpus_funnel(spark: SparkSession, crawl: DataFrame) -> DataFrame:
     from .quality import quality_filter
 
     pages = pages_from_docs(crawl)
+    # r8 note: promoting the all-JVM extract_text_sql here was MEASURED
+    # 40x SLOWER (231 s vs 6.2 s at 800k pages): the extraction is a
+    # pure expression tree, so CollapseProject inlines it into every
+    # downstream reference to `text` — the quality gate reads text ~6
+    # times and the physical plan carried 11 copies of the regex chain.
+    # The Arrow kernel is a hard materialization boundary: text is
+    # computed once and referenced as a column. The ~230 MB/run Python
+    # crossing is the cheaper trade by far; extract_text_sql stays the
+    # right engine only where its output is referenced once
+    # (mirror_clusters, the html_extract_sql bench stage).
     parsed = extract_text(pages, passthrough=("lang",)).select(
         url_path_id(F.col("url")).alias("doc_id"),
         F.decode(F.col("text_extracted"), "UTF-8").alias("text"),

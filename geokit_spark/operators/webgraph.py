@@ -229,8 +229,20 @@ def pagerank(
 
     nodes: one-column (doc_id) frame enumerating the vertex set
     (dangling in-link-free nodes still score PR_BASE).
-    Plan: outdeg once, then per iteration one src-keyed hash join +
-    one dst-keyed partial+final aggregation."""
+
+    Plan (r8 restructure — identical integer results, oracle-proved):
+    the per-iteration ``nodes LEFT JOIN contrib`` of the r7 shape is
+    algebraically folded away — every src in the edge set scores
+    exactly ``PR_BASE + coalesce(inflow, 0)``, so the next round's
+    contributions join the edge set STRAIGHT against the previous
+    round's aggregated inflow; round 1 needs no join at all (s0 =
+    PR_SCALE is a constant). The loop is one co-partitioned hash join
+    (cached edges: hash(src_id); inflow agg: hash(p_dst) — zero
+    exchange) + one dst-keyed partial+final aggregation per round; the
+    vertex frame is joined ONCE at the end to restore dangling nodes.
+    r7 shape: 6 joins + 3 nodes exchanges for iters=3; now 2 joins +
+    1 final. SHUFFLE_HASH hint skips the per-round sort of the big
+    edge operand (sums are exact int64 — order-independent)."""
     from pyspark import StorageLevel
 
     deg = edges.groupBy("src_id").agg(F.count("*").alias("outdeg"))
@@ -241,27 +253,52 @@ def pagerank(
     # big operand and must spill, not OOM.
     e = (
         edges.select("src_id", "dst_id")
-        .join(deg, "src_id")
+        .join(deg.hint("shuffle_hash"), "src_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    scores = nodes.select(
-        F.col("doc_id"), F.lit(PR_SCALE).cast("long").alias("s")
-    )
+    contrib = None  # (p_dst, inflow) after each round
     for _ in range(iters):
+        if contrib is None:
+            j = e.select(
+                "dst_id",
+                F.lit(PR_SCALE).cast("long").alias("s"),
+                "outdeg",
+            )
+        else:
+            j = e.join(
+                contrib.hint("shuffle_hash"),
+                F.col("src_id") == F.col("p_dst"),
+                "left",
+            ).select(
+                "dst_id",
+                (
+                    F.lit(PR_BASE)
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).cast("long").alias("s"),
+                "outdeg",
+            )
         contrib = (
-            e.join(scores, e.src_id == scores.doc_id)
-            .select(
-                F.col("dst_id"),
+            j.select(
+                F.col("dst_id").alias("p_dst"),
                 F.expr(
                     f"({DAMP_NUM} * s) div ({DAMP_DEN} * outdeg)"
                 ).alias("c"),
             )
-            .groupBy("dst_id")
+            .groupBy("p_dst")
             .agg(F.sum("c").alias("inflow"))
         )
+    if contrib is None:  # iters=0: every node sits at the start score
+        scores = nodes.select(
+            F.col("doc_id"), F.lit(PR_SCALE).cast("long").alias("s")
+        )
+    else:
         scores = (
             nodes.select("doc_id")
-            .join(contrib, nodes.doc_id == contrib.dst_id, "left")
+            .join(
+                contrib.hint("shuffle_hash"),
+                F.col("doc_id") == F.col("p_dst"),
+                "left",
+            )
             .select(
                 F.col("doc_id"),
                 (F.lit(PR_BASE) + F.coalesce(F.col("inflow"), F.lit(0)))
