@@ -1127,6 +1127,15 @@ def _omerc_consts(ellps: str, lat0: float, lon0: float, alphac: float,
     big_f = big_d + math.sqrt(d2 - 1.0) * sign
     big_h = big_f * t0**big_b
     big_g = (big_f - 1.0 / big_f) / 2.0
+    if abs(math.sin(alc)) > big_d:
+        # near-equator centre (D < 1 on an ellipsoid) with a steep
+        # azimuth: asin would raise a bare math domain error — fail
+        # with the documented degenerate-aspect message instead
+        raise ValueError(
+            "omerc: degenerate aspect — |sin(alpha_c)| exceeds D "
+            f"({math.sin(alc):.6f} vs {big_d:.6f}); the projection "
+            "centre is too close to the equator for this azimuth"
+        )
     gamma0 = math.asin(math.sin(alc) / big_d)
     lam0 = math.radians(lon0) - math.asin(
         big_g * math.tan(gamma0)
@@ -1296,6 +1305,16 @@ def _aea_consts(ellps: str, lat0: float, lat1: float, lat2: float):
     parallels (or the 1SP limit n = sin(lat1) when they coincide)."""
     ell = Ellipsoid(ellps)
     e, e2 = ell.e1, ell.e2
+    if e == 0.0:
+        # the Snyder ellipsoidal q(phi) used here AND in
+        # aea_forward/aea_inverse divides by 2e — a registered
+        # spherical ellipsoid (e.g. sphere_modis) would otherwise hit
+        # a bare ZeroDivisionError three functions deep
+        raise ValueError(
+            f"aea: ellipsoid {ellps!r} is a sphere — the implemented "
+            "Albers path is the Snyder ellipsoidal form (EPSG 9822); "
+            "use an ellipsoidal datum (e.g. GRS80/WGS84) for aea grids"
+        )
 
     def q_of(lat):
         s = math.sin(math.radians(lat))

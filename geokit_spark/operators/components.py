@@ -607,6 +607,20 @@ def _materialize(df: DataFrame) -> DataFrame:
     return out
 
 
+def _release_checkpoint(df) -> None:
+    """Best-effort release of a localCheckpoint()'s backing RDD blocks
+    (df.unpersist() only clears CacheManager entries; the checkpoint
+    RDD itself stays pinned MEMORY_AND_DISK until nondeterministic
+    ContextCleaner GC — on the >2M-component sieve path up to 256
+    rounds of per-round checkpoints would otherwise accumulate, and
+    evicted localCheckpoint blocks are unrecoverable under memory
+    pressure)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # fallback: ContextCleaner GC when the RDD is unreferenced
+
+
 def _sieve_merge_distributed(
     comp0: DataFrame, adj0: DataFrame, min_size: int, max_rounds: int = 256
 ) -> pd.DataFrame:
@@ -843,11 +857,15 @@ def _sieve_merge_distributed(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        prev_comp.unpersist()
-        prev_adj.unpersist()
+        for frame in (prev_comp, prev_adj):
+            frame.unpersist()
+            _release_checkpoint(frame)
+        for frame in (nbq, pin, mergers, targets):
+            _release_checkpoint(frame)
     else:
-        comp.unpersist()
-        adj.unpersist()
+        for frame in (comp, adj):
+            frame.unpersist()
+            _release_checkpoint(frame)
         raise RuntimeError(
             f"sieve_merge(distributed=True) did not drain its pending set "
             f"in {max_rounds} rounds — the raster has an unusually long "
@@ -861,8 +879,9 @@ def _sieve_merge_distributed(
         .orderBy("value")
         .toPandas()
     )
-    comp.unpersist()
-    adj.unpersist()
+    for frame in (comp, adj):
+        frame.unpersist()
+        _release_checkpoint(frame)
     return out
 
 
