@@ -976,49 +976,55 @@ def ann_topk_bucketed(
         if not out_v:
             return
         # pack each member's k partial pairs into ONE 16*k-byte binary
-        # cell (int64 neighbor + float64 sim interleaved): the merge
-        # exchange carries n*n_tables ROWS instead of n*n_tables*k —
-        # measured at 2M vectors/32 cores, the row-per-pair layout cost
-        # 102 JVM-cpu-seconds of shuffle row framing in the merge
-        # stage alone (5x the rows, ~29% of the operator's wall)
-        vcat = np.concatenate(out_v)
-        pairs_by_row = [
-            # (rows, kk, 2) float64 with int64 neighbor BITS in lane 0
-            # and the sim in lane 1, flattened row-major -> interleaved
-            # [n1, s1, n2, s2, ...] cells
-            np.stack((nb.view(np.float64), sm), axis=2).reshape(
-                len(v), -1
+        # cell (int64 neighbor bits in lane 0, sim in lane 1,
+        # interleaved [n1, s1, n2, s2, ...]): the merge exchange
+        # carries n*n_tables ROWS instead of n*n_tables*k — measured
+        # at 2M vectors/32 cores, the row-per-pair layout cost 102
+        # JVM-cpu-seconds of shuffle row framing in the merge stage
+        # alone (5x the rows, ~29% of the operator's wall).
+        # Cells are emitted as ONE RecordBatch PER CELL WIDTH so every
+        # width takes the zero-copy offsets-from-arange path — the r7
+        # equal-width check degraded to a per-row bytes() builder
+        # whenever any bucket had g <= k (4M Python tobytes calls per
+        # run, ~2.5 of the score stage's python-cpu-seconds); the
+        # downstream merge is width-agnostic (it re-derives pair
+        # counts from the offsets). The int32-offset guard stays: a
+        # width group whose payload would reach 2 GiB falls back to
+        # the per-row builder rather than silently wrapping.
+        by_width: dict[int, list[int]] = {}
+        for i, nb in enumerate(out_n):
+            by_width.setdefault(nb.shape[1], []).append(i)
+        for kk, idxs in by_width.items():
+            vcat = np.concatenate([out_v[i] for i in idxs])
+            pairs = np.concatenate(
+                [
+                    np.stack(
+                        (out_n[i].view(np.float64), out_s[i]), axis=2
+                    ).reshape(len(out_v[i]), -1)
+                    for i in idxs
+                ]
             )
-            for v, nb, sm in zip(out_v, out_n, out_s)
-        ]
-        kk_widths = [p.shape[1] for p in pairs_by_row]
-        # pa.binary() offsets are int32: a partition whose packed
-        # payload reaches 2 GiB (larger k/n_tables or fewer
-        # partitions than the 2M/128/k=5 config) would silently wrap
-        # the np.arange arithmetic into corrupt cells — route such
-        # partitions through the per-row builder instead.
-        if (
-            len(set(kk_widths)) == 1
-            and (len(vcat) + 1) * kk_widths[0] * 8 < 2**31
-        ):
-            flat = np.ascontiguousarray(np.concatenate(pairs_by_row))
-            width = kk_widths[0] * 8
-            offs = pa.py_buffer(
-                np.arange(
-                    0, (len(vcat) + 1) * width, width, dtype=np.int32
-                ).tobytes()
+            width = 2 * kk * 8
+            if (len(vcat) + 1) * width < 2**31:
+                offs = pa.py_buffer(
+                    np.arange(
+                        0, (len(vcat) + 1) * width, width, dtype=np.int32
+                    ).tobytes()
+                )
+                arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    len(vcat),
+                    [None, offs, pa.py_buffer(
+                        np.ascontiguousarray(pairs).tobytes()
+                    )],
+                )
+            else:  # 2 GiB int32-offset guard: per-row fallback
+                arr = pa.array(
+                    [row.tobytes() for row in pairs], type=pa.binary()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vcat), arr], ["vec_id", "topk"]
             )
-            arr = pa.Array.from_buffers(
-                pa.binary(),
-                len(vcat),
-                [None, offs, pa.py_buffer(flat.tobytes())],
-            )
-        else:  # mixed kk across groups (tiny buckets): offset-built
-            cells = [row.tobytes() for p in pairs_by_row for row in p]
-            arr = pa.array(cells, type=pa.binary())
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(vcat), arr], ["vec_id", "topk"]
-        )
 
     partial = shipped.repartition(n_partitions, "bucket").mapInArrow(
         bucket_score_fn, schema="vec_id long, topk binary"
