@@ -50,9 +50,15 @@ def corpus_funnel(spark: SparkSession, crawl: DataFrame) -> DataFrame:
     # crossing is the cheaper trade by far; extract_text_sql stays the
     # right engine only where its output is referenced once
     # (mirror_clusters, the html_extract_sql bench stage).
-    parsed = extract_text(pages, passthrough=("lang",)).select(
+    # as_string: the extraction emits utf8 directly (same bytes), so
+    # no decode(, 'UTF-8') expression exists for CollapseProject to
+    # inline into the quality gate's many text references (r8: the
+    # binary+decode shape carried 11 decode copies in the plan)
+    parsed = extract_text(
+        pages, passthrough=("lang",), as_string=True
+    ).select(
         url_path_id(F.col("url")).alias("doc_id"),
-        F.decode(F.col("text_extracted"), "UTF-8").alias("text"),
+        F.col("text_extracted").alias("text"),
         "lang",
     )
     kept = (

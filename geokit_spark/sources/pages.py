@@ -393,7 +393,9 @@ def extract_main_text(b: bytes) -> bytes:
 
 
 def extract_text(
-    pages: DataFrame, passthrough: tuple[str, ...] = ()
+    pages: DataFrame,
+    passthrough: tuple[str, ...] = (),
+    as_string: bool = False,
 ) -> DataFrame:
     """(url, text_extracted[, *passthrough]) for every page — ONE
     narrow mapInArrow pass over (url, html, *passthrough); html bytes
@@ -402,12 +404,25 @@ def extract_text(
     scale this pipelines with the parquet scan: no exchange, no
     driver state. `passthrough` columns (e.g. lang) are echoed from
     the same batch, so downstream stages never pay a join-back
-    against the page table to recover them."""
+    against the page table to recover them.
+
+    as_string=True emits text_extracted as a STRING column (same
+    bytes, Arrow utf8): consumers that would otherwise wrap the
+    column in decode(, 'UTF-8') skip that expression entirely —
+    CollapseProject inlines a decode into EVERY downstream reference
+    (the corpus funnel carried 11 copies). Requires the html to be
+    valid UTF-8 (the byte scanner only slices at ASCII delimiters, so
+    it never splits a multi-byte character — invalid input bytes,
+    which the binary path passes through and a JVM decode would
+    replace with U+FFFD, raise here instead). Default stays binary:
+    the byte-exact audit contract."""
     extra = list(passthrough)
+    out_type = "string" if as_string else "binary"
 
     def fn(batches):
         import pyarrow as pa
 
+        pa_type = pa.string() if as_string else pa.binary()
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -417,7 +432,7 @@ def extract_text(
                 for v in html
             ]
             yield pa.RecordBatch.from_arrays(
-                [batch.column(0), pa.array(texts, type=pa.binary())]
+                [batch.column(0), pa.array(texts, type=pa_type)]
                 + [batch.column(2 + i) for i in range(len(extra))],
                 ["url", "text_extracted"] + extra,
             )
@@ -427,7 +442,7 @@ def extract_text(
     )
     return pages.select("url", "html", *extra).mapInArrow(
         fn,
-        schema="url string, text_extracted binary"
+        schema=f"url string, text_extracted {out_type}"
         + (", " + ddl if ddl else ""),
     )
 
