@@ -2426,65 +2426,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-# round 7: new/changed rows first (warp_lanczos is new; the other four
-# sit downstream of this round's code changes — aspect-octant NULL arm,
-# sieve auto-routing + component-graph refactor, the packed-cell int32
-# guard), then the 36 rows last driver-checked in round 4, then the
-# oldest round-5 rows to fill the 50 budget.
+# round 8 (optimization): rows downstream of this round's plan/operator
+# rewrites first (pip UDF fence, batched ann scoring, symmetric simhash
+# join, pagerank loop restructure, funnel extraction), then the 43 rows
+# last driver-checked in round 5 so no query ages past round 6.
 _DRIVER_FRONT = [
-    # new / changed in round 7
-    "warp_lanczos",
-    "pages_extract_sql",
-    "srs_transform_omerc",
-    "srs_transform_world",
-    "bm25_scores",
-    "gradient_octants",
-    "sieve",
-    "connected_components",
+    # changed in round 8
+    "pip_region",
+    "pip_region2",
+    "pip_zones_join",
+    "extract_clip",
+    "extract_clip_concave",
     "ann_topk_bucketed",
-    # stale: last driver-green in round 4
-    "line_crossings",
-    "region_mask_area_holes",
-    "srs_transform_lcc",
     "simhash",
     "simhash_near",
-    "rasterize_all_touched",
-    "extract_clip_concave",
-    "union_geom",
-    "boilerplate_ngrams",
-    "contour_polygons",
-    "geo_dedup",
-    "warp_scale_up",
-    "morton_cells",
-    "events_sessions",
-    "multimodal_container",
-    "extract_window",
-    "stream_dedup",
-    "lineage_resume",
-    "indicate_features_buffered",
-    "indicate_values_buffered",
-    "lang_zone_cube",
-    "wkb_areas",
-    "srs_transform",
-    "polygonize",
-    "geom_ops",
-    "location_dedup",
-    "embed_topk",
-    "ann_topk",
-    "ivf_topk",
-    "embed_near_dup",
-    "events_daily",
-    "geocode_cells",
-    "cell_counts",
-    "pip_zones_join",
-    "gradient_points",
-    "rasterize_zones",
-    # oldest round-5 rows filling the remaining budget
-    "video_meta",
-    "sketch_merge",
-    "skew_report",
-    "distinct_sketch",
-    "blocklist",
+    "pipeline_filter",
+    # r5-stale AND downstream of round-8 diffs
+    "pagerank",
+    "corpus_pipeline",
+    "corpus_incremental",
+    "mirror_clusters",
+    "pip_region_holes",
+    "pip_zones_holes",
+    "extract_clip_holes",
+    "pages_pip",
+    "pages_extract",
+    "lines_in_region",
+    # remaining r5-stale rows
+    "anchor_stats",
+    "audio_meta",
+    "box_predicates_boundary",
+    "corpus_shuffle",
+    "decontaminate",
+    "domain_cap",
+    "extract_feature",
+    "gopher_repetition",
+    "host_domains",
+    "host_graph",
+    "host_locality",
+    "image_meta",
+    "indicate_features_buffered_holes",
+    "line_lengths",
+    "link_depth",
+    "mix_weights",
+    "noindex_filter",
+    "page_links",
+    "pages_latest",
+    "pii_scrub",
+    "quality_filter",
+    "rag_chunks",
+    "rasterize_lines",
+    "seq_packing",
+    "snapshot_compact",
+    "snapshot_reads",
+    "span_dedup",
+    "stream_dedup_watermark",
+    "token_classes",
+    "training_mix",
+    "url_canonical",
+    "url_filter",
+    "vocab_topk",
 ]
 
 
