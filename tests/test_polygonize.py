@@ -126,3 +126,42 @@ def test_polygonize_wkb_geometry(spark):
     assert geo_area == pytest.approx(float(r["n"]) * PIX_DX * PIX_DY,
                                      rel=1e-6)
     assert r["area"] == float(r["n"]) * (PIX_DX * PIX_DY)
+
+
+def test_trace_rings_million_edge_component():
+    """r8 scale pin (VERDICT r7 #3): a single component whose boundary
+    is >= 1e6 unit edges must assemble through the bounded path in one
+    pass — a 1 x 500k pixel bar has 2W+2 directed edges, one ring."""
+    W = 500_000
+    i = np.arange(W, dtype=np.int64)
+    x1 = np.concatenate([i, [W], i + 1, [0]])
+    y1 = np.concatenate([np.zeros(W, np.int64), [0], np.ones(W, np.int64), [1]])
+    x2 = np.concatenate([i + 1, [W], i, [0]])
+    y2 = np.concatenate([np.zeros(W, np.int64), [1], np.ones(W, np.int64), [0]])
+    edges = pd.DataFrame({"x1": x1, "y1": y1, "x2": x2, "y2": y2})
+    assert len(edges) >= 1_000_000
+    rings, nh, nv = _trace_rings(edges)
+    assert len(rings) == 1
+    assert len(rings[0]) == 2 * W + 2
+    assert nh == 2 * W and nv == 2
+    assert _signed(rings[0]) == W  # shoelace == pixel count
+
+
+def test_polygonize_component_edge_guard(spark, monkeypatch):
+    """The per-component ring-assembly cap fails ACTIONABLY: one
+    applyInPandas task holds O(component perimeter) edges, so a
+    continental background component must raise the documented
+    GEOKIT_POLYGONIZE_MAX_EDGES error instead of concentrating the
+    whole coastline in one straggler task."""
+    import geokit_spark.operators.components as comps
+
+    monkeypatch.setattr(comps, "_POLYGONIZE_MAX_EDGES", 3)
+    t = TILE_SIZE
+    m = np.zeros((t, t))
+    m[:4, :4] = 7.0  # 16 boundary edges > cap 3
+    tiles = spark.createDataFrame(
+        [(0, 0, m.ravel().tolist())],
+        "tile_x int, tile_y int, data array<double>",
+    )
+    with pytest.raises(Exception, match="GEOKIT_POLYGONIZE_MAX_EDGES"):
+        polygonize(tiles).collect()
