@@ -825,32 +825,41 @@ def ann_topk_bucketed(
                 per, np.arange(0, n_tables * n_planes, n_planes), axis=1
             )
             tb = tb + (np.arange(n_tables, dtype=np.int64) << n_planes)[None, :]
-            rep = np.repeat(np.arange(nb, dtype=np.int64), n_tables)
             if qmax:
                 # per-vector max-abs scale: exact and order-independent
                 # (cosine is scale-invariant, so the scale itself never
                 # needs to ship); rint snaps to the signed integer grid
                 sc = np.abs(flat).max(axis=1)
                 sc[sc == 0.0] = 1.0
-                qm = np.clip(
-                    np.rint(flat * (float(qmax) / sc)[:, None]),
-                    -qmax, qmax,
-                ).astype(qtype)
-                packed = _pack_binary(np.ascontiguousarray(qm[rep]))
+                packed = _pack_binary(
+                    np.ascontiguousarray(
+                        np.clip(
+                            np.rint(flat * (float(qmax) / sc)[:, None]),
+                            -qmax, qmax,
+                        ).astype(qtype)
+                    )
+                )
             elif binary_in:
-                packed = earr.take(pa.array(rep))  # raw bytes pass through
+                packed = earr  # raw bytes pass through
             else:
                 packed = _pack_binary(
-                    np.ascontiguousarray(flat.astype(np_store)[rep])
+                    np.ascontiguousarray(flat.astype(np_store))
                 )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(tb.ravel()),
-                    batch.column(0).take(pa.array(rep)),
-                    packed,
-                ],
-                ["bucket", "vec_id", "emb"],
-            )
+            # ONE batch per table, all reusing the SAME cell array and
+            # vec_id column zero-copy — the r7 shape materialized an
+            # n_tables-replicated copy via Array.take (a full 1 GB
+            # binary gather per 2M-vector run) before the exchange;
+            # per-table batches ship identical rows (order differs,
+            # which the bucket repartition erases) without any gather.
+            for t in range(n_tables):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.ascontiguousarray(tb[:, t])),
+                        batch.column(0),
+                        packed,
+                    ],
+                    ["bucket", "vec_id", "emb"],
+                )
 
     shipped = emb.select("vec_id", "embedding").mapInArrow(
         bucket_ship_fn,
