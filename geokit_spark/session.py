@@ -19,6 +19,15 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # local[N] puts driver + executor + every task thread in ONE JVM,
+    # so heap must be sized per task slot like an executor would be
+    # (guide: size memory to concurrent tasks, not a flat constant).
+    # 1.5 GiB/slot, floor 16g: at 32 cores the former flat 16g default
+    # left 0.5 GiB/slot and the bench's 80M-row stages accrued GC debt
+    # that inflated every LATER stage ~15-30% (measured: suite 40.7 ->
+    # 35.9 s, ann_topk_large 7.4-8.8 -> 6.5 s at 48g, retries 5 -> 1).
+    # SPARK_DRIVER_MEM still overrides for other geometries.
+    default_mem = f"{max(16, (3 * cores + 1) // 2)}g"
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -29,7 +38,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", default_mem),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():
